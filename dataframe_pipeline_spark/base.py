@@ -1,0 +1,171 @@
+"""Base classes and helpers for dataframe_pipeline_spark operators.
+
+The reference framework (IBM/dataframe-pipeline, see
+/root/reference/dfpipeline/DFPBase.py:23-53) defines a scikit-learn style
+``fit`` / ``transform`` / ``fit_transform`` contract over a single pandas
+DataFrame that every transformer mutates in place.  Here the same contract
+is re-expressed over immutable PySpark DataFrames: ``transform`` returns a
+*new* DataFrame built from declarative Column expressions so Catalyst can
+optimize the whole pipeline as one logical plan (column pruning, predicate
+pushdown, constant folding come for free).
+
+Fitted state is kept either as small driver-side literals (scalars) or as
+*lookup DataFrames* that are joined back at transform time.  At 100 TB
+scale a fitted frequency/label map can be far too large for a literal
+``F.create_map``; a join (broadcast when small, shuffle otherwise — AQE
+picks at runtime) is the scale-safe representation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Sentinel meaning "all columns" (reference: DFPBase.py:25 ``_PARM_ALL``).
+PARM_ALL = "__ALL"
+
+
+class SparkDFPBase:
+    """Common base: fit/transform contract + column-list helpers.
+
+    Mirrors the API of ``dfpipeline.DFPBase`` (reference DFPBase.py:23-40)
+    without any of its ONNX machinery — Spark's Catalyst plan plays the
+    role the ONNX graph played in the reference.
+    """
+
+    _PARM_ALL = PARM_ALL
+
+    @classmethod
+    def replace_PARM_ALL(cls, df: DataFrame, tgt):
+        if isinstance(tgt, str) and tgt == PARM_ALL:
+            return list(df.columns)
+        return tgt
+
+    def fit(self, df: DataFrame, **params) -> "SparkDFPBase":
+        """Learn state from ``df``. Default: stateless no-op."""
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def fit_transform(self, df: DataFrame, **params) -> DataFrame:
+        return self.fit(df, **params).transform(df)
+
+
+# ---------------------------------------------------------------------------
+# NaN / NULL normalization helpers
+#
+# The reference conflates NaN and "missing" (pandas semantics).  Spark
+# distinguishes SQL NULL from float NaN and — crucially — treats NaN as
+# *larger than any number* in comparisons and as a normal value in
+# aggregates.  To reproduce pandas semantics every statistic and comparison
+# must see NaN as NULL.  These helpers do that normalization once, near the
+# scan, so the rest of the plan stays NULL-only.
+# ---------------------------------------------------------------------------
+
+_FLOATING = (T.FloatType, T.DoubleType)
+
+
+def is_floating(dtype: T.DataType) -> bool:
+    return isinstance(dtype, _FLOATING)
+
+
+def is_numeric(dtype: T.DataType) -> bool:
+    return isinstance(dtype, T.NumericType)
+
+
+def field_type(df: DataFrame, name: str) -> T.DataType:
+    return df.schema[name].dataType
+
+
+def nan_to_null(df: DataFrame, name: str) -> Column:
+    """Column expr for ``name`` with float NaN mapped to NULL.
+
+    Non-floating columns pass through untouched (``isnan`` is only defined
+    for float/double).
+    """
+    col = F.col(name)
+    if is_floating(field_type(df, name)):
+        return F.when(F.isnan(col), F.lit(None)).otherwise(col)
+    return col
+
+
+def stringify(df: DataFrame, name: str) -> Column:
+    """Cast a column to string the way ``str(x)`` does in Python.
+
+    pandas ``astype(str)`` renders float NaN as ``'nan'``; Spark's cast
+    renders it ``'NaN'`` — normalize to the pandas spelling so string ops
+    (concat/split) agree with the reference.
+    """
+    col = F.col(name)
+    dt = field_type(df, name)
+    s = col.cast("string")
+    if is_floating(dt):
+        s = F.when(F.isnan(col), F.lit("nan")).otherwise(s)
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Python/NumPy dtype → Spark type mapping
+# (reference: DFPBase.py:134-212 maps the same set to ONNX tensor types)
+# ---------------------------------------------------------------------------
+
+_NP_TO_SPARK = {
+    "int8": T.ByteType(),
+    "int16": T.ShortType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    # Spark has no unsigned ints; widen like the reference's ONNX mapping.
+    "uint8": T.ShortType(),
+    "uint16": T.IntegerType(),
+    "uint32": T.LongType(),
+    "uint64": T.LongType(),
+    "float16": T.FloatType(),
+    "float32": T.FloatType(),
+    "float64": T.DoubleType(),
+    "float128": T.DoubleType(),
+    "bool": T.BooleanType(),
+    "str": T.StringType(),
+    "string": T.StringType(),
+    "object": T.StringType(),
+    "int": T.LongType(),
+    "float": T.DoubleType(),
+}
+
+
+def to_spark_type(t) -> T.DataType:
+    """Accept a numpy dtype/type, Python builtin type, Spark type, or name."""
+    if isinstance(t, T.DataType):
+        return t
+    if t is int:
+        return T.LongType()
+    if t is float:
+        return T.DoubleType()
+    if t is str:
+        return T.StringType()
+    if t is bool:
+        return T.BooleanType()
+    name = getattr(t, "__name__", None) or str(t)
+    try:
+        import numpy as np
+
+        name = str(np.dtype(t))
+    except Exception:
+        pass
+    if name in _NP_TO_SPARK:
+        return _NP_TO_SPARK[name]
+    # last resort: let Spark parse type names like 'double', 'bigint'
+    return T._parse_datatype_string(str(name))
+
+
+def infer_spark_type_of_value(v) -> T.DataType:
+    import numpy as np
+
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, (int, np.integer)):
+        return T.LongType()
+    if isinstance(v, (float, np.floating)):
+        return T.DoubleType()
+    return T.StringType()

@@ -1,0 +1,57 @@
+"""Imputer — fill missing values with const / mean / median.
+
+Reference: /root/reference/dfpipeline/Imputer.py.  CRITICAL reference
+quirk (SURVEY §2 quirk 1): mean/median are computed **at transform time**
+on the frame being transformed — scoring a test batch re-computes the
+statistic on that batch.  We replicate that (stats as transform-time
+aggregates), because the correctness oracle checks it.
+
+Parity notes:
+- pandas ``median()`` interpolates on even counts → Spark's exact
+  ``percentile(c, 0.5)`` (NOT percentile_approx).
+- pandas mean/median skip NaN → NULL-normalize first.
+- ``fillna`` replaces both NaN and None → fill with ``coalesce`` over the
+  NULL-normalized column.
+
+The per-transform aggregate is one combined ``df.agg`` over all inputs —
+a single extra scan; at scale this is the price of the reference's
+per-batch semantics (a fitted variant would hoist it to fit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..base import SparkDFPBase, nan_to_null
+
+
+class Imputer(SparkDFPBase):
+    def __init__(self, inputs=None, outputs=None, strategy=None, val=-1):
+        self.inputs = list(inputs or [])
+        self.outputs = list(outputs or [])
+        if strategy not in (None, "mean", "median"):
+            raise ValueError(f"Unknown strategy {strategy!r}")
+        self.strategy = strategy
+        self.val = val
+        self.values = None  # last-computed fill values (reference keeps them too)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        self.values = []
+        if self.strategy is not None:
+            agg_fn = F.mean if self.strategy == "mean" else (
+                lambda c: F.percentile(c, F.lit(0.5))
+            )
+            row = df.agg(
+                *[agg_fn(nan_to_null(df, c)).alias(f"v{i}") for i, c in enumerate(self.inputs)]
+            ).collect()[0]
+            fills = [row[f"v{i}"] for i in range(len(self.inputs))]
+        else:
+            fills = [self.val] * len(self.inputs)
+        self.values = fills
+        return df.withColumns(
+            {
+                output: F.coalesce(nan_to_null(df, input), F.lit(v))
+                for input, output, v in zip(self.inputs, self.outputs, fills)
+            }
+        )

@@ -1,0 +1,84 @@
+"""ComplementLabelEncoder — string→int encoding with a reserved unseen class.
+
+Reference: /root/reference/dfpipeline/ComplementLabelEncoder.py — fit maps
+NaN to the literal ``'extra_category_'``, stringifies, learns sklearn
+LabelEncoder classes (lexicographically sorted), always appends
+``'extra_category_'`` if absent; transform fills NaN with the reserved
+class, maps values through the fitted dict, and unseen values get the
+reserved class's id; output dtype int32.
+
+Spark-first design: the fitted dictionary is a *lookup DataFrame*
+``(value, id)`` built distributedly:
+
+    distinct(normalized value) ∪ {'extra_category_'}  →  sort  →  row_number-1
+
+The global-order ``row_number`` window runs over the **distinct set only**
+(cardinality ≪ rows), so the single-partition window is not a scale
+bottleneck.  Transform is a left join on the normalized value with
+``coalesce(id, default_id)`` — broadcast when the dictionary is small, AQE
+decides otherwise.  No driver-side dict is ever materialized except the
+single reserved-class id scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..base import PARM_ALL, SparkDFPBase, field_type, is_floating
+
+EXTRA = "extra_category_"
+
+
+class ComplementLabelEncoder(SparkDFPBase):
+    def __init__(self, inputs=PARM_ALL, outputs=PARM_ALL):
+        self.inputs = inputs
+        self.outputs = outputs
+        self._lookups = {}   # input col -> (lookup DataFrame(__dfp_val, __dfp_id), default_id)
+
+    @staticmethod
+    def _normalized(df: DataFrame, input: str):
+        col = F.col(input)
+        s = col.cast("string")
+        if is_floating(field_type(df, input)):
+            s = F.when(F.isnan(col), F.lit(None)).otherwise(s)
+        return F.coalesce(s, F.lit(EXTRA))
+
+    def fit(self, df: DataFrame, **params):
+        self.inputs = self.replace_PARM_ALL(df, self.inputs)
+        self.outputs = self.replace_PARM_ALL(df, self.outputs)
+        self._lookups = {}
+        spark = df.sparkSession
+        extra_df = spark.createDataFrame([(EXTRA,)], "__dfp_val string")
+        for input in self.inputs:
+            classes = (
+                df.select(self._normalized(df, input).alias("__dfp_val"))
+                .distinct()
+                .union(extra_df)
+                .distinct()
+            )
+            w = Window.orderBy("__dfp_val")
+            lookup = classes.select(
+                "__dfp_val", (F.row_number().over(w) - 1).cast("int").alias("__dfp_id")
+            )
+            default_id = (
+                lookup.filter(F.col("__dfp_val") == EXTRA).select("__dfp_id").collect()[0][0]
+            )
+            self._lookups[input] = (lookup, default_id)
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        for input, output in zip(self.inputs, self.outputs):
+            lookup, default_id = self._lookups[input]
+            key = self._normalized(df, input).alias("__dfp_join_key")
+            df = (
+                df.join(
+                    F.broadcast(lookup), on=key == lookup["__dfp_val"], how="left"
+                )
+                .withColumn(
+                    output,
+                    F.coalesce(F.col("__dfp_id"), F.lit(default_id)).cast("int"),
+                )
+                .drop("__dfp_val", "__dfp_id")
+            )
+        return df

@@ -1,0 +1,75 @@
+"""Scaler — minmax / standard / min normalization, exact sklearn parity.
+
+Reference: /root/reference/dfpipeline/Scaler.py — wraps sklearn
+MinMaxScaler / StandardScaler, or subtracts the fitted min.
+
+Parity notes (what the sklearn scalers actually compute):
+- minmax:    (x - data_min) / (data_max - data_min); zero range → divisor 1
+  (sklearn ``_handle_zeros_in_scale``).
+- standard:  (x - mean) / std_pop with **population** std (ddof=0); zero
+  std → divisor 1.
+- min:       x - min.
+- NaN is ignored when fitting and propagates through transform (our
+  arithmetic over NULL-normalized values does the same).
+
+Spark-first: fit runs ONE combined ``df.agg`` over every input column
+(single scan, scalars to the driver — a handful of doubles regardless of
+data size); transform is pure Column arithmetic folded into codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..base import SparkDFPBase, nan_to_null
+
+
+class Scaler(SparkDFPBase):
+    def __init__(self, inputs=None, outputs=None, strategy=None):
+        self.inputs = list(inputs or [])
+        self.outputs = list(outputs or [])
+        self.strategy = strategy
+        if strategy not in ("minmax", "standard", "min"):
+            raise ValueError(f"Not implemented strategy: {strategy!r}")
+        self.offsets = []  # per input: offset subtracted
+        self.scales = []   # per input: multiplier  (1/denominator)
+
+    def fit(self, df: DataFrame, **params):
+        self.offsets, self.scales = [], []
+        aggs = []
+        for i, c in enumerate(self.inputs):
+            v = nan_to_null(df, c)
+            if self.strategy == "minmax":
+                aggs += [F.min(v).alias(f"lo{i}"), F.max(v).alias(f"hi{i}")]
+            elif self.strategy == "standard":
+                aggs += [F.mean(v).alias(f"mu{i}"), F.stddev_pop(v).alias(f"sd{i}")]
+            else:  # min
+                aggs += [F.min(v).alias(f"lo{i}")]
+        row = df.agg(*aggs).collect()[0]
+        for i in range(len(self.inputs)):
+            if self.strategy == "minmax":
+                lo, hi = row[f"lo{i}"], row[f"hi{i}"]
+                rng = (hi - lo) if (hi is not None and lo is not None) else None
+                scale = 1.0 / rng if rng not in (None, 0, 0.0) else 1.0
+                self.offsets.append(lo)
+                self.scales.append(scale)
+            elif self.strategy == "standard":
+                mu, sd = row[f"mu{i}"], row[f"sd{i}"]
+                scale = 1.0 / sd if sd not in (None, 0, 0.0) else 1.0
+                self.offsets.append(mu)
+                self.scales.append(scale)
+            else:
+                self.offsets.append(row[f"lo{i}"])
+                self.scales.append(None)  # plain subtraction keeps input dtype
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        updates = {}
+        for input, output, off, scale in zip(self.inputs, self.outputs, self.offsets, self.scales):
+            col = nan_to_null(df, input)
+            if self.strategy == "min":
+                updates[output] = col - F.lit(off)
+            else:
+                updates[output] = (col - F.lit(off)) * F.lit(scale)
+        return df.withColumns(updates)

@@ -1,0 +1,90 @@
+"""SetTransformer — set algebra between column value-sets and/or literals.
+
+Reference: /root/reference/dfpipeline/SetTransformer.py — operands are a
+column label (→ the set of its values), a literal list, or a callable
+returning either; operations ``* &`` (intersection), ``+ |`` (union),
+``-`` (difference).  The result list is handed to ``output_func`` and
+padded with None into a column of the input frame.
+
+Spark-first: the set algebra runs distributed — ``select(col).distinct()``
+vs a literal one-column DataFrame, combined with ``intersect`` / ``union +
+distinct`` / ``exceptAll→distinct`` — so a 100 TB column never touches the
+driver; only the (small, distinct) result is collected for the callback /
+padded-column contract.  Python ``set`` iteration order is arbitrary, so
+the result is sorted for determinism (the reference's order is undefined).
+
+``as_dataframe(df)`` is the scale-native surface: returns the result as a
+one-column DataFrame without any driver materialization.
+"""
+
+from __future__ import annotations
+
+import types
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..base import SparkDFPBase
+
+
+class SetTransformer(SparkDFPBase):
+    def __init__(self, first_operand=None, second_operand=None, output_operand=None,
+                 output_func=None, set_operation=None):
+        self.first_operand = first_operand
+        self.second_operand = second_operand
+        self.output_operand = output_operand
+        self.output_func = output_func
+        self.set_operation = set_operation
+
+    @classmethod
+    def is_method(cls, m):
+        return isinstance(m, (types.FunctionType, types.MethodType, types.LambdaType))
+
+    def _operand_df(self, df: DataFrame, op) -> DataFrame:
+        op = op() if self.is_method(op) else op
+        if isinstance(op, str):
+            return df.select(F.col(op).cast("string").alias("__dfp_v")).distinct()
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [(str(x),) for x in op], "__dfp_v string"
+        ).distinct()
+
+    def result_df(self, df: DataFrame) -> DataFrame:
+        """The set-operation result as a one-column DataFrame (scale path)."""
+        first = self._operand_df(df, self.first_operand)
+        second = self._operand_df(df, self.second_operand)
+        if self.set_operation in ("*", "&"):
+            return first.intersect(second)
+        if self.set_operation in ("+", "|"):
+            return first.union(second).distinct()
+        if self.set_operation == "-":
+            return first.exceptAll(second).distinct()
+        raise ValueError(f"Unknown set operation {self.set_operation!r}")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if (self.first_operand is None or self.second_operand is None
+                or self.set_operation is None or self.output_func is None):
+            return df
+        result = sorted(r["__dfp_v"] for r in self.result_df(df).collect())
+        self.output_func(result)
+
+        n = df.count()
+        if len(result) > n:
+            raise AssertionError(
+                f"The length of the result is longer than that of DataFrame. "
+                f"len(result)={len(result)} len(df)={n}"
+            )
+        # Pad into a column: attach by row position (the reference assigns the
+        # list positionally).  Spark has no row order, so impose one.
+        spark = df.sparkSession
+        res_df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(result)], "__dfp_pos long, __dfp_v string"
+        )
+        w = Window.orderBy(F.monotonically_increasing_id())
+        df = df.withColumn("__dfp_pos", F.row_number().over(w) - 1)
+        df = (
+            df.join(F.broadcast(res_df), on="__dfp_pos", how="left")
+            .withColumn(self.output_operand, F.col("__dfp_v"))
+            .drop("__dfp_pos", "__dfp_v")
+        )
+        return df

@@ -1,0 +1,137 @@
+"""WrapTransformer — wrap external (sklearn-style) transformers.
+
+Reference: /root/reference/dfpipeline/WrapTransform.py — deep-copies a
+sklearn transformer per input column, fits it, and applies it at transform.
+
+Spark-first: the known sklearn transformer types are mapped to our native
+distributed operators (no sklearn required — the wrapped object is
+recognized by class name, so this works with real sklearn objects or any
+stand-in exposing the same class name):
+
+- ``LabelEncoder``   → sorted-distinct + row_number fit, join apply.
+  Plain sklearn semantics (NOT the complement variant): classes are the
+  sorted distinct raw values *including* NaN (pandas sort puts NaN last),
+  no reserved unseen class.
+- ``StandardScaler`` → population-std standardization (Scaler 'standard').
+- ``MinMaxScaler``   → min-max scaling (Scaler 'minmax').
+- ``SimpleImputer``  → mean imputation (strategy='mean' supported).
+
+Unknown transformer types raise — arbitrary sklearn objects would need
+sklearn on the executors; fit would still have to see all data on the
+driver, which contradicts the 100 TB design point.  Use the native
+operators or a pandas UDF instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..base import PARM_ALL, SparkDFPBase, field_type, is_floating, nan_to_null
+
+
+class WrapTransformer(SparkDFPBase):
+    def __init__(self, inputs=PARM_ALL, outputs=PARM_ALL, transformer=None):
+        self.inputs = inputs
+        self.outputs = outputs
+        self.transformer = transformer
+        self._kind = type(transformer).__name__ if transformer is not None else None
+        self._state = {}  # input -> fitted state
+
+    # -- fit ---------------------------------------------------------------
+    def fit(self, df: DataFrame, **params):
+        self.inputs = self.replace_PARM_ALL(df, self.inputs)
+        self.outputs = self.replace_PARM_ALL(df, self.outputs)
+        self._state = {}
+        for input in self.inputs:
+            cols = list(input) if isinstance(input, tuple) else [input]
+            if self._kind == "LabelEncoder":
+                self._state[input] = self._fit_label(df, cols[0])
+            elif self._kind in ("StandardScaler", "MinMaxScaler"):
+                self._state[input] = self._fit_scale(df, cols)
+            elif self._kind == "SimpleImputer":
+                strategy = getattr(self.transformer, "strategy", "mean")
+                if strategy != "mean":
+                    raise ValueError(f"SimpleImputer strategy {strategy!r} not mapped")
+                self._state[input] = self._fit_mean(df, cols)
+            else:
+                raise ValueError(
+                    f"WrapTransformer: no native Spark mapping for {self._kind!r}; "
+                    "use the built-in operators or a pandas UDF"
+                )
+        return self
+
+    def _fit_label(self, df: DataFrame, c: str):
+        # sklearn LabelEncoder: classes_ = sorted unique values.  NULL sorts
+        # last (like NaN in numpy sort) via asc_nulls_last.
+        vals = df.select(nan_to_null(df, c).alias("__dfp_val")).distinct()
+        w = Window.orderBy(F.col("__dfp_val").asc_nulls_last())
+        return vals.select(
+            "__dfp_val", (F.row_number().over(w) - 1).cast("int").alias("__dfp_id")
+        )
+
+    def _fit_scale(self, df: DataFrame, cols):
+        aggs = []
+        for i, c in enumerate(cols):
+            v = nan_to_null(df, c)
+            if self._kind == "StandardScaler":
+                aggs += [F.mean(v).alias(f"a{i}"), F.stddev_pop(v).alias(f"b{i}")]
+            else:
+                aggs += [F.min(v).alias(f"a{i}"), F.max(v).alias(f"b{i}")]
+        row = df.agg(*aggs).collect()[0]
+        state = []
+        for i in range(len(cols)):
+            a, b = row[f"a{i}"], row[f"b{i}"]
+            if self._kind == "StandardScaler":
+                scale = 1.0 / b if b not in (None, 0.0) else 1.0
+                state.append((a, scale))
+            else:
+                rng = (b - a) if (a is not None and b is not None) else None
+                scale = 1.0 / rng if rng not in (None, 0.0) else 1.0
+                state.append((a, scale))
+        return state
+
+    def _fit_mean(self, df: DataFrame, cols):
+        row = df.agg(
+            *[F.mean(nan_to_null(df, c)).alias(f"m{i}") for i, c in enumerate(cols)]
+        ).collect()[0]
+        return [row[f"m{i}"] for i in range(len(cols))]
+
+    # -- transform ---------------------------------------------------------
+    def transform(self, df: DataFrame) -> DataFrame:
+        for input, output in zip(self.inputs, self.outputs):
+            in_cols = list(input) if isinstance(input, tuple) else [input]
+            out_cols = list(output) if isinstance(output, tuple) else [output]
+            state = self._state[input]
+            if self._kind == "LabelEncoder":
+                lookup = state
+                df = (
+                    df.join(
+                        F.broadcast(lookup),
+                        on=nan_to_null(df, in_cols[0]).eqNullSafe(lookup["__dfp_val"]),
+                        how="left",
+                    )
+                    .withColumn(out_cols[0], F.col("__dfp_id"))
+                    .drop("__dfp_val", "__dfp_id")
+                )
+            elif self._kind in ("StandardScaler", "MinMaxScaler"):
+                df = df.withColumns(
+                    {
+                        o: (nan_to_null(df, c) - F.lit(off)) * F.lit(scale)
+                        for c, o, (off, scale) in zip(in_cols, out_cols, state)
+                    }
+                )
+            else:  # SimpleImputer(mean)
+                df = df.withColumns(
+                    {
+                        o: F.coalesce(nan_to_null(df, c), F.lit(m))
+                        for c, o, m in zip(in_cols, out_cols, state)
+                    }
+                )
+        return df
+
+    def get_transformers(self):
+        return list(self._state.values())
+
+    def get_transformer(self, c):
+        return list(self._state.values())[c]

@@ -1,0 +1,38 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[N]`` (one JVM), but every setting below is
+chosen so the same code is correct on a multi-executor cluster:
+
+- AQE on: runtime coalescing, skew-join splitting, sort-merge→broadcast
+  conversion once real sizes are known.
+- shuffle.partitions sized to cores locally; on a cluster AQE re-coalesces.
+- session timezone pinned UTC so timestamps agree with the DuckDB oracle.
+- Arrow enabled for any pandas-UDF slow paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "dataframe_pipeline_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
