@@ -159,6 +159,19 @@ def to_spark_type(t) -> T.DataType:
     return T._parse_datatype_string(str(name))
 
 
+def literal_df(spark, values, colname: str, cast: str = "string") -> DataFrame:
+    """Small literal one-column DataFrame, built JVM-side.
+
+    ``spark.createDataFrame([...])`` wraps a *Python RDD* — every evaluation
+    spawns a Python worker, and inside a broadcast/AQE subplan it can be
+    re-evaluated several times (measured ~25 s of overhead in a fitted-join
+    plan at sf0.1).  ``range(1) + explode(array(lit...))`` keeps the literal
+    entirely in the JVM: plan-only, codegen'd, free to re-evaluate.
+    """
+    arr = F.array(*[F.lit(v).cast(cast) for v in values])
+    return spark.range(1).select(F.explode(arr).alias(colname))
+
+
 def infer_spark_type_of_value(v) -> T.DataType:
     import numpy as np
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..base import PARM_ALL, SparkDFPBase, field_type, is_floating
+from ..base import PARM_ALL, SparkDFPBase, field_type, is_floating, literal_df
 
 EXTRA = "extra_category_"
 
@@ -49,7 +49,9 @@ class ComplementLabelEncoder(SparkDFPBase):
         self.outputs = self.replace_PARM_ALL(df, self.outputs)
         self._lookups = {}
         spark = df.sparkSession
-        extra_df = spark.createDataFrame([(EXTRA,)], "__dfp_val string")
+        # JVM-native literal (see base.literal_df): a python-RDD one-row
+        # frame here costs seconds per re-evaluation inside the broadcast.
+        extra_df = literal_df(spark, [EXTRA], "__dfp_val")
         for input in self.inputs:
             classes = (
                 df.select(self._normalized(df, input).alias("__dfp_val"))

@@ -24,7 +24,7 @@ import types
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..base import SparkDFPBase
+from ..base import SparkDFPBase, literal_df
 
 
 class SetTransformer(SparkDFPBase):
@@ -44,10 +44,7 @@ class SetTransformer(SparkDFPBase):
         op = op() if self.is_method(op) else op
         if isinstance(op, str):
             return df.select(F.col(op).cast("string").alias("__dfp_v")).distinct()
-        spark = df.sparkSession
-        return spark.createDataFrame(
-            [(str(x),) for x in op], "__dfp_v string"
-        ).distinct()
+        return literal_df(df.sparkSession, [str(x) for x in op], "__dfp_v").distinct()
 
     def result_df(self, df: DataFrame) -> DataFrame:
         """The set-operation result as a one-column DataFrame (scale path)."""
@@ -76,9 +73,9 @@ class SetTransformer(SparkDFPBase):
             )
         # Pad into a column: attach by row position (the reference assigns the
         # list positionally).  Spark has no row order, so impose one.
-        spark = df.sparkSession
-        res_df = spark.createDataFrame(
-            [(i, v) for i, v in enumerate(result)], "__dfp_pos long, __dfp_v string"
+        res_df = df.sparkSession.range(1).select(
+            F.posexplode(F.array(*[F.lit(v).cast("string") for v in result]))
+            .alias("__dfp_pos", "__dfp_v")
         )
         w = Window.orderBy(F.monotonically_increasing_id())
         df = df.withColumn("__dfp_pos", F.row_number().over(w) - 1)
