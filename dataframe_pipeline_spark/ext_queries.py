@@ -1,0 +1,527 @@
+"""Extension queries: dedup, similarity search, text analysis,
+multimodal plumbing, events analytics, sources.
+
+Same contract as queries.py — each entry pairs a Spark implementation
+(built from this package's dedup/text/similarity/multimodal/streaming
+modules) with a DuckDB oracle SQL string.  All hashing is md5-derived
+integer arithmetic so the oracle replays the exact same computation;
+all divisions have exact-integer numerators/denominators wherever a
+hash value feeds a float.
+
+Oracle SQL for the hash-heavy queries is *generated* from the same
+parameters (k, bands, coefficients, hyperplanes) the Spark operators
+use, so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import dedup as dd
+from . import multimodal as mm
+from . import similarity as sim
+from . import streaming as st
+from . import text as tx
+from .queries import _r6, _t
+from .sources import left_enrich, split_mod
+
+
+def _events(spark, sf_dir):
+    """Load the events table with its TIMESTAMP(NANOS) column normalized.
+
+    Spark's parquet reader rejects nanosecond timestamps unless they are
+    read as raw longs (``spark.sql.legacy.parquet.nanosAsLong``); the
+    nanos are then integer-divided down to microseconds — exactly the
+    truncation DuckDB applies when it loads TIMESTAMP_NS into its
+    microsecond-resolution TIMESTAMP, so both engines see identical ts.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)"))
+
+# --------------------------------------------------------------------------
+# DuckDB-dialect twins of the deterministic hash / shingle primitives
+# --------------------------------------------------------------------------
+
+def _h32_duck(e: str) -> str:
+    return f"(('0x' || substr(md5({e}),1,8))::BIGINT)"
+
+
+def _h60_duck(e: str) -> str:
+    return f"(('0x' || substr(md5({e}),1,15))::BIGINT)"
+
+
+def _shingles_duck(text: str = "text", n: int = 3) -> str:
+    l = f"string_split({text}, ' ')"
+    gram = " || ' ' || ".join(f"{l}[i+{j}]" for j in range(n))
+    return (f"list_distinct(list_transform("
+            f"generate_series(1, len({l})-{n - 1}), i -> {gram}))")
+
+
+# ==========================================================================
+# Deduplication
+# ==========================================================================
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.ExactDeduplicator().survivors(docs)
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.NgramJaccardDeduplicator(n=3, threshold=0.95).pairs(docs)
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS (SELECT doc_id, {_shingles_duck()} AS s FROM documents),
+inv AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+inter AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+  FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, ROUND(i / (len(sa.s) + len(sb.s) - i), 6) AS jaccard
+FROM inter
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+WHERE ROUND(i / (len(sa.s) + len(sb.s) - i), 6) >= 0.95
+"""
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.MinHashLSHDeduplicator(k=16, bands=2, threshold=0.9).pairs(docs)
+
+
+def _sql_minhash() -> str:
+    k, bands, p = 16, 2, dd.MINHASH_P
+    r = k // bands
+    coeffs = dd.minhash_coeffs(k)
+    mh = [f"list_min(list_transform(h, x -> ({a}*x + {b}) % {p}))"
+          for a, b in coeffs]
+    sigs = [" || ':' || ".join(f"({m})::VARCHAR" for m in mh[bi * r:(bi + 1) * r])
+            for bi in range(bands)]
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, {sigs[bi]} AS sig FROM hs"
+        for bi in range(bands))
+    return f"""
+WITH sh AS (SELECT doc_id, {_shingles_duck()} AS s FROM documents),
+hs AS (SELECT doc_id, s,
+              list_transform(s, t -> {_h32_duck('t')}) AS h FROM sh),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT id_a, id_b,
+         len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS i,
+         len(sa.s) AS za, len(sb.s) AS zb
+  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, ROUND(i / (za + zb - i), 6) AS jaccard
+FROM scored WHERE ROUND(i / (za + zb - i), 6) >= 0.9
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.SimHasher().transform(docs).select("doc_id", "simhash")
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(text, ' ')),
+                        t -> {_h60_duck('t')}) AS h
+  FROM documents)
+SELECT doc_id,
+       CAST(list_sum(list_transform(generate_series(0, 59), b ->
+         CASE WHEN list_sum(list_transform(h, x ->
+                CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+              THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+FROM hs
+"""
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    d = dd.QuantizedCosineDeduplicator(threshold=0.45, n_planes=4)
+    return d.pairs(emb, bucketed=True)
+
+
+def _sql_embedding_cosine() -> str:
+    d = dd.QuantizedCosineDeduplicator(threshold=0.45, n_planes=4)
+    terms = []
+    for j in range(d.n_planes):
+        w = d.hyperplane(j)
+        dot = " + ".join(f"{'' if c > 0 else '-'}q[{i + 1}]"
+                         for i, c in enumerate(w))
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (
+  SELECT vec_id, q,
+         sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS nrm,
+         ({bucket}) AS bucket
+  FROM q)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> a.q[i] * b.q[i])) AS DOUBLE) / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b
+  ON a.vec_id < b.vec_id AND a.bucket = b.bucket
+WHERE ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
+         i -> a.q[i] * b.q[i])) AS DOUBLE) / (a.nrm * b.nrm), 6) >= 0.45
+"""
+
+
+# ==========================================================================
+# Similarity search
+# ==========================================================================
+
+def q_sim_topk_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.CosineTopK(k=10).search(emb, query_id=0)
+
+
+SQL_SIM_TOPK = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (
+  SELECT vec_id, q,
+         sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS nrm
+  FROM q)
+SELECT a.vec_id,
+       ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> a.q[i] * b.q[i])) AS DOUBLE) / (a.nrm * b.nrm), 6) AS cosine
+FROM n a, (SELECT * FROM n WHERE vec_id = 0) b
+WHERE a.vec_id <> 0
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT 10
+"""
+
+
+def q_sim_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.HyperplaneLSHIndex(k=5, n_planes=4).search(emb, query_id=0)
+
+
+def _sql_sim_ann() -> str:
+    d = dd.QuantizedCosineDeduplicator(n_planes=4)
+    terms = []
+    for j in range(d.n_planes):
+        w = d.hyperplane(j)
+        dot = " + ".join(f"{'' if c > 0 else '-'}q[{i + 1}]"
+                         for i, c in enumerate(w))
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (
+  SELECT vec_id, q,
+         sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS nrm,
+         ({bucket}) AS bucket
+  FROM q)
+SELECT a.vec_id,
+       ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> a.q[i] * b.q[i])) AS DOUBLE) / (a.nrm * b.nrm), 6) AS cosine
+FROM n a, (SELECT * FROM n WHERE vec_id = 0) b
+WHERE a.vec_id <> 0 AND a.bucket = b.bucket
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT 5
+"""
+
+
+# ==========================================================================
+# Text analysis
+# ==========================================================================
+
+def q_text_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (tx.TokenCounter().transform(docs)
+            .select("doc_id", "ws_tokens", "re_tokens", "subword_est"))
+
+
+SQL_TEXT_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{tx.TOKEN_REGEX}')) AS re_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS subword_est
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (tx.QualityScorer().transform(docs)
+            .select("doc_id", "n_chars_m", "n_tokens", "mean_tok_len",
+                    "stopword_ratio", "alpha_ratio", "quality_score"))
+
+
+def _sql_text_quality() -> str:
+    stop = ", ".join(f"'{s}'" for s in tx.STOPWORDS)
+    toks = "string_split(text, ' ')"
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         length(text) AS nc,
+         len({toks}) AS nt,
+         len(list_filter({toks}, x -> x IN ({stop}))) AS ns,
+         length(regexp_replace(text, '[^a-z]', '', 'g')) AS na
+  FROM documents)
+SELECT doc_id,
+       nc AS n_chars_m, nt AS n_tokens,
+       ROUND((nc - nt + 1) / nt, 6) AS mean_tok_len,
+       ROUND(ns / nt, 6) AS stopword_ratio,
+       ROUND(na / nc, 6) AS alpha_ratio,
+       floor((least(nt / 64.0, 1.0) * 0.25
+              + ROUND(na / nc, 6) * 0.5
+              + least(ROUND(ns / nt, 6) * 4.0, 1.0) * 0.25)
+             * 1000000 + 0.5) / 1000000.0 AS quality_score
+FROM b
+"""
+
+
+def q_text_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    cols = ["doc_id"] + [f"score_{lg}" for lg in sorted(tx.LANG_MARKERS)] + ["pred_lang"]
+    return tx.LanguageIdentifier().transform(docs).select(*cols)
+
+
+def _sql_text_langid() -> str:
+    toks = "string_split(text, ' ')"
+    langs = sorted(tx.LANG_MARKERS)
+    score_cols = []
+    for lg in langs:
+        lst = ", ".join(f"'{w}'" for w in tx.LANG_MARKERS[lg])
+        score_cols.append(
+            f"len(list_filter({toks}, x -> x IN ({lst}))) AS score_{lg}")
+    # same fold as LanguageIdentifier: strictly-greater replaces, so the
+    # alphabetically-first language wins ties.
+    pred, best = f"'{langs[0]}'", f"score_{langs[0]}"
+    for lg in langs[1:]:
+        pred = f"CASE WHEN score_{lg} > {best} THEN '{lg}' ELSE {pred} END"
+        best = f"greatest(score_{lg}, {best})"
+    return f"""
+WITH s AS (SELECT doc_id, {', '.join(score_cols)} FROM documents)
+SELECT doc_id, {', '.join('score_' + lg for lg in langs)},
+       {pred} AS pred_lang
+FROM s
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (tx.Fingerprinter().transform(docs)
+            .select("doc_id", "fp_md5", "fp_roll"))
+
+
+SQL_TEXT_FINGERPRINT = f"""
+WITH n AS (
+  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+  FROM documents)
+SELECT doc_id, md5(t) AS fp_md5,
+       CAST(list_sum(list_transform(string_split(t, ' '),
+              (x, i) -> {_h32_duck('x')} * (2*(i-1) + 1))) % 2147483647
+            AS BIGINT) AS fp_roll
+FROM n
+"""
+
+
+# ==========================================================================
+# Multimodal plumbing
+# ==========================================================================
+
+def q_multimodal_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return mm.with_payload_metadata(docs).select("doc_id", "n_bytes", "digest")
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+       substr(sha256(text), 1, 16) AS digest
+FROM documents
+"""
+
+
+def q_multimodal_decode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = mm.FakeImageDecoder().transform(docs)
+    return _r6(out.select("doc_id", "n_bytes", "width", "height", "mean_pixel"),
+               "mean_pixel")
+
+
+# text is ASCII, so bytes == characters: the oracle recomputes the fake
+# decode (leading/trailing byte, byte-mean) with ascii() arithmetic.
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id,
+       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+       CAST(1 + ascii(text[1]) % 64 AS INTEGER) AS width,
+       CAST(1 + ascii(text[-1]) % 64 AS INTEGER) AS height,
+       ROUND(list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
+             / length(text), 6) AS mean_pixel
+FROM documents
+"""
+
+
+# ==========================================================================
+# Events analytics (batch twins of the streaming module)
+# ==========================================================================
+
+def q_events_hourly_agg(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return st.hourly_agg(ev)
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+       count(*) AS n,
+       ROUND(avg(value), 6) AS avg_value,
+       ROUND(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("__new", new_sess)
+        .withColumn("session_id",
+                    F.sum("__new").over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("event_id", "user_id", "session_id")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events)
+SELECT event_id, user_id,
+       CAST(SUM(CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM g
+"""
+
+
+def q_session_stats(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return st.session_stats(ev)
+
+
+SQL_SESSION_STATS = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events,
+       ROUND(sum(value), 6) AS session_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_events_latest(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+SQL_EVENTS_LATEST = """
+SELECT event_id, user_id, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# ==========================================================================
+# Sources / data prep
+# ==========================================================================
+
+def q_join_left_enrich(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey")
+    out = left_enrich(od, cu, on=[od.o_custkey == cu.c_custkey])
+    return out.select("o_orderkey", "o_totalprice", "c_mktsegment", "c_nationkey")
+
+
+SQL_JOIN_LEFT_ENRICH = """
+SELECT o_orderkey, o_totalprice, c_mktsegment, c_nationkey
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_split_train(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    train, _test = split_mod(od, key="o_orderkey", modulus=4, test_residue=3)
+    return train.select("o_orderkey", "o_custkey")
+
+
+SQL_SPLIT_TRAIN = """
+SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 4 <> 3
+"""
+
+
+# ==========================================================================
+# Registry
+# ==========================================================================
+
+EXT_QUERIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_minhash_pairs": (q_dedup_minhash_pairs, _sql_minhash()),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, _sql_embedding_cosine()),
+    "sim_topk_cosine": (q_sim_topk_cosine, SQL_SIM_TOPK),
+    "sim_ann_lsh": (q_sim_ann_lsh, _sql_sim_ann()),
+    "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
+    "text_quality": (q_text_quality, _sql_text_quality()),
+    "text_langid": (q_text_langid, _sql_text_langid()),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "events_hourly_agg": (q_events_hourly_agg, SQL_EVENTS_HOURLY),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "session_stats": (q_session_stats, SQL_SESSION_STATS),
+    "events_latest": (q_events_latest, SQL_EVENTS_LATEST),
+    "join_left_enrich": (q_join_left_enrich, SQL_JOIN_LEFT_ENRICH),
+    "split_train": (q_split_train, SQL_SPLIT_TRAIN),
+}

@@ -1,0 +1,76 @@
+"""Structured Streaming surface over the events table.
+
+The reference is batch-only; this is the beyond-reference streaming
+path.  The transformations are written **batch/stream unified**: the
+same function builds the plan for a static DataFrame (oracle-checkable)
+and a streaming DataFrame (``readStream`` file source), which is the
+idiomatic Structured Streaming design — one logical plan, two
+execution modes.
+
+Scale notes: event-time tumbling windows + watermarks bound state;
+``session_window`` gives gap-based sessionization with mergeable state;
+both aggregate with partial (map-side) combine before the keyed state
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
+                 "event_type string, value double, props string")
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet directory."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def hourly_agg(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Tumbling 1-hour event-time aggregation per event type.
+
+    Works identically on batch and streaming inputs; pass a watermark
+    (e.g. ``'2 hours'``) on the streaming side to bound state and emit
+    finals in append mode.
+    """
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("value"), 6).alias("avg_value"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("hour_ts"), "event_type",
+                "n", "avg_value", "sum_value")
+    )
+
+
+def session_stats(events: DataFrame, gap: str = "30 minutes",
+                  watermark: str | None = None) -> DataFrame:
+    """Gap-based sessions per user via ``session_window`` — mergeable
+    session state, valid in batch and streaming."""
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("session_value"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                "n_events", "session_value")
+    )
+
+
+def run_to_memory(sdf: DataFrame, name: str, mode: str = "complete"):
+    """Drain a (bounded) stream into an in-memory table; returns the
+    query after completion.  Test/demo harness — production sinks are
+    kafka/parquet/delta via the same ``writeStream`` call."""
+    q = (
+        sdf.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,149 @@
+"""Text-analysis operators for training-data curation.
+
+Beyond-reference surface (the reference has no text analytics): token
+counting, quality scoring, n-gram/stopword language ID, and document
+fingerprinting.  All pure Catalyst column expressions — each operator is
+embarrassingly parallel, shuffle-free, and runs inside whole-stage
+codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import h32_expr
+
+#: BPE-ish lexer: letter runs, digit runs, or single non-alnum glyphs.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+#: Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "es": ("el", "la", "los", "de", "que", "es", "una"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"),
+}
+
+#: English stopword subset used by the quality score.
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "on", "for")
+
+
+class TokenCounter:
+    """Whitespace token count + BPE-ish regex token count + a chars/4
+    subword estimate (the classic LLM rule of thumb)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        t = self.text_col
+        return df.withColumns({
+            "ws_tokens": F.size(F.split(F.col(t), " ")).cast("long"),
+            "re_tokens": F.size(
+                F.expr(f"regexp_extract_all({t}, '{TOKEN_REGEX}', 0)")).cast("long"),
+            "subword_est": F.ceil(F.length(t) / 4).cast("long"),
+        })
+
+
+class QualityScorer:
+    """Heuristic document quality: length, mean word length, stopword
+    ratio, alpha ratio — combined into one [0,1]-ish score.
+
+    All ratios are exact-integer numerators/denominators so a SQL oracle
+    reproduces them bit-for-bit; only the final divisions are fp.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        t = self.text_col
+        toks = f"split({t}, ' ')"
+        stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+        n_tok = F.expr(f"size({toks})")
+        n_stop = F.expr(
+            f"size(filter({toks}, x -> x in ({stop_list})))")
+        n_alpha = F.expr(f"length(regexp_replace({t}, '[^a-z]', ''))")
+        out = df.withColumns({
+            "n_chars_m": F.length(t).cast("long"),
+            "n_tokens": n_tok.cast("long"),
+            "mean_tok_len": F.round(
+                (F.length(t) - n_tok + 1) / n_tok, 6),
+            "stopword_ratio": F.round(n_stop / n_tok, 6),
+            "alpha_ratio": F.round(n_alpha / F.length(t), 6),
+        })
+        score = (
+            F.least(F.col("n_tokens") / 64.0, F.lit(1.0)) * 0.25
+            + F.col("alpha_ratio") * 0.5
+            + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.25
+        )
+        # floor-based 6-decimal round: unlike ROUND(), whose half-way
+        # tie-breaking differs between engines, floor(x*1e6+0.5) is the
+        # same IEEE op sequence everywhere.
+        return out.withColumn(
+            "quality_score", F.floor(score * 1000000 + 0.5) / 1000000.0)
+
+
+class LanguageIdentifier:
+    """Marker-lexicon language ID: score = marker-token hits per
+    language, predict the argmax (ties broken alphabetically).
+
+    The real-data analog drops in richer lexicons / char-n-gram tables
+    via the same ``markers`` dict; the mechanism (per-row filter+size,
+    greatest-of-scores) is unchanged and shuffle-free.
+    """
+
+    def __init__(self, text_col: str = "text",
+                 markers: dict[str, tuple[str, ...]] | None = None):
+        self.text_col = text_col
+        self.markers = markers or LANG_MARKERS
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        toks = f"split({self.text_col}, ' ')"
+        scores = {}
+        for lang, words in sorted(self.markers.items()):
+            lst = ", ".join(f"'{w}'" for w in words)
+            scores[lang] = F.expr(f"size(filter({toks}, x -> x in ({lst})))")
+        # argmax with alphabetical tie-break: fold over sorted langs,
+        # strictly-greater replaces — first (alphabetical) max wins.
+        pred = None
+        best = None
+        for lang in sorted(scores):
+            if pred is None:
+                pred, best = F.lit(lang), scores[lang]
+            else:
+                cond = scores[lang] > best
+                pred = F.when(cond, F.lit(lang)).otherwise(pred)
+                best = F.when(cond, scores[lang]).otherwise(best)
+        out = df
+        for lang in sorted(scores):
+            out = out.withColumn(f"score_{lang}", scores[lang].cast("long"))
+        return out.withColumn("pred_lang", pred)
+
+
+class Fingerprinter:
+    """Deterministic document fingerprints: a normalized-content md5 and
+    a position-weighted polynomial token hash (rolling-hash style).
+
+    fp_roll = Σ_i h32(token_i) * (2i+1)  mod 2^31-1   (i is 0-based)
+    — order-sensitive (unlike a bag hash) yet exactly reproducible in
+    any engine with integer arithmetic.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        t = self.text_col
+        norm = f"lower(regexp_replace({t}, '\\\\s+', ' '))"
+        toks = f"split({norm}, ' ')"
+        weighted = (f"transform({toks}, (x, i) -> "
+                    f"{h32_expr('x')} * (2L*i + 1L))")
+        roll = (f"aggregate({weighted}, 0L, (acc, v) -> acc + v) "
+                f"% 2147483647L")
+        return df.withColumns({
+            "fp_md5": F.expr(f"md5({norm})"),
+            "fp_roll": F.expr(roll),
+        })

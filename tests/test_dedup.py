@@ -1,0 +1,90 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+quantized-cosine — golden small-frame tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframe_pipeline_spark import dedup as dd
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),      # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),      # near dup
+        (3, "completely different text with no overlap at all"),
+        (4, "the quick brown fox jumps over the lazy dog"),      # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_survivors(docs):
+    out = dd.ExactDeduplicator().survivors(docs).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.n_copies) for r in out] == [(0, 3), (2, 1), (3, 1)]
+
+
+def test_exact_dedup_transform(docs):
+    out = dd.ExactDeduplicator().transform(docs)
+    assert sorted(r.doc_id for r in out.collect()) == [0, 2, 3]
+    assert out.columns == docs.columns
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    out = df.select(dd.shingle_expr("text").alias("s")).collect()
+    assert out[0].s == ["a b c", "b c d"]
+    assert out[1].s == []  # shorter than n -> empty, not an error
+
+
+def test_ngram_jaccard_pairs(docs):
+    # docs 0/1/4 identical (jaccard 1.0); 0-2 share 6 of their 7 shingles
+    # each -> J = 6 / (7 + 7 - 6) = 0.75
+    out = dd.NgramJaccardDeduplicator(threshold=0.5).pairs(docs)
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert got[(0, 1)] == 1.0 and got[(0, 4)] == 1.0 and got[(1, 4)] == 1.0
+    assert got[(0, 2)] == pytest.approx(0.75, abs=1e-6)
+    assert not any(3 in p for p in got)
+
+
+def test_minhash_catches_exact_dups(docs):
+    out = dd.MinHashLSHDeduplicator(threshold=0.9).pairs(docs)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert {(0, 1), (0, 4), (1, 4)} <= got
+    assert not any(3 in p for p in got)
+
+
+def test_simhash_identical_and_different(docs):
+    out = {r.doc_id: r.simhash
+           for r in dd.SimHasher().transform(docs).collect()}
+    assert out[0] == out[1] == out[4]          # identical text -> same fp
+    assert out[0] != out[3]                    # disjoint text -> different fp
+    assert 0 <= out[0] < (1 << 60)
+
+
+def test_quantized_cosine_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0, 0.0]),   # ~same direction
+        (2, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    d = dd.QuantizedCosineDeduplicator(threshold=0.9, dim=4, n_planes=2)
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in d.pairs(df, bucketed=False).collect()}
+    assert list(exact) == [(0, 1)]
+    assert exact[(0, 1)] == pytest.approx(1.0, abs=1e-5)
+    # bucketed result is a subset of exact pairs
+    bucketed = {(r.id_a, r.id_b) for r in d.pairs(df, bucketed=True).collect()}
+    assert bucketed <= set(exact)
+
+
+def test_hash_expr_matches_python():
+    # the Spark h32 must equal the python twin used to build oracle SQL
+    import hashlib
+    expected = int(hashlib.md5(b"hello").hexdigest()[:8], 16)
+    from dataframe_pipeline_spark.session import get_spark
+    spark = get_spark()
+    got = spark.range(1).select(
+        F.expr(dd.h32_expr("'hello'")).alias("h")).first().h
+    assert got == expected

@@ -1,0 +1,45 @@
+"""Similarity search: brute-force cosine top-k and hyperplane LSH."""
+
+import pytest
+
+from dataframe_pipeline_spark import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [0.8, 0.2, 0.1, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_topk_order_and_exclusion(emb):
+    out = sim.CosineTopK(k=3).search(emb, query_id=0).collect()
+    assert [r.vec_id for r in out] == [1, 4, 2]
+    assert out[0].cosine > out[1].cosine > out[2].cosine
+    assert all(r.vec_id != 0 for r in out)
+
+
+def test_topk_cosine_value(emb):
+    out = sim.CosineTopK(k=1).search(emb, query_id=0).first()
+    assert out.cosine == pytest.approx(0.9 / (0.9**2 + 0.1**2) ** 0.5, abs=1e-4)
+
+
+def test_lsh_bucket_subset_of_brute(emb):
+    brute = {r.vec_id for r in sim.CosineTopK(k=4).search(emb, 0).collect()}
+    ann = sim.HyperplaneLSHIndex(k=4, n_planes=2, dim=4).search(emb, 0).collect()
+    assert {r.vec_id for r in ann} <= brute
+    # the near-identical vector lands in the query's bucket
+    assert 1 in {r.vec_id for r in ann}
+
+
+def test_bucketize_is_deterministic(emb):
+    idx = sim.HyperplaneLSHIndex(n_planes=4, dim=4)
+    a = {r.vec_id: r.__bucket if hasattr(r, "__bucket") else r["__bucket"]
+         for r in idx.bucketize(emb).collect()}
+    b = {r.vec_id: r["__bucket"] for r in idx.bucketize(emb).collect()}
+    assert a == b and len(a) == 5

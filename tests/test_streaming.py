@@ -1,0 +1,65 @@
+"""Structured Streaming: batch/stream-unified transformations actually
+executed as streams (file source -> memory sink, availableNow)."""
+
+import pytest
+
+from dataframe_pipeline_spark import streaming as st
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    rows = [
+        (0, "2024-01-01 00:00:00", 1, "click", 1.0, "{}"),
+        (1, "2024-01-01 00:10:00", 1, "click", 2.0, "{}"),
+        (2, "2024-01-01 01:05:00", 1, "view", 3.0, "{}"),   # >30min gap
+        (3, "2024-01-01 00:02:00", 2, "click", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+              "value double, props string")
+    return df.selectExpr("event_id", "cast(ts as timestamp) ts", "user_id",
+                         "event_type", "value", "props")
+
+
+def test_hourly_agg_batch(events_batch):
+    out = {(r.hour_ts.hour, r.event_type): r
+           for r in st.hourly_agg(events_batch).collect()}
+    assert out[(0, "click")].n == 3
+    assert out[(0, "click")].sum_value == 7.0
+    assert out[(1, "view")].n == 1
+
+
+def test_session_stats_batch(events_batch):
+    out = st.session_stats(events_batch).orderBy("user_id", "session_start")
+    rows = out.collect()
+    # user 1: events 0,1 merge (10min gap); event 2 is a new session
+    u1 = [r for r in rows if r.user_id == 1]
+    assert [r.n_events for r in u1] == [2, 1]
+    assert u1[0].session_value == 3.0
+    u2 = [r for r in rows if r.user_id == 2]
+    assert [r.n_events for r in u2] == [1]
+
+
+def test_hourly_agg_stream_equals_batch(spark, events_batch, tmp_path):
+    """The same plan, executed as an actual stream, yields the batch result."""
+    src = str(tmp_path / "events_stream")
+    events_batch.write.parquet(src)
+    sdf = (spark.readStream.schema(events_batch.schema).parquet(src))
+    assert sdf.isStreaming
+    st.run_to_memory(st.hourly_agg(sdf, watermark="2 hours"),
+                     name="hourly_t", mode="complete")
+    got = {(r.hour_ts, r.event_type): (r.n, r.sum_value)
+           for r in spark.sql("SELECT * FROM hourly_t").collect()}
+    exp = {(r.hour_ts, r.event_type): (r.n, r.sum_value)
+           for r in st.hourly_agg(events_batch).collect()}
+    assert got == exp
+
+
+def test_session_stats_stream(spark, events_batch, tmp_path):
+    src = str(tmp_path / "events_stream2")
+    events_batch.write.parquet(src)
+    sdf = spark.readStream.schema(events_batch.schema).parquet(src)
+    st.run_to_memory(st.session_stats(sdf, watermark="2 hours"),
+                     name="sess_t", mode="complete")
+    got = spark.sql("SELECT * FROM sess_t").collect()
+    assert sum(r.n_events for r in got) == 4

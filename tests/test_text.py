@@ -1,0 +1,63 @@
+"""Text analysis operators: token counting, quality, lang-ID,
+fingerprinting."""
+
+import pytest
+
+from dataframe_pipeline_spark import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox"),
+        (1, "a of to in the and is"),
+        (2, "xyzzy"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_counter(docs):
+    out = {r.doc_id: r for r in tx.TokenCounter().transform(docs).collect()}
+    assert out[0].ws_tokens == 4
+    assert out[0].re_tokens == 4
+    assert out[2].ws_tokens == 1
+    assert out[0].subword_est == 5  # ceil(19/4)
+
+
+def test_token_counter_regex_splits_punct(spark):
+    df = spark.createDataFrame([("don't stop-me now2",)], "text string")
+    r = tx.TokenCounter().transform(df).first()
+    # don / ' / t / stop / - / me / now / 2
+    assert r.re_tokens == 8
+    assert r.ws_tokens == 3
+
+
+def test_quality_scorer(docs):
+    out = {r.doc_id: r for r in tx.QualityScorer().transform(docs).collect()}
+    r = out[1]  # all 7 tokens are stopwords
+    assert r.n_tokens == 7
+    assert r.stopword_ratio == 1.0
+    assert r.mean_tok_len == pytest.approx((21 - 7 + 1) / 7, abs=1e-6)
+    assert 0.0 <= r.quality_score <= 1.0
+    assert out[0].alpha_ratio < 1.0  # spaces count against alpha ratio
+
+
+def test_langid_scores_and_pred(spark):
+    df = spark.createDataFrame(
+        [(0, "the fox and the hen"), (1, "der hund und die katze")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in tx.LanguageIdentifier().transform(df).collect()}
+    assert out[0].pred_lang == "en" and out[0].score_en == 3
+    assert out[1].pred_lang == "de" and out[1].score_de == 3
+
+
+def test_fingerprinter_deterministic_and_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta alpha"), (2, "Alpha  beta")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in tx.Fingerprinter().transform(df).collect()}
+    # normalization: lowercase + whitespace collapse -> 0 and 2 agree
+    assert out[0].fp_md5 == out[2].fp_md5
+    assert out[0].fp_roll == out[2].fp_roll
+    # rolling hash is position-weighted -> order matters
+    assert out[0].fp_roll != out[1].fp_roll
