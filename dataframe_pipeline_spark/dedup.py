@@ -31,11 +31,26 @@ Scale design notes (the part that matters at 1000 executors):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^31-1: MinHash universe. a*h+b stays < 2^37 << 2^63.
 MINHASH_P = 2_147_483_647
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a narrow input so per-row kernels use every core.
+
+    Small parquet files arrive as one input split; the md5/minhash
+    kernels are CPU-bound, so a single partition serializes them on one
+    core.  At real scale inputs already have many splits and this is a
+    no-op (the check costs plan analysis only, no job).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def h32_expr(e: str) -> str:
@@ -117,10 +132,11 @@ class NgramJaccardDeduplicator:
 
     def pairs(self, df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
-        sh = df.select(
+        # persist: consumed by both the inverted index and the size table.
+        sh = spread(df).select(
             F.col(id_col).alias("__id"),
             shingle_expr(text_col, self.n).alias("__sh"),
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         sizes = sh.select("__id", F.size("__sh").alias("__sz"))
         inv = sh.select("__id", F.explode("__sh").alias("__s"))
         if self.max_doc_freq is not None:
@@ -172,28 +188,37 @@ class MinHashLSHDeduplicator:
         self.threshold = threshold
 
     def _signatures(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        """(id, shingle array, band signature array) — one row per doc."""
+        """(id, shingle array, band signature array) — one row per doc.
+
+        The whole k-permutation MinHash + banding is ONE nested
+        higher-order-function expression that references the hashed
+        shingle array ``__hs`` exactly once.  Writing it as k separate
+        ``array_min(transform(__hs, ...))`` column expressions lets
+        Catalyst's CollapseProject inline the md5-shingle subtree into
+        every one of them — k full md5 passes per row instead of one
+        (measured 12× slower at sf0.1).  Coefficients are closed-form
+        (a=2i+3, b=101i+17, see :func:`minhash_coeffs`) so the lambda
+        index ``i = band*r + j`` generates them inline.
+        """
         r = self.k // self.bands
-        coeffs = minhash_coeffs(self.k)
-        mh = [
-            f"array_min(transform(__hs, h -> ({a}L*h + {b}L) % {MINHASH_P}L))"
-            for a, b in coeffs
-        ]
-        band_sigs = [
-            "concat_ws(':', " + ", ".join(mh[bi * r:(bi + 1) * r]) + ")"
-            for bi in range(self.bands)
-        ]
+        mh_j = (f"array_min(transform(__hs, h -> "
+                f"((2*(bi*{r}+j)+3)*h + (101*(bi*{r}+j)+17)) % {MINHASH_P}L))")
+        sigs = (f"transform(sequence(0, {self.bands - 1}), bi -> "
+                f"array_join(transform(sequence(0, {r - 1}), j -> "
+                f"cast({mh_j} as string)), ':'))")
         return (
             df.select(F.col(id_col).alias("__id"),
                       shingle_expr(text_col, self.n).alias("__sh"))
             .withColumn("__hs", F.expr(f"transform(__sh, s -> {h32_expr('s')})"))
-            .select("__id", "__sh",
-                    F.expr("array(" + ", ".join(band_sigs) + ")").alias("__sigs"))
+            .select("__id", "__sh", F.expr(sigs).alias("__sigs"))
         )
 
     def pairs(self, df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
-        sigs = self._signatures(df, id_col, text_col)
+        # persist: three consumers below (band explode, both verify join
+        # sides) would otherwise each recompute the signature kernel.
+        sigs = self._signatures(spread(df), id_col, text_col).persist(
+            StorageLevel.MEMORY_AND_DISK)
         bands = sigs.select(
             "__id", F.posexplode("__sigs").alias("__band", "__sig")
         )
@@ -307,9 +332,11 @@ class QuantizedCosineDeduplicator:
 
     def pairs(self, df: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding", bucketed: bool = True) -> DataFrame:
-        qdf = self._quant(df, id_col, vec_col)
+        # persist: both sides of the self-join read the quantized table.
+        qdf = self._quant(spread(df), id_col, vec_col)
         if bucketed:
             qdf = qdf.withColumn("__bucket", self.bucket_col())
+        qdf = qdf.persist(StorageLevel.MEMORY_AND_DISK)
         a, b = qdf.alias("a"), qdf.alias("b")
         cond = F.col("a.__id") < F.col("b.__id")
         if bucketed:
