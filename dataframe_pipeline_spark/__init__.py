@@ -30,6 +30,7 @@ from .operators import (
     TypeConverter,
     WrapTransformer,
 )
+from .persistence import load_pipeline, save_pipeline
 from .pipeline import DataframePipeline
 from .session import get_spark
 
@@ -40,6 +41,8 @@ __all__ = [
     "SparkDFPBase",
     "DataframePipeline",
     "get_spark",
+    "save_pipeline",
+    "load_pipeline",
     "Aggregator",
     "ColumnSelector",
     "ComplementLabelEncoder",

@@ -137,6 +137,7 @@ class NgramJaccardDeduplicator:
             F.col(id_col).alias("__id"),
             shingle_expr(text_col, self.n).alias("__sh"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        sh.count()
         sizes = sh.select("__id", F.size("__sh").alias("__sz"))
         inv = sh.select("__id", F.explode("__sh").alias("__s"))
         if self.max_doc_freq is not None:
@@ -215,10 +216,14 @@ class MinHashLSHDeduplicator:
 
     def pairs(self, df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
-        # persist: three consumers below (band explode, both verify join
-        # sides) would otherwise each recompute the signature kernel.
+        # persist + materialize: three consumers below (band explode, both
+        # verify join sides) would otherwise each recompute the signature
+        # kernel — and without the count(), concurrently scheduled join
+        # stages can all start before the cache is populated and duplicate
+        # the work anyway.
         sigs = self._signatures(spread(df), id_col, text_col).persist(
             StorageLevel.MEMORY_AND_DISK)
+        sigs.count()
         bands = sigs.select(
             "__id", F.posexplode("__sigs").alias("__band", "__sig")
         )
@@ -337,6 +342,7 @@ class QuantizedCosineDeduplicator:
         if bucketed:
             qdf = qdf.withColumn("__bucket", self.bucket_col())
         qdf = qdf.persist(StorageLevel.MEMORY_AND_DISK)
+        qdf.count()
         a, b = qdf.alias("a"), qdf.alias("b")
         cond = F.col("a.__id") < F.col("b.__id")
         if bucketed:

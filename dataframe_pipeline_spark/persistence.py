@@ -1,0 +1,96 @@
+"""Fitted-pipeline persistence — the Spark analog of the reference's
+``export`` path (/root/reference/dfpipeline/DataframePipeline.py:109-141).
+
+The reference lowers fitted transformers into an ONNX graph so scoring
+can run without refitting.  Here the same contract — *fit once, persist
+the learned state, score anywhere* — maps to:
+
+* per-step **config + scalar state** → cloudpickle (ships with pyspark;
+  handles lambdas and sklearn objects the same way the reference's
+  bytecode compiler / WrapTransformer surface does),
+* per-step **fitted lookup DataFrames** (encoder dictionaries, grouped
+  aggregates) → parquet directories, re-read lazily at load.
+
+Writing lookups as parquet is the scale-correct choice: a frequency map
+over a 100 TB key column can be GBs — it must round-trip as a
+distributed table, never through a driver-side dict.
+
+Layout::
+
+    <path>/manifest.pkl          ordered step classes + pickled state
+    <path>/frames/s<i>_f<j>/     one parquet dir per extracted DataFrame
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.cloudpickle import dumps, loads
+from pyspark.sql import DataFrame, SparkSession
+
+
+class _DFRef:
+    """Placeholder for a DataFrame inside pickled operator state."""
+
+    def __init__(self, step: int, idx: int):
+        self.step = step
+        self.idx = idx
+
+    def path(self, root: str) -> str:
+        return os.path.join(root, "frames", f"s{self.step}_f{self.idx}")
+
+
+def _extract(obj, step: int, sink: list[DataFrame]):
+    """Deep-replace DataFrame leaves with _DFRef tokens, collecting them."""
+    if isinstance(obj, DataFrame):
+        sink.append(obj)
+        return _DFRef(step, len(sink) - 1)
+    if isinstance(obj, dict):
+        return {k: _extract(v, step, sink) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_extract(v, step, sink) for v in obj]
+    if isinstance(obj, tuple):
+        return tuple(_extract(v, step, sink) for v in obj)
+    return obj
+
+
+def _restore(obj, spark: SparkSession, root: str):
+    if isinstance(obj, _DFRef):
+        return spark.read.parquet(obj.path(root))
+    if isinstance(obj, dict):
+        return {k: _restore(v, spark, root) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_restore(v, spark, root) for v in obj]
+    if isinstance(obj, tuple):
+        return tuple(_restore(v, spark, root) for v in obj)
+    return obj
+
+
+def save_pipeline(pipe, path: str) -> None:
+    """Persist a fitted DataframePipeline (or a bare list of steps)."""
+    steps = getattr(pipe, "steps", pipe)
+    manifest = []
+    for i, step in enumerate(steps):
+        frames: list[DataFrame] = []
+        state = _extract(dict(vars(step)), i, frames)
+        for j, df in enumerate(frames):
+            df.write.mode("overwrite").parquet(
+                _DFRef(i, j).path(path))
+        manifest.append((type(step), state))
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "manifest.pkl"), "wb") as f:
+        f.write(dumps(manifest))
+
+
+def load_pipeline(spark: SparkSession, path: str):
+    """Reload a fitted pipeline; lookups come back as lazy parquet scans."""
+    from .pipeline import DataframePipeline
+
+    with open(os.path.join(path, "manifest.pkl"), "rb") as f:
+        manifest = loads(f.read())
+    steps = []
+    for cls, state in manifest:
+        step = cls.__new__(cls)
+        step.__dict__.update(_restore(state, spark, path))
+        steps.append(step)
+    return DataframePipeline(steps=steps)

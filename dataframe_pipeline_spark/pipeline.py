@@ -63,3 +63,16 @@ class DataframePipeline:
     def explain(self, df: DataFrame, mode: str = "formatted") -> None:
         """Show the Catalyst physical plan of the whole fitted pipeline."""
         self.transform(df).explain(mode)
+
+    def save(self, path: str) -> None:
+        """Persist the fitted pipeline (the reference's ``export`` analog:
+        fit once, score anywhere — see persistence.py)."""
+        from .persistence import save_pipeline
+
+        save_pipeline(self, path)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "DataframePipeline":
+        from .persistence import load_pipeline
+
+        return load_pipeline(spark, path)

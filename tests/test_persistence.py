@@ -1,0 +1,78 @@
+"""Fitted-pipeline save/load round-trip (the reference's export analog:
+fit once, persist learned state, score a new frame without refitting)."""
+
+import pandas as pd
+
+from dataframe_pipeline_spark import (
+    Aggregator,
+    ComplementLabelEncoder,
+    DataframePipeline,
+    FrequencyEncoder,
+    FunctionTransformer,
+    Scaler,
+)
+
+
+def _train(spark):
+    pdf = pd.DataFrame({
+        "cat": ["a", "b", "a", "c", "b", "a"],
+        "grp": [1, 1, 2, 2, 2, 1],
+        "x": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def _test_frame(spark):
+    # 'z' is unseen by the fitted encoders; grp 3 unseen by the aggregate.
+    pdf = pd.DataFrame({
+        "cat": ["b", "z"],
+        "grp": [1, 3],
+        "x": [25.0, 35.0],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    pipe = DataframePipeline(steps=[
+        ComplementLabelEncoder(inputs=["cat"], outputs=["cat_id"]),
+        FrequencyEncoder(inputs=["cat"], outputs=["cat_freq"]),
+        Aggregator(inputs=["x"], outputs=["x_mean_grp"], groupby=["grp"], func="mean"),
+        Scaler(inputs=["x"], outputs=["x_mm"], strategy="minmax"),
+        FunctionTransformer(inputs=["x"], outputs=["x2"], func=lambda v: v * 2),
+    ])
+    train = _train(spark)
+    pipe.fit_transform(train)
+
+    path = str(tmp_path / "fitted_pipe")
+    pipe.save(path)
+    loaded = DataframePipeline.load(spark, path)
+
+    test = _test_frame(spark)
+    exp = pipe.transform(test).toPandas().sort_values("x").reset_index(drop=True)
+    got = loaded.transform(test).toPandas().sort_values("x").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+    # fitted semantics survived: unseen category -> extra_category_ id,
+    # unseen freq -> fill, unseen group key -> null, scaler uses TRAIN min/max
+    row_b, row_z = got.iloc[0], got.iloc[1]
+    assert row_b["cat_id"] == 1          # 'b' fitted id (a=0, b=1, c=2, extra=3)
+    assert row_z["cat_id"] == 3          # unseen -> extra_category_
+    assert row_b["cat_freq"] == 2        # train count of 'b'
+    assert row_b["x_mean_grp"] == 30.0   # train mean of grp 1
+    assert pd.isna(row_z["x_mean_grp"])  # unseen group key
+    assert abs(row_b["x_mm"] - 0.3) < 1e-9  # (25-10)/(60-10)
+    assert row_z["x2"] == 70.0
+
+
+def test_load_is_lazy_lookup(spark, tmp_path):
+    """Reloaded encoder state is a parquet-backed DataFrame, not a dict."""
+    le = ComplementLabelEncoder(inputs=["cat"], outputs=["cat_id"])
+    pipe = DataframePipeline(steps=[le])
+    pipe.fit(_train(spark))
+    path = str(tmp_path / "le_pipe")
+    pipe.save(path)
+
+    loaded = DataframePipeline.load(spark, path)
+    lookup, default_id = loaded.steps[0]._lookups["cat"]
+    assert lookup.__class__.__name__ == "DataFrame"
+    assert default_id == 3
