@@ -452,6 +452,50 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_asof_last_purchase(spark, sf_dir):
+    """Each event enriched with the user's most recent purchase value at
+    or before the event's timestamp (backward as-of join)."""
+    from .joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    dim = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id", "ts", F.col("value").alias("purchase_value")))
+    out = asof_join(ev, dim, on="user_id", left_ts="ts", right_ts="ts")
+    return out.select("event_id", "user_id", "purchase_value")
+
+
+SQL_ASOF_LAST_PURCHASE = """
+SELECT e.event_id, e.user_id, p.value AS purchase_value
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+def q_events_rolling_30m(spark, sf_dir):
+    """Per event: count + sum of the same user's events in the preceding
+    30 minutes — an event-time RANGE frame, no self-join."""
+    ev = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts")))
+         .rangeBetween(-1_800_000_000, 0))
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_30m"),
+        F.round(F.sum("value").over(w), 6).alias("sum_30m"),
+    )
+
+
+SQL_EVENTS_ROLLING_30M = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_30m,
+       ROUND(sum(value) OVER w, 6) AS sum_30m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_events_latest(spark, sf_dir):
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id", "event_type").orderBy(
@@ -519,6 +563,8 @@ EXT_QUERIES = {
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "events_hourly_agg": (q_events_hourly_agg, SQL_EVENTS_HOURLY),
+    "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
+    "events_rolling_30m": (q_events_rolling_30m, SQL_EVENTS_ROLLING_30M),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
     "events_latest": (q_events_latest, SQL_EVENTS_LATEST),
