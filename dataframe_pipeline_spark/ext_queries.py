@@ -516,6 +516,131 @@ QUALIFY row_number() OVER (PARTITION BY user_id, event_type
 
 
 # ==========================================================================
+# Native-Spark analytics (joins / top-k / rollup / JSON) — categories the
+# reference lacks entirely (SURVEY.md §2 "does not have"); the engine
+# exposes the stock Spark primitive, oracle-checked here.  All revenue
+# arithmetic runs in DECIMAL so sums are exact and engine-portable (a
+# double sum's reduction order would flip the value hash at the rounding
+# boundary).
+# ==========================================================================
+
+def _dec(c: str):
+    return F.col(c).cast("decimal(18,2)")
+
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def q_tpch_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: filtered scan → 4-way aggregate per flag/status."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(_dec("l_quantity")).alias("_sq"),
+             F.sum(_dec("l_extendedprice")).alias("_sbp"),
+             F.sum(rev).alias("_sdp"),
+             F.count(F.lit(1)).alias("count_order"))
+        .select("l_returnflag", "l_linestatus",
+                F.col("_sq").cast("double").alias("sum_qty"),
+                F.col("_sbp").cast("double").alias("sum_base_price"),
+                F.col("_sdp").cast("double").alias("sum_disc_price"),
+                F.round(F.col("_sq").cast("double") / F.col("count_order"), 6)
+                .alias("avg_qty"),
+                "count_order")
+    )
+
+
+SQL_TPCH_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum({_REV}) AS DOUBLE) AS sum_disc_price,
+       ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+         AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3 shape: dim-filter semi-join → fact join → group → top-k.
+
+    The customer filter is broadcast (semi-join prunes orders before the
+    fact join); top-k is TakeOrderedAndProject — per-partition heaps,
+    no global sort."""
+    cu = (_t(spark, sf_dir, "customer")
+          .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey, "left_semi")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE_ORDERS = f"""
+SELECT o_orderkey, o_orderdate, CAST(sum({_REV}) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5 shape: snowflake join (two broadcast dims) → rollup."""
+    na = _t(spark, sf_dir, "nation")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+SQL_REVENUE_BY_NATION = f"""
+SELECT n_name, CAST(sum({_REV}) AS DOUBLE) AS revenue, count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_events_json_props(spark, sf_dir):
+    """JSON column surface: extract a typed field from the props blob."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+SQL_EVENTS_JSON_PROPS = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+"""
+
+
+# ==========================================================================
 # Sources / data prep
 # ==========================================================================
 
@@ -570,4 +695,8 @@ EXT_QUERIES = {
     "events_latest": (q_events_latest, SQL_EVENTS_LATEST),
     "join_left_enrich": (q_join_left_enrich, SQL_JOIN_LEFT_ENRICH),
     "split_train": (q_split_train, SQL_SPLIT_TRAIN),
+    "tpch_pricing_summary": (q_tpch_pricing_summary, SQL_TPCH_PRICING),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
+    "events_json_props": (q_events_json_props, SQL_EVENTS_JSON_PROPS),
 }
