@@ -64,6 +64,50 @@ def session_stats(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def user_totals(events: DataFrame, timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    ``applyInPandasWithState`` — the escape hatch for stateful logic the
+    built-in windowed aggregations can't express (counters that survive
+    across micro-batches, conditional state machines, TTL'd features).
+
+    State per user: (n_events, total_value).  Each micro-batch folds its
+    rows into the state and emits the updated snapshot, so the sink gets
+    one up-to-date row per user per batch.  State is partitioned by the
+    group key across executors; with ``timeout_ms`` idle users are
+    evicted (bounded state at 100 TB).
+
+    The batch twin is ``events.groupBy(user_id).agg(count, sum)`` — the
+    streaming test asserts the final snapshots match it.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def fold(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        import pandas as pd  # local import: runs inside the Python worker
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [total]})
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if timeout_ms
+               else GroupStateTimeout.NoTimeout)
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(fold, out_schema, state_schema,
+                                "update", timeout)
+    )
+
+
 def run_to_memory(sdf: DataFrame, name: str, mode: str = "complete"):
     """Drain a (bounded) stream into an in-memory table; returns the
     query after completion.  Test/demo harness — production sinks are

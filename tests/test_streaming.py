@@ -2,6 +2,7 @@
 executed as streams (file source -> memory sink, availableNow)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from dataframe_pipeline_spark import streaming as st
 
@@ -63,3 +64,19 @@ def test_session_stats_stream(spark, events_batch, tmp_path):
                      name="sess_t", mode="complete")
     got = spark.sql("SELECT * FROM sess_t").collect()
     assert sum(r.n_events for r in got) == 4
+
+
+def test_user_totals_stateful_stream(spark, events_batch, tmp_path):
+    """applyInPandasWithState totals equal the batch groupBy twin."""
+    src = str(tmp_path / "events_stream3")
+    events_batch.write.parquet(src)
+    sdf = spark.readStream.schema(events_batch.schema).parquet(src)
+    st.run_to_memory(st.user_totals(sdf), name="totals_t", mode="update")
+    # last emitted snapshot per user
+    got = {r.user_id: (r.n_events, r.total_value)
+           for r in spark.sql("SELECT * FROM totals_t").collect()}
+    exp = {r.user_id: (r.n, r.total)
+           for r in events_batch.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+           .collect()}
+    assert got == exp
