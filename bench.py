@@ -41,6 +41,11 @@ EXT_HEADLINE = [
     "sim_topk_cosine",
     "events_hourly_agg",
     "sessionize",
+    "asof_last_purchase",
+    "events_rolling_30m",
+    "tpch_pricing_summary",
+    "top_revenue_orders",
+    "revenue_by_nation",
 ]
 
 
