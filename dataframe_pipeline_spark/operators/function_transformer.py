@@ -14,7 +14,12 @@ Spark-first design — two tiers, chosen automatically per function:
    compiled form, and Catalyst + whole-stage codegen replace the
    reference's bytecode→ONNX compiler entirely.  If calling with Columns
    raises (e.g. ``if col > 5`` truthiness, ``np.sqrt`` ufunc, string
-   methods) or returns a non-Column, we fall through.
+   methods) or returns a non-Column, we try:
+
+1b. **AST compilation** (:mod:`..lambda_compiler`) — the direct analog of
+   the reference's bytecode walker: plain ``np.*``/``math.*``/``str``
+   lambdas, if/else, ``in``/``is None``, ``split()[i]`` are translated
+   to Column expressions (with the reference's log1p/expm1 fusion).
 
 2. **Pandas UDF tier (slow path, Arrow-vectorized).**  Elementwise
    application inside Arrow batches, mirroring the reference's
@@ -48,8 +53,12 @@ class FunctionTransformer(SparkDFPBase):
         try:
             res = self.func(*cols)
         except Exception:
-            return None
-        return res if isinstance(res, Column) else None
+            res = None
+        if isinstance(res, Column):
+            return res
+        from ..lambda_compiler import compile_lambda
+
+        return compile_lambda(self.func, cols)
 
     # -- tier 2: Arrow-vectorized fallback --------------------------------
     def _infer_return_type(self, df: DataFrame, input_cols) -> T.DataType:
