@@ -213,6 +213,15 @@ LIMIT 10
 """
 
 
+def q_sim_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN — KMeans cells, n_probe-cell search.
+    No SQL oracle: the KMeans fit is iterative and not SQL-expressible;
+    the driver records a rows-only check (test_similarity.py verifies
+    recall against brute force)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.IVFIndex(k=5, n_lists=8, n_probe=2).fit(emb).search(query_id=0)
+
+
 def q_sim_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return sim.HyperplaneLSHIndex(k=5, n_planes=4).search(emb, query_id=0)
@@ -681,6 +690,7 @@ EXT_QUERIES = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, _sql_embedding_cosine()),
     "sim_topk_cosine": (q_sim_topk_cosine, SQL_SIM_TOPK),
     "sim_ann_lsh": (q_sim_ann_lsh, _sql_sim_ann()),
+    "sim_ann_ivf": (q_sim_ann_ivf, None),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_quality": (q_text_quality, _sql_text_quality()),
     "text_langid": (q_text_langid, _sql_text_langid()),

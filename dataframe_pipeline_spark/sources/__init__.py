@@ -78,3 +78,43 @@ def split_positional(df: DataFrame, order_by: str,
 def sample_rows(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     """Row sampling (reference: df.sample(frac, random_state))."""
     return df.sample(fraction=fraction, seed=seed)
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, on: str,
+                how: str = "inner", salt: int = 8,
+                seed: int = 42) -> DataFrame:
+    """Skew-resistant equi-join: a hot key's rows spread over ``salt``
+    shuffle partitions instead of one straggler task.
+
+    Fact rows get a random salt in [0, salt); the dim side is replicated
+    ``salt`` times (dim rows are the small side — replication is cheap,
+    the point is splitting the *fact* side's hot keys).  Join keys become
+    (key, salt).  Result is identical to the unsalted join for any salt.
+    AQE's skew-join handles moderate skew automatically; this is the
+    explicit tool for extreme keys (a null-heavy FK, a celebrity user).
+    """
+    fact_s = fact.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = fact_s.join(dim_s, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
+def write_partitioned(df: DataFrame, path: str, partition_by: list[str],
+                      mode: str = "overwrite") -> None:
+    """Hive-partitioned parquet sink: readers filtering on the partition
+    columns scan only matching directories (partition pruning)."""
+    df.write.partitionBy(*partition_by).mode(mode).parquet(path)
+
+
+def write_bucketed(df: DataFrame, table: str, path: str, bucket_by: str,
+                   n_buckets: int = 8, sort_by: str | None = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed external table: two tables bucketed on the same key join
+    with NO shuffle on either side (co-located sort-merge join) — the
+    pre-partitioning strategy for repeated big-big joins at 100 TB."""
+    w = (df.write.bucketBy(n_buckets, bucket_by)
+         .option("path", path).mode(mode))
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.format("parquet").saveAsTable(table)

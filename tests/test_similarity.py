@@ -43,3 +43,19 @@ def test_bucketize_is_deterministic(emb):
          for r in idx.bucketize(emb).collect()}
     b = {r.vec_id: r["__bucket"] for r in idx.bucketize(emb).collect()}
     assert a == b and len(a) == 5
+
+
+def test_ivf_index_matches_bruteforce_top1(spark):
+    """IVF with enough probes finds the same top neighbors as brute force."""
+    from dataframe_pipeline_spark.similarity import CosineTopK, IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ivf = IVFIndex(k=5, n_lists=4, n_probe=4).fit(emb)   # probe all: exact
+    got = [r.vec_id for r in ivf.search(query_id=0).collect()]
+    exp_df = CosineTopK(k=5, scale=1000).search(emb, query_id=0)
+    exp = [r.vec_id for r in exp_df.collect()]
+    # quantization differs (double vs int-quantized) — compare sets loosely
+    assert len(set(got) & set(exp)) >= 3
+    # and with partial probing it still returns k results from probed cells
+    part = IVFIndex(k=5, n_lists=4, n_probe=1).fit(emb).search(query_id=0)
+    assert 0 < part.count() <= 5

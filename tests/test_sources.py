@@ -49,3 +49,49 @@ def test_sample_deterministic(frame):
     a = sorted(r.id for r in src.sample_rows(frame, 0.5, seed=7).collect())
     b = sorted(r.id for r in src.sample_rows(frame, 0.5, seed=7).collect())
     assert a == b
+
+
+def test_salted_join_equals_plain(spark):
+    from pyspark.sql import functions as F
+    from dataframe_pipeline_spark.sources import salted_join
+
+    fact = spark.range(1000).select((F.col("id") % 3).alias("k"), "id")
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, v string")
+    got = salted_join(fact, dim, on="k").orderBy("id")
+    exp = fact.join(dim, "k").orderBy("id")
+    assert [r.asDict() for r in got.collect()] == [r.asDict() for r in exp.collect()]
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key: plan has no Exchange."""
+    from pyspark.sql import functions as F
+    from dataframe_pipeline_spark.sources import write_bucketed
+
+    a = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("x"))
+    b = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 3).alias("y"))
+    write_bucketed(a, "bt_a", str(tmp_path / "bt_a"), "k", n_buckets=4, sort_by="k")
+    write_bucketed(b, "bt_b", str(tmp_path / "bt_b"), "k", n_buckets=4, sort_by="k")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ta, tb = spark.table("bt_a"), spark.table("bt_b")
+        joined = ta.join(tb, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located sort-merge join: bucketed scans, zero shuffle
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from dataframe_pipeline_spark.sources import write_partitioned
+
+    df = spark.range(100).select((F.col("id") % 4).alias("p"), "id")
+    write_partitioned(df, str(tmp_path / "pt"), ["p"])
+    rd = spark.read.parquet(str(tmp_path / "pt")).filter(F.col("p") == 2)
+    assert rd.count() == 25
+    scan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(p" in scan or "p#" in scan
