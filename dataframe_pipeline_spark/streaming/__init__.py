@@ -108,6 +108,34 @@ def user_totals(events: DataFrame, timeout_ms: int | None = None) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, keys: list[str] | str = "event_id",
+                 watermark: str = "1 hour", ts_col: str = "ts") -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only while it can
+    still collide under the watermark, so state size is O(keys per
+    watermark window), not O(all history).  On a batch frame it degrades
+    to plain ``dropDuplicates`` (same result set semantics)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if events.isStreaming:
+        return (events.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(keys))
+    return events.dropDuplicates(keys)
+
+
+def score_stream(pipeline, events: DataFrame) -> DataFrame:
+    """Online scoring: apply a *fitted* pipeline to a streaming frame.
+
+    The reference's 'online' deploy shape loops single-row frames through
+    Python (RunBench.py:69-77); the Spark-first analog is the same
+    fitted transform applied to a micro-batched stream.  This works
+    because transform is a pure Column plan over the input plus
+    stream-static joins against the fitted lookup DataFrames (encoder
+    dictionaries, grouped aggregates) — both valid on streaming frames;
+    fit-time statistics are frozen, exactly like the reference's fitted
+    replay."""
+    return pipeline.transform(events)
+
+
 def run_to_memory(sdf: DataFrame, name: str, mode: str = "complete"):
     """Drain a (bounded) stream into an in-memory table; returns the
     query after completion.  Test/demo harness — production sinks are

@@ -80,3 +80,40 @@ def test_user_totals_stateful_stream(spark, events_batch, tmp_path):
            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
            .collect()}
     assert got == exp
+
+
+def test_dedup_stream(spark, events_batch, tmp_path):
+    """Streaming dedup drops the duplicated event ids."""
+    dup = events_batch.union(events_batch.limit(2))   # ids 0,1 duplicated
+    src = str(tmp_path / "events_dup")
+    dup.write.parquet(src)
+    sdf = spark.readStream.schema(dup.schema).parquet(src)
+    st.run_to_memory(st.dedup_stream(sdf, keys="event_id"),
+                     name="dedup_t", mode="append")
+    got = spark.sql("SELECT count(*) n, count(DISTINCT event_id) d FROM dedup_t").head()
+    assert (got.n, got.d) == (4, 4)
+
+
+def test_score_stream_matches_batch(spark, events_batch, tmp_path):
+    """A fitted pipeline scores a stream identically to the batch path."""
+    import dataframe_pipeline_spark as dfp
+
+    pipe = dfp.DataframePipeline(steps=[
+        dfp.ComplementLabelEncoder(inputs=["event_type"], outputs=["type_id"]),
+        dfp.Aggregator(inputs=["value"], outputs=["user_mean"],
+                       groupby=["user_id"], func="mean"),
+        dfp.FunctionTransformer(inputs=["value"], outputs=["v2"],
+                                func=lambda v: v * 2),
+    ])
+    pipe.fit(events_batch)
+
+    src = str(tmp_path / "events_score")
+    events_batch.write.parquet(src)
+    sdf = spark.readStream.schema(events_batch.schema).parquet(src)
+    st.run_to_memory(st.score_stream(pipe, sdf), name="scored_t", mode="append")
+
+    got = {r.event_id: (r.type_id, r.user_mean, r.v2)
+           for r in spark.sql("SELECT * FROM scored_t").collect()}
+    exp = {r.event_id: (r.type_id, r.user_mean, r.v2)
+           for r in pipe.transform(events_batch).collect()}
+    assert got == exp
