@@ -60,9 +60,12 @@ class ComplementLabelEncoder(SparkDFPBase):
                 .distinct()
             )
             w = Window.orderBy("__dfp_val")
+            # persist: the default-id collect below materializes the cache,
+            # so the transform-time broadcast reuses it instead of
+            # re-running the distinct+window job.
             lookup = classes.select(
                 "__dfp_val", (F.row_number().over(w) - 1).cast("int").alias("__dfp_id")
-            )
+            ).persist()
             default_id = (
                 lookup.filter(F.col("__dfp_val") == EXTRA).select("__dfp_id").collect()[0][0]
             )
