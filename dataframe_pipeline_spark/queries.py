@@ -78,6 +78,41 @@ FROM lineitem
 """
 
 
+def q_agg_group_median(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    agg = ops.Aggregator(inputs=["l_extendedprice"], outputs=["price_med_supp"],
+                         groupby=["l_suppkey"], func="median")
+    out = agg.fit_transform(li)
+    return _r6(out.select("l_orderkey", "l_linenumber", "price_med_supp"),
+               "price_med_supp")
+
+
+# exact interpolated median (pandas semantics), not percentile_approx
+SQL_AGG_GROUP_MEDIAN = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(median(l_extendedprice) OVER (PARTITION BY l_suppkey), 6)
+         AS price_med_supp
+FROM lineitem
+"""
+
+
+def q_agg_group_nunique(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    agg = ops.Aggregator(inputs=["l_partkey"], outputs=["parts_per_supp"],
+                         groupby=["l_suppkey"], func="nunique")
+    return agg.fit_transform(li).select("l_orderkey", "l_linenumber",
+                                        "parts_per_supp")
+
+
+SQL_AGG_GROUP_NUNIQUE = """
+SELECT l.l_orderkey, l.l_linenumber, g.parts_per_supp
+FROM lineitem l
+JOIN (SELECT l_suppkey, count(DISTINCT l_partkey) AS parts_per_supp
+      FROM lineitem GROUP BY l_suppkey) g
+  ON l.l_suppkey = g.l_suppkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # FrequencyEncoder
 # ---------------------------------------------------------------------------
@@ -191,6 +226,45 @@ SELECT o_orderkey,
        (dayofweek(o_orderdate) + 6) % 7   AS o_orderdate_DW,
        hour(o_orderdate)                  AS o_orderdate_HD
 FROM orders
+"""
+
+
+def q_date_from_seconds(spark, sf_dir):
+    """origin mode: integer epoch-second offsets against a fixed origin
+    (reference DateTransformer.py to_datetime(unit='s', origin=...))."""
+    od = _t(spark, sf_dir, "orders")
+    od = od.withColumn("secs", (F.col("o_orderkey") % 31_536_000).cast("long"))
+    dt = ops.DateTransformer(column="secs", origin="2017-11-30")
+    out = dt.fit_transform(od)
+    return out.select("o_orderkey", "secs_MY", "secs_DY", "secs_DW", "secs_HD")
+
+
+SQL_DATE_FROM_SECONDS = """
+WITH b AS (
+  SELECT o_orderkey,
+         TIMESTAMP '2017-11-30' + to_seconds(o_orderkey % 31536000) AS t
+  FROM orders)
+SELECT o_orderkey,
+       month(t)                 AS secs_MY,
+       dayofyear(t)             AS secs_DY,
+       (dayofweek(t) + 6) % 7   AS secs_DW,
+       hour(t)                  AS secs_HD
+FROM b
+"""
+
+
+def q_map_regex(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    m = ops.MapTransformer(inputs=["c_mktsegment"], outputs=["seg_re"],
+                           dict={"BUILD": "BLD", "MOB": "M"}, regex=True)
+    return m.fit_transform(cu).select("c_custkey", "seg_re")
+
+
+SQL_MAP_REGEX = """
+SELECT c_custkey,
+       regexp_replace(regexp_replace(c_mktsegment, 'BUILD', 'BLD', 'g'),
+                      'MOB', 'M', 'g') AS seg_re
+FROM customer
 """
 
 
@@ -586,12 +660,16 @@ CORE_QUERIES = {
     "agg_global_mean": (q_agg_global_mean, SQL_AGG_GLOBAL_MEAN),
     "agg_group_mean": (q_agg_group_mean, SQL_AGG_GROUP_MEAN),
     "agg_group_std": (q_agg_group_std, SQL_AGG_GROUP_STD),
+    "agg_group_median": (q_agg_group_median, SQL_AGG_GROUP_MEDIAN),
+    "agg_group_nunique": (q_agg_group_nunique, SQL_AGG_GROUP_NUNIQUE),
     "freq_count": (q_freq_count, SQL_FREQ_COUNT),
     "freq_norm": (q_freq_norm, SQL_FREQ_NORM),
     "label_encode": (q_label_encode, SQL_LABEL_ENCODE),
     "wrap_label_encode": (q_wrap_label_encode, SQL_WRAP_LABEL_ENCODE),
     "onehot": (q_onehot, SQL_ONEHOT),
     "date_features": (q_date_features, SQL_DATE_FEATURES),
+    "date_from_seconds": (q_date_from_seconds, SQL_DATE_FROM_SECONDS),
+    "map_regex": (q_map_regex, SQL_MAP_REGEX),
     "imputer_mean": (q_imputer_mean, SQL_IMPUTER_MEAN),
     "imputer_median": (q_imputer_median, SQL_IMPUTER_MEDIAN),
     "imputer_const": (q_imputer_const, SQL_IMPUTER_CONST),
