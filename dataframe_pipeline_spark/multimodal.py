@@ -56,6 +56,77 @@ def decode_image(payload: bytes):
         "FakeImageDecoder provides the deterministic test double")
 
 
+def resize_image(payload: bytes, width: int, height: int):
+    """Real resize hook — image libs are not in this container."""
+    raise NotImplementedError(
+        "image resize requires PIL/opencv; not available here — "
+        "FakeResizer provides the deterministic test double")
+
+
+class FakeResizer:
+    """Deterministic stand-in for a batch image-resize stage.
+
+    Real implementation would decode → resample → re-encode per Arrow
+    batch; the double truncates/pads the payload to ``w*h`` bytes so the
+    output schema, batch shape, and size contract are exercised.
+    """
+
+    def __init__(self, width: int = 8, height: int = 8, id_col: str = "doc_id"):
+        self.width = width
+        self.height = height
+        self.id_col = id_col
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        id_col, n = self.id_col, self.width * self.height
+        schema = f"{id_col} bigint, resized binary, out_bytes long"
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                resized = pdf["payload"].map(
+                    lambda b: bytes(b[:n]).ljust(n, b"\0"))
+                yield pd.DataFrame({
+                    id_col: pdf[id_col],
+                    "resized": resized,
+                    "out_bytes": resized.map(len),
+                })
+
+        cols = df if "payload" in df.columns else with_payload_metadata(df, id_col=id_col)
+        return cols.mapInPandas(kernel, schema=schema)
+
+
+class FakeFrameSampler:
+    """Deterministic stand-in for video frame sampling: every ``stride``-th
+    ``chunk``-byte slice of the payload becomes one output row (a
+    'frame'), exploding 1 payload → N frames inside the Arrow batch —
+    the exact row-expansion shape a real ffmpeg sampler produces.
+    """
+
+    def __init__(self, chunk: int = 16, stride: int = 4, id_col: str = "doc_id"):
+        self.chunk = chunk
+        self.stride = stride
+        self.id_col = id_col
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        id_col, chunk, stride = self.id_col, self.chunk, self.stride
+        schema = f"{id_col} bigint, frame_no int, frame binary"
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, nos, frames = [], [], []
+                for i, b in zip(pdf[id_col], pdf["payload"]):
+                    bb = bytes(b)
+                    n_chunks = max(1, len(bb) // chunk)
+                    for fno in range(0, n_chunks, stride):
+                        ids.append(i)
+                        nos.append(fno)
+                        frames.append(bb[fno * chunk:(fno + 1) * chunk])
+                yield pd.DataFrame({id_col: ids, "frame_no": nos,
+                                    "frame": frames})
+
+        cols = df if "payload" in df.columns else with_payload_metadata(df, id_col=id_col)
+        return cols.mapInPandas(kernel, schema=schema)
+
+
 class FakeImageDecoder:
     """Deterministic stand-in for an image decode + feature extraction
     stage: width/height from leading payload bytes, mean_pixel from a

@@ -33,3 +33,34 @@ def test_fake_decoder_schema_and_values(docs):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG")
+
+
+def test_fake_resizer_shape(spark):
+    from dataframe_pipeline_spark import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(0, "hello world this is long"), (1, "x")], "doc_id long, text string")
+    out = mm.FakeResizer(width=4, height=2).transform(docs).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert all(r.out_bytes == 8 for r in out)
+    assert bytes(by_id[0].resized) == b"hello wo"
+    assert bytes(by_id[1].resized) == b"x" + b"\0" * 7
+
+
+def test_fake_frame_sampler_explodes(spark):
+    from dataframe_pipeline_spark import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(0, "a" * 64)], "doc_id long, text string")   # 64 bytes / 16 = 4 chunks
+    out = mm.FakeFrameSampler(chunk=16, stride=2).transform(docs).collect()
+    assert [(r.frame_no, len(bytes(r.frame))) for r in out] == [(0, 16), (2, 16)]
+
+
+def test_decode_stubs_raise():
+    import pytest as _pytest
+    from dataframe_pipeline_spark import multimodal as mm
+
+    with _pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x00")
+    with _pytest.raises(NotImplementedError):
+        mm.resize_image(b"\x00", 2, 2)
