@@ -279,6 +279,44 @@ class SimHasher:
             .drop("__simhs")
         )
 
+    def pairs(self, df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", bands: int = 4,
+              max_hamming: int = 3) -> DataFrame:
+        """Near-dup pairs by banded hamming search over the fingerprint.
+
+        Pigeonhole: two fingerprints within ``max_hamming`` (< bands)
+        bits share at least one identical band, so a self-join on
+        (band_index, band_value) finds every such pair while shuffling
+        only (id, 2 small ints) rows — then ``bit_count(xor)`` verifies
+        the exact distance.  The standard SimHash index layout.
+        """
+        assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
+        width = self.bits // bands
+        fp = self.transform(df, text_col).select(
+            F.col(id_col).alias("__id"), "simhash").persist(
+            StorageLevel.MEMORY_AND_DISK)
+        fp.count()
+        mask = (1 << width) - 1
+        bnd = fp.select(
+            "__id", "simhash",
+            F.posexplode(F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"i -> (simhash >> (i * {width})) & {mask})"
+            )).alias("__band", "__val"),
+        )
+        a, b = bnd.alias("a"), bnd.alias("b")
+        return (
+            a.join(b, (F.col("a.__band") == F.col("b.__band"))
+                   & (F.col("a.__val") == F.col("b.__val"))
+                   & (F.col("a.__id") < F.col("b.__id")))
+            .select(F.col("a.__id").alias("id_a"),
+                    F.col("b.__id").alias("id_b"),
+                    F.bit_count(F.col("a.simhash").bitwiseXOR(
+                        F.col("b.simhash"))).alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming)
+        )
+
 
 class QuantizedCosineDeduplicator:
     """Embedding near-dup pairs by cosine, with an LSH-bucket scale path.
