@@ -76,6 +76,9 @@ def main():
         # session amortizes away)
         best = None
         for _ in range(2):
+            # each measurement pays its own full cost (incl. any persist
+            # the query does) and leaves no cache behind for neighbors
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
