@@ -16,10 +16,14 @@ stand-in exposing the same class name):
 - ``MinMaxScaler``   → min-max scaling (Scaler 'minmax').
 - ``SimpleImputer``  → mean imputation (strategy='mean' supported).
 
-Unknown transformer types raise — arbitrary sklearn objects would need
-sklearn on the executors; fit would still have to see all data on the
-driver, which contradicts the 100 TB design point.  Use the native
-operators or a pandas UDF instead.
+Any *other* transformer falls back to the generic wrap the reference
+implements (WrapTransform.py:65-86: deep-copy per input, ``fit`` on the
+column values, ``transform`` at apply time): fit collects the input
+columns to the driver (reference semantics — sklearn fit is inherently
+single-node) and the fitted object is closure-captured into an
+Arrow-batched pandas UDF for distributed apply.  Test-scale fit /
+any-scale apply; at 100 TB prefer the native operators above, whose fit
+is distributed too.
 """
 
 from __future__ import annotations
@@ -55,11 +59,21 @@ class WrapTransformer(SparkDFPBase):
                     raise ValueError(f"SimpleImputer strategy {strategy!r} not mapped")
                 self._state[input] = self._fit_mean(df, cols)
             else:
-                raise ValueError(
-                    f"WrapTransformer: no native Spark mapping for {self._kind!r}; "
-                    "use the built-in operators or a pandas UDF"
-                )
+                self._state[input] = self._fit_generic(df, cols)
         return self
+
+    def _fit_generic(self, df: DataFrame, cols):
+        """Reference-semantics wrap of an arbitrary fit/transform object:
+        deep-copy, fit on the (driver-collected) column values."""
+        import copy
+
+        tr = copy.deepcopy(self.transformer)
+        if not (hasattr(tr, "fit") and hasattr(tr, "transform")):
+            raise ValueError(
+                f"WrapTransformer: {self._kind!r} has no fit/transform surface")
+        pdf = df.select(*[nan_to_null(df, c).alias(c) for c in cols]).toPandas()
+        tr.fit(pdf.values if len(cols) > 1 else pdf[cols[0]].to_numpy().reshape(-1, 1))
+        return tr
 
     def _fit_label(self, df: DataFrame, c: str):
         # sklearn LabelEncoder: classes_ = sorted unique values.  NULL sorts
@@ -121,14 +135,31 @@ class WrapTransformer(SparkDFPBase):
                         for c, o, (off, scale) in zip(in_cols, out_cols, state)
                     }
                 )
-            else:  # SimpleImputer(mean)
+            elif self._kind == "SimpleImputer":
                 df = df.withColumns(
                     {
                         o: F.coalesce(nan_to_null(df, c), F.lit(m))
                         for c, o, m in zip(in_cols, out_cols, state)
                     }
                 )
+            else:  # generic fitted object, Arrow-batched apply
+                df = df.withColumn(
+                    out_cols[0], self._generic_udf_col(state, in_cols))
         return df
+
+    @staticmethod
+    def _generic_udf_col(tr, in_cols):
+        import numpy as np
+        import pandas as pd
+
+        def _kernel(*series):
+            X = np.column_stack([s.to_numpy() for s in series])
+            out = tr.transform(X)
+            return pd.Series(np.asarray(out, dtype="float64").ravel())
+
+        _kernel.__annotations__ = {"series": pd.Series, "return": pd.Series}
+        _u = F.pandas_udf(_kernel, "double")
+        return _u(*[F.col(c) for c in in_cols])
 
     def get_transformers(self):
         return list(self._state.values())

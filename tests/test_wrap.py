@@ -71,3 +71,26 @@ def test_wrap_simple_imputer_mean(spark):
         "col3": [2.0, 2.0, 2.0, 2.0],
         "col4": [4.0, 4.0, 4.0, 4.0],
     }))
+
+
+def test_wrap_generic_transformer(spark):
+    """Arbitrary fit/transform object: fitted on driver, applied via
+    Arrow-batched pandas UDF (reference WrapTransform.py:65-86 shape)."""
+    import pandas as pd
+
+    from dataframe_pipeline_spark import WrapTransformer
+
+    class DemeanTransformer:  # sklearn-shaped, no sklearn needed
+        def fit(self, X):
+            self.mean_ = float(X.mean())
+            return self
+
+        def transform(self, X):
+            return X - self.mean_
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": [1.0, 2.0, 3.0, 6.0]}))
+    w = WrapTransformer(inputs=["x"], outputs=["x_dm"],
+                        transformer=DemeanTransformer())
+    out = {round(r.x, 1): r.x_dm for r in w.fit_transform(df).collect()}
+    assert out == {1.0: -2.0, 2.0: -1.0, 3.0: 0.0, 6.0: 3.0}
