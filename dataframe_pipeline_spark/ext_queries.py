@@ -664,6 +664,26 @@ GROUP BY n_name
 """
 
 
+def q_revenue_rollup(spark, sf_dir):
+    """Hierarchical subtotals (ROLLUP) — a grouping-sets capability the
+    reference lacks entirely; exposed as the stock Spark primitive."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+SQL_REVENUE_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum({_REV}) AS DOUBLE) AS revenue, count(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q_events_json_props(spark, sf_dir):
     """JSON column surface: extract a typed field from the props blob."""
     ev = _events(spark, sf_dir)
@@ -741,4 +761,5 @@ EXT_QUERIES = {
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "events_json_props": (q_events_json_props, SQL_EVENTS_JSON_PROPS),
+    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
 }
