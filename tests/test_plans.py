@@ -1,0 +1,67 @@
+"""Physical-plan regression tests: the plans the engine is *supposed*
+to produce at scale — pushdown reaching the scan, broadcast joins for
+fitted lookups and dims, top-k without a global sort, and zero Python
+in native paths.  Guards against silent plan regressions that would
+only show up as 100 TB slowdowns."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_label_encode_broadcasts_lookup(spark, qs):
+    p = _plan(qs["label_encode"](spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_row_filter_pushed_to_scan(spark, qs):
+    p = _plan(qs["row_filter"](spark, SF))
+    assert "PushedFilters: [" in p
+    assert "Not(EqualTo(l_returnflag,R))" in p or "Not(In(l_returnflag" in p
+
+
+def test_native_function_has_no_python(spark, qs):
+    for name in ("function_native", "function_udf", "strconcat",
+                 "date_features", "scaler_minmax"):
+        p = _plan(qs[name](spark, SF))
+        assert "EvalPython" not in p, f"{name} fell off the native path"
+
+
+def test_topk_uses_heap_not_global_sort(spark, qs):
+    p = _plan(qs["top_revenue_orders"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p           # dim filter broadcast
+    assert "LeftSemi" in p                    # orders pruned by semi join
+
+
+def test_scan_prunes_columns(spark, qs):
+    """A 3-column projection must not read all 11 lineitem columns."""
+    p = _plan(qs["typeconv"](spark, SF))
+    scan = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_comment" not in scan and "l_shipdate" not in scan
+
+
+def test_grouped_agg_is_partial_then_final(spark, qs):
+    """Map-side partial aggregation before the shuffle."""
+    p = _plan(qs["tpch_pricing_summary"](spark, SF))
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in p
+
+
+def test_asof_join_single_shuffle(spark, qs):
+    """Union + running-last: exactly one shuffle on the join key, no
+    row-explosion join in the plan."""
+    p = _plan(qs["asof_last_purchase"](spark, SF))
+    assert "Window" in p
+    assert "SortMergeJoin" not in p and "BroadcastNestedLoopJoin" not in p
