@@ -248,6 +248,46 @@ class MinHashLSHDeduplicator:
         )
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Transitive dedup clusters from near-dup pairs: (node, comp) where
+    ``comp`` is the minimum id reachable through the pair graph — the
+    standard pairs→clusters→one-survivor step of an LLM dedup pipeline.
+
+    Iterative min-label propagation: each round every node takes the min
+    label among itself and its neighbors; converges in O(graph diameter)
+    rounds (near-dup clusters are shallow — a handful of rounds in
+    practice).  Each round is one join + one groupBy on the edge list —
+    no driver-side graph, scales with |E| per round.  The loop is driven
+    from the driver with a convergence count, the Spark-idiomatic shape
+    for iterative algorithms (same structure GraphFrames/Pregel use).
+    """
+    e = pairs.select(F.col(id_a).cast("long").alias("src"),
+                     F.col(id_b).cast("long").alias("dst"))
+    edges = (e.union(e.select(F.col("dst").alias("src"),
+                              F.col("src").alias("dst")))
+             .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    edges.count()
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("comp", F.col("node")).persist())
+    labels.count()
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges["dst"] == labels["node"])
+                 .select(edges["src"].alias("node"), F.col("comp")))
+        new = (labels.select("node", "comp").union(neigh)
+               .groupBy("node").agg(F.min("comp").alias("comp"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        changed = (labels.alias("o")
+                   .join(new.alias("n"), "node")
+                   .filter(F.col("o.comp") != F.col("n.comp")).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("comp"))
+
+
 class SimHasher:
     """SimHash document fingerprint (60-bit) over distinct word tokens.
 

@@ -130,6 +130,31 @@ FROM scored WHERE ROUND(i / (za + zb - i), 6) >= 0.9
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """MinHash near-dup pairs → transitive clusters (connected
+    components), the pairs→survivor step of a full dedup pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.MinHashLSHDeduplicator(k=16, bands=2, threshold=0.9).pairs(docs)
+    return (dd.connected_components(pairs)
+            .select(F.col("node").alias("doc_id"), "comp"))
+
+
+def _sql_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE pr AS (
+  SELECT id_a, id_b FROM ({_sql_minhash()}) t),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pr
+  UNION SELECT id_b, id_a FROM pr),
+reach(node, comp) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, r.comp FROM edges e JOIN reach r ON e.d = r.node)
+SELECT node AS doc_id, min(comp) AS comp
+FROM reach GROUP BY node
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dd.SimHasher().transform(docs).select("doc_id", "simhash")
@@ -737,6 +762,7 @@ EXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, _sql_minhash()),
+    "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, _sql_embedding_cosine()),

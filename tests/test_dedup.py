@@ -88,3 +88,14 @@ def test_hash_expr_matches_python():
     got = spark.range(1).select(
         F.expr(dd.h32_expr("'hello'")).alias("h")).first().h
     assert got == expected
+
+
+def test_connected_components_chain(spark):
+    """A chain a-b, b-c, plus isolated pair d-e: two components."""
+    import pandas as pd
+    from dataframe_pipeline_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]}))
+    out = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
