@@ -45,31 +45,43 @@ class ComplementLabelEncoder(SparkDFPBase):
         return F.coalesce(s, F.lit(EXTRA))
 
     def fit(self, df: DataFrame, **params):
+        """All input columns are fitted in ONE Spark job: the normalized
+        values are stacked as (col, val) rows, de-duplicated together,
+        and ranked per column with a partitioned window (parallel across
+        columns — no single-partition global window).  The reference
+        fits one sklearn encoder per column in a Python loop
+        (ComplementLabelEncoder.py:49-66); at N columns that shape costs
+        N full scans, this costs one."""
         self.inputs = self.replace_PARM_ALL(df, self.inputs)
         self.outputs = self.replace_PARM_ALL(df, self.outputs)
         self._lookups = {}
         spark = df.sparkSession
+        stacked = df.select(F.explode(F.array(*[
+            F.struct(F.lit(c).alias("__dfp_col"),
+                     self._normalized(df, c).alias("__dfp_val"))
+            for c in self.inputs
+        ])).alias("s")).select("s.__dfp_col", "s.__dfp_val").distinct()
         # JVM-native literal (see base.literal_df): a python-RDD one-row
         # frame here costs seconds per re-evaluation inside the broadcast.
-        extra_df = literal_df(spark, [EXTRA], "__dfp_val")
+        extras = literal_df(spark, list(self.inputs), "__dfp_col").withColumn(
+            "__dfp_val", F.lit(EXTRA))
+        w = Window.partitionBy("__dfp_col").orderBy("__dfp_val")
+        # persist: the default-id collect below materializes the cache, so
+        # transform-time broadcasts reuse it instead of re-running the job.
+        lookup_all = (
+            stacked.union(extras).distinct()
+            .select("__dfp_col", "__dfp_val",
+                    (F.row_number().over(w) - 1).cast("int").alias("__dfp_id"))
+            .persist()
+        )
+        defaults = {
+            r["__dfp_col"]: r["__dfp_id"]
+            for r in lookup_all.filter(F.col("__dfp_val") == EXTRA).collect()
+        }
         for input in self.inputs:
-            classes = (
-                df.select(self._normalized(df, input).alias("__dfp_val"))
-                .distinct()
-                .union(extra_df)
-                .distinct()
-            )
-            w = Window.orderBy("__dfp_val")
-            # persist: the default-id collect below materializes the cache,
-            # so the transform-time broadcast reuses it instead of
-            # re-running the distinct+window job.
-            lookup = classes.select(
-                "__dfp_val", (F.row_number().over(w) - 1).cast("int").alias("__dfp_id")
-            ).persist()
-            default_id = (
-                lookup.filter(F.col("__dfp_val") == EXTRA).select("__dfp_id").collect()[0][0]
-            )
-            self._lookups[input] = (lookup, default_id)
+            lookup = (lookup_all.filter(F.col("__dfp_col") == input)
+                      .select("__dfp_val", "__dfp_id"))
+            self._lookups[input] = (lookup, defaults[input])
         return self
 
     def transform(self, df: DataFrame) -> DataFrame:
