@@ -642,9 +642,13 @@ def q_top_revenue_orders(spark, sf_dir):
     od = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    # orders (join cols only) is a few MB at sf0.1 — broadcast both dims
+    # so the 600k-row lineitem side never shuffles before aggregation.
+    od_b = F.broadcast(
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey, "left_semi")
+        .select("o_orderkey", "o_orderdate"))
     return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey, "left_semi")
+        li.join(od_b, li.l_orderkey == od_b.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -669,10 +673,16 @@ def q_revenue_by_nation(spark, sf_dir):
     od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem")
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+    # pre-join the dim chain (orders→customer→nation, ≤150k narrow rows)
+    # and broadcast it: the fact scan streams through one broadcast hash
+    # join straight into partial aggregation — zero fact-side shuffle
+    # before the 25-row final agg.
+    dim = F.broadcast(
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .select("o_orderkey", "n_name"))
+    return (
+        li.join(dim, li.l_orderkey == dim.o_orderkey)
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
@@ -694,10 +704,27 @@ def q_revenue_rollup(spark, sf_dir):
     reference lacks entirely; exposed as the stock Spark primitive."""
     li = _t(spark, sf_dir, "lineitem")
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    # Pre-aggregate to the finest grouping (6 rows), then roll the TINY
+    # aggregate up by re-summing.  Spark's native rollup() expands every
+    # input row once per grouping level (Expand: 3x the 600k-row scan);
+    # sum/count are associative, so rolling up partials is equivalent —
+    # and at 100 TB it's the difference between one scan and three.
+    base = (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(rev).alias("_r"), F.count(F.lit(1)).alias("_n"))
+            .persist())
+    lvl1 = (base.groupBy("l_returnflag")
+            .agg(F.sum("_r").alias("_r"), F.sum("_n").alias("_n"))
+            .withColumn("l_linestatus", F.lit(None).cast("string")))
+    lvl2 = (base.agg(F.sum("_r").alias("_r"), F.sum("_n").alias("_n"))
+            .withColumn("l_returnflag", F.lit(None).cast("string"))
+            .withColumn("l_linestatus", F.lit(None).cast("string")))
+    cols = ["l_returnflag", "l_linestatus", "_r", "_n"]
     return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.sum(rev).cast("double").alias("revenue"),
-             F.count(F.lit(1)).alias("n_items"))
+        base.select(*cols).unionByName(lvl1.select(*cols))
+        .unionByName(lvl2.select(*cols))
+        .select("l_returnflag", "l_linestatus",
+                F.col("_r").cast("double").alias("revenue"),
+                F.col("_n").alias("n_items"))
     )
 
 

@@ -1,0 +1,66 @@
+"""Side-by-side throughput: every oracle-checked query timed on Spark
+(min of 2, noop sink) and on DuckDB (same SQL, same parquet, min of 2).
+
+Usage: python scripts/bench_vs_duckdb.py [sf_dir] [query ...]
+Prints one line per query: spark_s, duck_s, ratio — plus a summary.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from dataframe_pipeline_spark.session import get_spark  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:])
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    names = [n for n in sorted(oracles) if not only or n in only]
+
+    spark = get_spark("bench-vs-duck")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    rows = []
+    for name in names:
+        s_best = d_best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            s_best = dt if s_best is None else min(s_best, dt)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            dt = time.perf_counter() - t0
+            d_best = dt if d_best is None else min(d_best, dt)
+        ratio = s_best / d_best if d_best > 0 else float("inf")
+        rows.append((name, s_best, d_best, ratio))
+        print(f"{name:28s} spark={s_best:7.3f}s duck={d_best:7.3f}s "
+              f"ratio={ratio:6.2f}x", flush=True)
+
+    over = [r for r in rows if r[3] > 2.0 and r[1] > 0.5]
+    print(f"\n{len(rows)} queries; spark total "
+          f"{sum(r[1] for r in rows):.1f}s, duckdb total "
+          f"{sum(r[2] for r in rows):.1f}s; "
+          f">2x-and->0.5s: {[r[0] for r in over]}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
