@@ -37,6 +37,22 @@ def read_csv(spark: SparkSession, path: str, schema=None,
     return df.select(*columns) if columns else df
 
 
+def read_json(spark: SparkSession, path: str, schema=None,
+              columns: list[str] | None = None, **options) -> DataFrame:
+    """JSON-lines with an explicit schema (schema inference over JSON is
+    a full extra pass — never at 100 TB)."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.json(path, schema=schema) if schema is not None else reader.json(path)
+    return df.select(*columns) if columns else df
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
+              header: bool = True) -> None:
+    df.write.option("header", str(header).lower()).mode(mode).csv(path)
+
+
 def left_enrich(fact: DataFrame, dim: DataFrame, on: str | list[str],
                 broadcast_dim: bool = True) -> DataFrame:
     """The reference's data-prep left join (FraudDetection1.py:94):

@@ -95,3 +95,16 @@ def test_write_partitioned_prunes(spark, tmp_path):
     assert rd.count() == 25
     scan = rd._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(p" in scan or "p#" in scan
+
+
+def test_json_roundtrip(spark, tmp_path):
+    import pandas as pd
+    from dataframe_pipeline_spark.sources import read_json, write_csv
+
+    df = spark.createDataFrame(pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}))
+    df.write.json(str(tmp_path / "j"))
+    rd = read_json(spark, str(tmp_path / "j"), schema="a long, b string")
+    assert sorted((r.a, r.b) for r in rd.collect()) == [(1, "x"), (2, "y")]
+    write_csv(df, str(tmp_path / "c"))
+    back = spark.read.option("header", "true").csv(str(tmp_path / "c"))
+    assert sorted(r.b for r in back.collect()) == ["x", "y"]
