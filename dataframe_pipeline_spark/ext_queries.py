@@ -390,6 +390,31 @@ FROM s
 """
 
 
+def q_text_redact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return tx.Redactor().transform(docs).select("doc_id", "redacted")
+
+
+def _sql_text_redact() -> str:
+    e = "text"
+    for name, pat in tx.PII_PATTERNS.items():
+        p = pat.replace("'", "''")
+        e = f"regexp_replace({e}, '{p}', '<{name.upper()}>', 'g')"
+    return f"SELECT doc_id, {e} AS redacted FROM documents"
+
+
+def q_text_term_freq(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return tx.TermFrequency(min_count=5).transform(docs)
+
+
+SQL_TEXT_TERM_FREQ = """
+SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+GROUP BY term HAVING count(*) >= 5
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (tx.Fingerprinter().transform(docs)
@@ -800,6 +825,8 @@ EXT_QUERIES = {
     "text_quality": (q_text_quality, _sql_text_quality()),
     "text_langid": (q_text_langid, _sql_text_langid()),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_redact": (q_text_redact, _sql_text_redact()),
+    "text_term_freq": (q_text_term_freq, SQL_TEXT_TERM_FREQ),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "events_hourly_agg": (q_events_hourly_agg, SQL_EVENTS_HOURLY),

@@ -123,6 +123,58 @@ class LanguageIdentifier:
         return out.withColumn("pred_lang", pred)
 
 
+#: PII patterns: ERE-only (no lookarounds/shorthand), portable across
+#: Spark's Java regex and DuckDB's RE2.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[- .]?\(?[0-9]{3}\)?[- .]?[0-9]{3}[- .]?[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+class Redactor:
+    """PII scrubbing for training corpora: each pattern is replaced by a
+    typed placeholder (``<EMAIL>`` …) via chained ``regexp_replace`` —
+    per-row, shuffle-free, codegen'd.  Patterns are ERE-portable so the
+    same redaction replays in any engine."""
+
+    def __init__(self, text_col: str = "text",
+                 patterns: dict[str, str] | None = None,
+                 output: str = "redacted"):
+        self.text_col = text_col
+        self.patterns = patterns or PII_PATTERNS
+        self.output = output
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        out = F.col(self.text_col)
+        for name, pat in self.patterns.items():
+            out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+        return df.withColumn(self.output, out)
+
+
+class TermFrequency:
+    """Corpus term statistics: explode tokens → count + doc-frequency per
+    term.  The one genuinely shuffle-bearing text op (keyed by term);
+    partial aggregation combines map-side, and ``min_count`` prunes the
+    long tail before any join against it."""
+
+    def __init__(self, text_col: str = "text", min_count: int = 1):
+        self.text_col = text_col
+        self.min_count = min_count
+
+    def transform(self, df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+        tok = df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(self.text_col), " ")).alias("term"))
+        return (
+            tok.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("tf"),
+                 F.count_distinct(id_col).alias("df"))
+            .filter(F.col("tf") >= self.min_count)
+        )
+
+
 class Fingerprinter:
     """Deterministic document fingerprints: a normalized-content md5 and
     a position-weighted polynomial token hash (rolling-hash style).

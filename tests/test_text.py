@@ -61,3 +61,28 @@ def test_fingerprinter_deterministic_and_order_sensitive(spark):
     assert out[0].fp_roll == out[2].fp_roll
     # rolling hash is position-weighted -> order matters
     assert out[0].fp_roll != out[1].fp_roll
+
+
+def test_redactor(spark):
+    import pandas as pd
+    from dataframe_pipeline_spark.text import Redactor
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["mail me at jo.doe+x@foo.co.uk or 192.168.0.1",
+                 "ssn 123-45-6789 call +1 555-123-4567"],
+    }))
+    out = {r.doc_id: r.redacted for r in Redactor().transform(df).collect()}
+    assert out[0] == "mail me at <EMAIL> or <IPV4>"
+    assert "<SSN>" in out[1] and "<PHONE>" in out[1]
+    assert "6789" not in out[1]
+
+
+def test_term_frequency(spark):
+    import pandas as pd
+    from dataframe_pipeline_spark.text import TermFrequency
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1], "text": ["a b a", "a c"]}))
+    out = {r.term: (r.tf, r.df) for r in TermFrequency().transform(df).collect()}
+    assert out == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
