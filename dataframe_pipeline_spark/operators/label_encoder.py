@@ -15,9 +15,15 @@ Spark-first design: the fitted dictionary is a *lookup DataFrame*
 The global-order ``row_number`` window runs over the **distinct set only**
 (cardinality ≪ rows), so the single-partition window is not a scale
 bottleneck.  Transform is a left join on the normalized value with
-``coalesce(id, default_id)`` — broadcast when the dictionary is small, AQE
-decides otherwise.  No driver-side dict is ever materialized except the
-single reserved-class id scalar.
+``coalesce(id, default_id)``.  The broadcast hint is *size-gated*: fit
+already knows each column's distinct count (it comes back in the same
+collect as the default id), so transform hints ``broadcast`` only when
+the dictionary is under ``broadcast_max_rows`` (default 500k entries —
+roughly the autoBroadcastJoinThreshold at ~20 B/entry); above that it
+emits a plain join and lets AQE pick the strategy.  A high-cardinality
+dictionary (e.g. a card1_addr1-style composite) must never be forced
+into executor/driver memory.  No driver-side dict is ever materialized
+except the per-column (cardinality, reserved-class id) scalars.
 """
 
 from __future__ import annotations
@@ -31,10 +37,19 @@ EXTRA = "extra_category_"
 
 
 class ComplementLabelEncoder(SparkDFPBase):
-    def __init__(self, inputs=PARM_ALL, outputs=PARM_ALL):
+    #: dictionaries with at most this many entries get a broadcast hint;
+    #: larger ones go through a plain (AQE-planned) shuffle join.
+    BROADCAST_MAX_ROWS = 500_000
+
+    def __init__(self, inputs=PARM_ALL, outputs=PARM_ALL,
+                 broadcast_max_rows: int | None = None):
         self.inputs = inputs
         self.outputs = outputs
-        self._lookups = {}   # input col -> (lookup DataFrame(__dfp_val, __dfp_id), default_id)
+        self.broadcast_max_rows = (
+            self.BROADCAST_MAX_ROWS if broadcast_max_rows is None
+            else broadcast_max_rows)
+        # input col -> (lookup DataFrame(__dfp_val, __dfp_id), default_id, cardinality)
+        self._lookups = {}
 
     @staticmethod
     def _normalized(df: DataFrame, input: str):
@@ -74,23 +89,33 @@ class ComplementLabelEncoder(SparkDFPBase):
                     (F.row_number().over(w) - 1).cast("int").alias("__dfp_id"))
             .persist()
         )
-        defaults = {
-            r["__dfp_col"]: r["__dfp_id"]
-            for r in lookup_all.filter(F.col("__dfp_val") == EXTRA).collect()
+        # ONE collect returns both the reserved-class id and the dictionary
+        # cardinality per column; the cardinality gates the transform-time
+        # broadcast hint (see module docstring).
+        stats = {
+            r["__dfp_col"]: (r["__dfp_default"], r["__dfp_n"])
+            for r in lookup_all.groupBy("__dfp_col").agg(
+                F.max(F.when(F.col("__dfp_val") == EXTRA,
+                             F.col("__dfp_id"))).alias("__dfp_default"),
+                F.count(F.lit(1)).alias("__dfp_n"),
+            ).collect()
         }
         for input in self.inputs:
             lookup = (lookup_all.filter(F.col("__dfp_col") == input)
                       .select("__dfp_val", "__dfp_id"))
-            self._lookups[input] = (lookup, defaults[input])
+            default_id, n = stats[input]
+            self._lookups[input] = (lookup, default_id, n)
         return self
 
     def transform(self, df: DataFrame) -> DataFrame:
         for input, output in zip(self.inputs, self.outputs):
-            lookup, default_id = self._lookups[input]
+            lookup, default_id, n = self._lookups[input]
+            if n <= self.broadcast_max_rows:
+                lookup = F.broadcast(lookup)
             key = self._normalized(df, input).alias("__dfp_join_key")
             df = (
                 df.join(
-                    F.broadcast(lookup), on=key == lookup["__dfp_val"], how="left"
+                    lookup, on=key == lookup["__dfp_val"], how="left"
                 )
                 .withColumn(
                     output,
