@@ -28,18 +28,23 @@ from .sources import left_enrich, split_mod
 
 
 def _events(spark, sf_dir):
-    """Load the events table with its TIMESTAMP(NANOS) column normalized.
+    """Load the events table with its TIMESTAMP(NANOS) column normalized
+    to a microsecond TIMESTAMP — the same truncation DuckDB applies when
+    it loads TIMESTAMP_NS into its microsecond-resolution TIMESTAMP, so
+    both engines see identical ts.
 
-    Spark's parquet reader rejects nanosecond timestamps unless they are
-    read as raw longs (``spark.sql.legacy.parquet.nanosAsLong``); the
-    nanos are then integer-divided down to microseconds — exactly the
-    truncation DuckDB applies when it loads TIMESTAMP_NS into its
-    microsecond-resolution TIMESTAMP, so both engines see identical ts.
+    Schema-driven, no session-global config mutation: Spark ≥4 reads
+    parquet nanos natively as TIMESTAMP_NTZ (already micro-truncated) —
+    cast to the session-zone TIMESTAMP (session tz is UTC in tests, so
+    the wall-clock value is unchanged).  If a session has
+    ``spark.sql.legacy.parquet.nanosAsLong`` set, ts arrives as a raw
+    nanos BIGINT — integer-divide down to micros.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":
+        return ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 # --------------------------------------------------------------------------
 # DuckDB-dialect twins of the deterministic hash / shingle primitives

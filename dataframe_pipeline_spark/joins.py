@@ -39,7 +39,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys + [right_ts]]
-    payload = [c for c in left.columns if c not in keys]
+    # exclude left_ts too: it re-enters the output via the __asof_ts
+    # re-alias in the final select — including it here would emit two
+    # identically-named columns and make every by-name reference to the
+    # timestamp downstream AMBIGUOUS_REFERENCE.
+    payload = [c for c in left.columns if c not in keys + [left_ts]]
 
     l_side = left.select(
         *keys,

@@ -24,6 +24,13 @@ single-node) and the fitted object is closure-captured into an
 Arrow-batched pandas UDF for distributed apply.  Test-scale fit /
 any-scale apply; at 100 TB prefer the native operators above, whose fit
 is distributed too.
+
+The LabelEncoder lookup join is *size-gated* like ComplementLabelEncoder:
+fit counts the distinct values (one extra action on the already-computed
+distinct frame) and transform hints ``broadcast`` only under
+``BROADCAST_MAX_ROWS``; a high-cardinality dictionary goes through a
+plain join so AQE picks the strategy instead of forcing the lookup into
+executor memory.
 """
 
 from __future__ import annotations
@@ -35,6 +42,10 @@ from ..base import PARM_ALL, SparkDFPBase, field_type, is_floating, nan_to_null
 
 
 class WrapTransformer(SparkDFPBase):
+    #: lookups with at most this many entries get a broadcast hint;
+    #: larger ones go through a plain (AQE-planned) join.
+    BROADCAST_MAX_ROWS = 500_000
+
     def __init__(self, inputs=PARM_ALL, outputs=PARM_ALL, transformer=None):
         self.inputs = inputs
         self.outputs = outputs
@@ -59,30 +70,58 @@ class WrapTransformer(SparkDFPBase):
                     raise ValueError(f"SimpleImputer strategy {strategy!r} not mapped")
                 self._state[input] = self._fit_mean(df, cols)
             else:
-                self._state[input] = self._fit_generic(df, cols)
+                output = self.outputs[self.inputs.index(input)]
+                out_cols = list(output) if isinstance(output, tuple) else [output]
+                self._state[input] = self._fit_generic(df, cols, out_cols)
         return self
 
-    def _fit_generic(self, df: DataFrame, cols):
+    def _fit_generic(self, df: DataFrame, cols, out_cols):
         """Reference-semantics wrap of an arbitrary fit/transform object:
-        deep-copy, fit on the (driver-collected) column values."""
+        deep-copy, fit on the (driver-collected) column values.  The
+        distributed apply writes exactly one output column, so a wrapped
+        transformer that emits multiple columns per row (e.g. sklearn
+        OneHotEncoder) is rejected *here*, with a clear error, instead of
+        silently dropping outputs or failing inside the pandas UDF."""
         import copy
 
+        import numpy as np
+
+        if len(out_cols) != 1:
+            raise ValueError(
+                "WrapTransformer generic wrap supports exactly one output "
+                f"column per input; got {out_cols!r}. Use the native mapped "
+                "operators (e.g. OneHotEncoder) for multi-output transforms.")
         tr = copy.deepcopy(self.transformer)
         if not (hasattr(tr, "fit") and hasattr(tr, "transform")):
             raise ValueError(
                 f"WrapTransformer: {self._kind!r} has no fit/transform surface")
         pdf = df.select(*[nan_to_null(df, c).alias(c) for c in cols]).toPandas()
-        tr.fit(pdf.values if len(cols) > 1 else pdf[cols[0]].to_numpy().reshape(-1, 1))
+        X = pdf.values if len(cols) > 1 else pdf[cols[0]].to_numpy().reshape(-1, 1)
+        tr.fit(X)
+        if len(pdf):
+            probe = np.asarray(tr.transform(X[:1]))
+            if probe.ndim > 2 or (probe.ndim == 2 and probe.shape[1] != 1):
+                raise ValueError(
+                    "WrapTransformer generic wrap requires transform output of "
+                    f"shape (n,) or (n, 1); {self._kind!r} produced "
+                    f"{probe.shape}. Multi-column transforms need a native "
+                    "mapped operator.")
         return tr
 
     def _fit_label(self, df: DataFrame, c: str):
         # sklearn LabelEncoder: classes_ = sorted unique values.  NULL sorts
-        # last (like NaN in numpy sort) via asc_nulls_last.
-        vals = df.select(nan_to_null(df, c).alias("__dfp_val")).distinct()
+        # last (like NaN in numpy sort) via asc_nulls_last.  The global
+        # row_number window runs over the distinct set only (cardinality
+        # ≪ rows) so it is not a scale bottleneck; the count() on the
+        # persisted distinct frame returns the cardinality that gates the
+        # transform-time broadcast hint.
+        vals = df.select(nan_to_null(df, c).alias("__dfp_val")).distinct().persist()
+        n = vals.count()
         w = Window.orderBy(F.col("__dfp_val").asc_nulls_last())
-        return vals.select(
+        lookup = vals.select(
             "__dfp_val", (F.row_number().over(w) - 1).cast("int").alias("__dfp_id")
         )
+        return (lookup, n)
 
     def _fit_scale(self, df: DataFrame, cols):
         aggs = []
@@ -118,10 +157,12 @@ class WrapTransformer(SparkDFPBase):
             out_cols = list(output) if isinstance(output, tuple) else [output]
             state = self._state[input]
             if self._kind == "LabelEncoder":
-                lookup = state
+                lookup, n = state
+                if n <= self.BROADCAST_MAX_ROWS:
+                    lookup = F.broadcast(lookup)
                 df = (
                     df.join(
-                        F.broadcast(lookup),
+                        lookup,
                         on=nan_to_null(df, in_cols[0]).eqNullSafe(lookup["__dfp_val"]),
                         how="left",
                     )

@@ -105,10 +105,19 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: str,
     Fact rows get a random salt in [0, salt); the dim side is replicated
     ``salt`` times (dim rows are the small side — replication is cheap,
     the point is splitting the *fact* side's hot keys).  Join keys become
-    (key, salt).  Result is identical to the unsalted join for any salt.
+    (key, salt).  Result is identical to the unsalted join for the
+    fact-preserving join types (``inner``/``left``/``left_semi``/
+    ``left_anti``) only — a right/full join would emit every unmatched
+    dim row once *per salt replica*, so those types are rejected.
     AQE's skew-join handles moderate skew automatically; this is the
     explicit tool for extreme keys (a null-heavy FK, a celebrity user).
     """
+    if how not in ("inner", "left", "leftouter", "left_outer",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports fact-preserving join types only, got "
+            f"{how!r}: replicated dim rows would duplicate unmatched "
+            "right/full output rows once per salt value")
     fact_s = fact.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
     dim_s = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))

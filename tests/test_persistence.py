@@ -73,6 +73,7 @@ def test_load_is_lazy_lookup(spark, tmp_path):
     pipe.save(path)
 
     loaded = DataframePipeline.load(spark, path)
-    lookup, default_id = loaded.steps[0]._lookups["cat"]
+    lookup, default_id, n = loaded.steps[0]._lookups["cat"]
     assert lookup.__class__.__name__ == "DataFrame"
     assert default_id == 3
+    assert n == 4

@@ -25,6 +25,56 @@ def test_label_encode_broadcasts_lookup(spark, qs):
     assert "BroadcastHashJoin" in p
 
 
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    """Planner-chosen broadcasts off, so any BroadcastHashJoin in the
+    plan can only come from an explicit operator hint — isolates what
+    the gate tests actually assert."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_label_encode_high_cardinality_is_not_broadcast(
+        spark, no_auto_broadcast):
+    """A fitted dictionary over the broadcast gate must NOT carry a
+    broadcast hint — forcing a multi-GB lookup into executor memory is
+    the 100 TB OOM; above the gate the plan is left to AQE."""
+    from dataframe_pipeline_spark.operators.label_encoder import (
+        ComplementLabelEncoder,
+    )
+
+    df = spark.read.parquet(f"{SF}/customer.parquet")
+    enc = ComplementLabelEncoder(
+        inputs=["c_name"], outputs=["c_name_id"], broadcast_max_rows=10
+    ).fit(df)
+    p = _plan(enc.transform(df))
+    assert "BroadcastHashJoin" not in p
+    # and under the gate the explicit hint comes back
+    enc_small = ComplementLabelEncoder(
+        inputs=["c_mktsegment"], outputs=["c_seg_id"]).fit(df)
+    assert "BroadcastHashJoin" in _plan(enc_small.transform(df))
+
+
+def test_wrap_label_encode_high_cardinality_is_not_broadcast(
+        spark, no_auto_broadcast):
+    from dataframe_pipeline_spark.operators.wrap_transformer import (
+        WrapTransformer,
+    )
+
+    class _FakeLabelEncoder:  # recognized by class name
+        pass
+
+    _FakeLabelEncoder.__name__ = "LabelEncoder"
+    df = spark.read.parquet(f"{SF}/customer.parquet")
+    w = WrapTransformer(inputs=["c_name"], outputs=["c_name_id"],
+                        transformer=_FakeLabelEncoder())
+    w.BROADCAST_MAX_ROWS = 10
+    p = _plan(w.fit(df).transform(df))
+    assert "BroadcastHashJoin" not in p
+
+
 def test_row_filter_pushed_to_scan(spark, qs):
     p = _plan(qs["row_filter"](spark, SF))
     assert "PushedFilters: [" in p
