@@ -275,12 +275,69 @@ LIMIT 10
 
 
 def q_sim_ann_ivf(spark, sf_dir):
-    """IVF coarse-quantizer ANN — KMeans cells, n_probe-cell search.
-    No SQL oracle: the KMeans fit is iterative and not SQL-expressible;
-    the driver records a rows-only check (test_similarity.py verifies
-    recall against brute force)."""
+    """IVF coarse-quantizer ANN — deterministic sample-trained cells,
+    n_probe-cell search.  The oracle is *generated* from the identical
+    trainer (``_sql_sim_ann_ivf``): the fitted integer centroids become
+    SQL literals, so assignment / probe / cosine replay exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.IVFIndex(k=5, n_lists=8, n_probe=2).fit(emb).search(query_id=0)
+
+
+def _sql_sim_ann_ivf(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """Generate the IVF oracle from the same deterministic trainer the
+    Spark operator uses.  The centroids are data-dependent fitted
+    parameters, so (unlike the parameter-generated minhash/simhash
+    oracles) this generator reads the embeddings table at the driver's
+    correctness scale (sf0.01) and embeds the fitted integer centroids
+    + probed cell ids as literals.  Training replays bit-for-bit: same
+    id-ordered float64 sample, same single-threaded numpy Lloyd's
+    (``similarity.train_centroids``); the probed cells come from the
+    engine-quantized query vector via exact integer distances
+    (``similarity.probe_cells``).  Returns None if the table is absent
+    (oracle then degrades to the rows-only check).
+    """
+    import os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    con = duckdb.connect()
+    vecs = [r[0] for r in con.sql(
+        f"SELECT list_transform(embedding, x -> x::DOUBLE) AS v "
+        f"FROM '{path}' ORDER BY vec_id").fetchall()]
+    cents = sim.train_centroids(vecs, n_lists=8)
+    q_int = con.sql(
+        f"SELECT list_transform(embedding, x -> "
+        f"CAST(round(x::DOUBLE * 1000) AS BIGINT)) FROM '{path}' "
+        f"WHERE vec_id = 0").fetchone()[0]
+    con.close()
+    probe = sim.probe_cells([int(x) for x in q_int], cents, n_probe=2)
+    cent_lits = ", ".join(
+        "[" + ", ".join(str(c) for c in cj) + "]" for cj in cents)
+    in_list = ", ".join(str(p) for p in probe)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (
+  SELECT vec_id, q,
+         sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS nrm,
+         list_transform([{cent_lits}], c ->
+             list_sum(list_transform(generate_series(1, 64),
+                 i -> (q[i]-c[i])*(q[i]-c[i])))) AS d
+  FROM q),
+a AS (SELECT vec_id, q, nrm, list_position(d, list_min(d)) - 1 AS lst FROM n)
+SELECT a.vec_id,
+       ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> a.q[i] * b.q[i])) AS DOUBLE) / (a.nrm * b.nrm), 6) AS cosine
+FROM a, (SELECT q, nrm FROM a WHERE vec_id = 0) b
+WHERE a.vec_id <> 0 AND a.lst IN ({in_list})
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT 5
+"""
 
 
 def q_sim_ann_lsh(spark, sf_dir):
@@ -825,7 +882,7 @@ EXT_QUERIES = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, _sql_embedding_cosine()),
     "sim_topk_cosine": (q_sim_topk_cosine, SQL_SIM_TOPK),
     "sim_ann_lsh": (q_sim_ann_lsh, _sql_sim_ann()),
-    "sim_ann_ivf": (q_sim_ann_ivf, None),
+    "sim_ann_ivf": (q_sim_ann_ivf, _sql_sim_ann_ivf()),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_quality": (q_text_quality, _sql_text_quality()),
     "text_langid": (q_text_langid, _sql_text_langid()),

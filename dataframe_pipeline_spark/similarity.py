@@ -61,64 +61,138 @@ class CosineTopK:
         )
 
 
+def quantize_centroid(vec, scale: int = 1000) -> list[int]:
+    """Round-half-away-from-zero integer quantization (the same rule
+    Spark's ``round()`` and DuckDB's ``round()`` apply), used only for
+    the driver-side centroid literals — both engines then consume the
+    identical integer constants."""
+    import math
+
+    return [int(math.floor(abs(float(x)) * scale + 0.5))
+            * (1 if float(x) >= 0 else -1) for x in vec]
+
+
+def train_centroids(vectors, n_lists: int, iters: int = 10,
+                    scale: int = 1000) -> list[list[int]]:
+    """Deterministic Lloyd's k-means over an id-ordered float64 sample.
+
+    Init = ``n_lists`` evenly spaced rows of the id-sorted sample; ties
+    in assignment break to the lowest cell index (``argmin`` first
+    occurrence); an emptied cell keeps its previous centroid.  Pure
+    single-threaded numpy — bit-identical on every replay of the same
+    sample, which is what lets the SQL oracle be *generated* from the
+    same trainer.  Returns integer-quantized centroids.
+    """
+    import numpy as np
+
+    v = np.asarray(vectors, dtype=np.float64)
+    n = len(v)
+    k = min(n_lists, n)
+    cents = v[[(i * n) // k for i in range(k)]].copy()
+    for _ in range(iters):
+        d = np.empty((n, k), dtype=np.float64)
+        for j in range(k):
+            d[:, j] = ((v - cents[j]) ** 2).sum(axis=1)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                cents[j] = v[mask].mean(axis=0)
+    return [quantize_centroid(c, scale) for c in cents]
+
+
+def probe_cells(q_int: list[int], centroids_int: list[list[int]],
+                n_probe: int) -> list[int]:
+    """The ``n_probe`` cells nearest the (integer-quantized) query
+    vector — exact integer distances, ties break to the lower cell id.
+    Pure-Python so the Spark driver and the oracle generator run the
+    identical computation."""
+    d = [(sum((int(x) - int(c)) ** 2 for x, c in zip(q_int, cj)), j)
+         for j, cj in enumerate(centroids_int)]
+    return [j for _, j in sorted(d)[:n_probe]]
+
+
 class IVFIndex:
-    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    """IVF (inverted-file) approximate top-k: a coarse quantizer
     partitions vectors into ``n_lists`` cells; a query probes only the
     ``n_probe`` nearest cells and scores exact cosine inside them.
 
-    The standard ANN scale path next to LSH: the assignment table is the
-    "index" (at 100 TB it would be written partitioned by ``list_id`` so
-    a probe is a partition-pruned scan of n_probe/n_lists of the data);
-    centroids are tiny (n_lists × dim) and live on the driver like any
-    fitted-model parameter.  Deterministic via a fixed KMeans seed.
+    The standard ANN scale path next to LSH, built the way production
+    IVF indexes (FAISS et al.) are: the quantizer is *trained on a
+    driver-side sample* (centroids are tiny, n_lists × dim — a fitted
+    parameter like any other), then *assignment is distributed* — a
+    map-only codegen expression over literal integer centroids, no ML
+    library in the apply path.  At 100 TB the assignment table would be
+    written partitioned by ``__list`` so a probe is a partition-pruned
+    scan of n_probe/n_lists of the data.
+
+    Determinism: the sample is id-ordered, training is single-threaded
+    numpy (``train_centroids``), distances are exact integer sums on
+    quantized vectors — so a SQL oracle generated from the same trainer
+    replays the index bit-for-bit.
     """
 
     def __init__(self, k: int = 10, n_lists: int = 8, n_probe: int = 2,
-                 seed: int = 42):
+                 scale: int = 1000, max_train: int = 65536):
         self.k = k
         self.n_lists = n_lists
         self.n_probe = n_probe
-        self.seed = seed
-        self.centroids = None        # list[list[float]]
-        self._assigned = None        # DataFrame(id, __list, __arr, __nrm)
+        self.scale = scale
+        self.max_train = max_train
+        self.centroids_int = None    # list[list[int]]
+        self._assigned = None        # DataFrame(id, __q, __nrm, __list)
+        self._id_col = None
 
     def fit(self, df: DataFrame, id_col: str = "vec_id",
             vec_col: str = "embedding"):
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
         arr = df.select(
             F.col(id_col),
             F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__arr"),
         )
-        feats = arr.withColumn("__v", array_to_vector("__arr"))
-        model = KMeans(k=self.n_lists, seed=self.seed, maxIter=10,
-                       featuresCol="__v", predictionCol="__list").fit(feats)
-        self.centroids = [c.tolist() for c in model.clusterCenters()]
+        # Train on a bounded, deterministic sample (md5-mod of the id —
+        # content-addressed, partition-layout independent).
+        n = arr.count()
+        sample = arr
+        if n > self.max_train:
+            mod = -(-n // self.max_train)  # ceil
+            sample = arr.filter(F.expr(
+                f"conv(substring(md5(cast({id_col} as string)), 1, 8), 16, 10)"
+                f" % {mod} = 0"))
+        rows = sample.orderBy(id_col).collect()
+        self.centroids_int = train_centroids(
+            [list(r["__arr"]) for r in rows], self.n_lists, scale=self.scale)
+
+        cent_lits = ", ".join(
+            "array(" + ", ".join(f"{c}L" for c in cj) + ")"
+            for cj in self.centroids_int)
+        qexpr = (f"transform({vec_col}, x -> "
+                 f"cast(round(cast(x as double) * {self.scale}) as bigint))")
+        dists = (f"transform(array({cent_lits}), c -> "
+                 f"aggregate(zip_with(__q, c, (x, y) -> (x-y)*(x-y)), 0L, "
+                 f"(acc, v) -> acc + v))")
+        self._id_col = id_col
         self._assigned = (
-            model.transform(feats).select(id_col, "__arr", "__list")
+            df.select(F.col(id_col), F.expr(qexpr).alias("__q"))
             .withColumn("__nrm", F.expr(
-                "sqrt(aggregate(__arr, 0D, (acc, x) -> acc + x*x))"))
+                "sqrt(aggregate(__q, 0L, (acc, x) -> acc + x*x))"))
+            .withColumn("__dists", F.expr(dists))
+            .withColumn("__list", (F.expr(
+                "array_position(__dists, array_min(__dists))") - 1).cast("int"))
+            .drop("__dists")
             .persist()
         )
         self._assigned.count()
         return self
 
-    def _probe_lists(self, qvec: list[float]) -> list[int]:
-        def d2(a, b):
-            return sum((x - y) ** 2 for x, y in zip(a, b))
-        order = sorted(range(len(self.centroids)),
-                       key=lambda i: d2(self.centroids[i], qvec))
-        return order[:self.n_probe]
-
     def search(self, query_id, id_col: str = "vec_id") -> DataFrame:
         assert self._assigned is not None, "call fit first"
         qrow = (self._assigned.filter(F.col(id_col) == query_id)
-                .select("__arr", "__nrm").head())
-        lists = self._probe_lists(list(qrow["__arr"]))
-        dot = "aggregate(zip_with(__arr, __qq, (x, y) -> x*y), 0D, (acc, v) -> acc + v)"
+                .select("__q", "__nrm").head())
+        lists = probe_cells(list(qrow["__q"]), self.centroids_int, self.n_probe)
+        dot = "aggregate(zip_with(__q, __qq, (x, y) -> x*y), 0L, (acc, v) -> acc + v)"
         qdf = self._assigned.sparkSession.createDataFrame(
-            [(list(qrow["__arr"]), float(qrow["__nrm"]))], "__qq array<double>, __qn double")
+            [(list(qrow["__q"]), float(qrow["__nrm"]))],
+            "__qq array<bigint>, __qn double")
         return (
             self._assigned.filter(F.col("__list").isin(lists)
                                   & (F.col(id_col) != query_id))
