@@ -173,6 +173,8 @@ def literal_df(spark, values, colname: str, cast: str = "string") -> DataFrame:
 
 
 def infer_spark_type_of_value(v) -> T.DataType:
+    import datetime
+
     import numpy as np
 
     if isinstance(v, bool):
@@ -181,4 +183,10 @@ def infer_spark_type_of_value(v) -> T.DataType:
         return T.LongType()
     if isinstance(v, (float, np.floating)):
         return T.DoubleType()
+    if isinstance(v, (datetime.datetime, np.datetime64)):
+        return T.TimestampType()
+    if isinstance(v, datetime.date):
+        return T.DateType()
+    if isinstance(v, (bytes, bytearray)):
+        return T.BinaryType()
     return T.StringType()

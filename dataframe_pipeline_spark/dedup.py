@@ -249,18 +249,23 @@ class MinHashLSHDeduplicator:
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 25,
+                         checkpoint_every: int = 5) -> DataFrame:
     """Transitive dedup clusters from near-dup pairs: (node, comp) where
     ``comp`` is the minimum id reachable through the pair graph — the
     standard pairs→clusters→one-survivor step of an LLM dedup pipeline.
 
-    Iterative min-label propagation: each round every node takes the min
-    label among itself and its neighbors; converges in O(graph diameter)
-    rounds (near-dup clusters are shallow — a handful of rounds in
-    practice).  Each round is one join + one groupBy on the edge list —
-    no driver-side graph, scales with |E| per round.  The loop is driven
-    from the driver with a convergence count, the Spark-idiomatic shape
-    for iterative algorithms (same structure GraphFrames/Pregel use).
+    Each round does min-label propagation over the edge list (every node
+    takes the min label among itself and its neighbors) *plus* one
+    pointer-doubling hop (``comp ← labels[comp].comp``), so long chains
+    converge in O(log diameter) rounds rather than O(diameter) — the
+    large-star/small-star trick in its simplest form.  Each round is two
+    joins + one groupBy, no driver-side graph; the loop is driven from
+    the driver with a convergence count, the Spark-idiomatic shape for
+    iterative algorithms (same structure GraphFrames/Pregel use).
+    Labels are ``localCheckpoint``-ed every ``checkpoint_every`` rounds
+    so plan lineage stays bounded on deep graphs, and an unconverged
+    exit raises rather than silently returning partial clusters.
     """
     e = pairs.select(F.col(id_a).cast("long").alias("src"),
                      F.col(id_b).cast("long").alias("dst"))
@@ -271,12 +276,26 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("comp", F.col("node")).persist())
     labels.count()
-    for _ in range(max_iter):
+    changed = None
+    for i in range(max_iter):
         neigh = (edges.join(labels, edges["dst"] == labels["node"])
                  .select(edges["src"].alias("node"), F.col("comp")))
-        new = (labels.select("node", "comp").union(neigh)
-               .groupBy("node").agg(F.min("comp").alias("comp"))
+        prop = (labels.select("node", "comp").union(neigh)
+                .groupBy("node").agg(F.min("comp").alias("comp")))
+        # pointer doubling: follow the label one hop (comp is itself a
+        # node id, and labels are monotone non-increasing, so the
+        # parent's label is always <= ours when present)
+        parent = prop.select(F.col("node").alias("__p"),
+                             F.col("comp").alias("__pcomp"))
+        new = (prop.join(parent, prop["comp"] == parent["__p"], "left")
+               .select("node",
+                       F.coalesce(F.least("comp", "__pcomp"),
+                                  F.col("comp")).alias("comp"))
                .persist(StorageLevel.MEMORY_AND_DISK))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            chk = new.localCheckpoint(eager=True)
+            new.unpersist()
+            new = chk
         changed = (labels.alias("o")
                    .join(new.alias("n"), "node")
                    .filter(F.col("o.comp") != F.col("n.comp")).count())
@@ -285,6 +304,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter")
     return labels.select(F.col("node"), F.col("comp"))
 
 

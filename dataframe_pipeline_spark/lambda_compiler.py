@@ -20,9 +20,11 @@ from __future__ import annotations
 
 import ast
 import builtins
+import datetime as _dt
 import inspect
 import math
 import re
+import statistics
 import textwrap
 
 from pyspark.sql import Column
@@ -34,11 +36,30 @@ except ImportError:  # pragma: no cover
     np = None
 
 
+def _args_seq(a):
+    """min/max/mean accept either varargs or one list/tuple argument."""
+    if len(a) == 1 and isinstance(a[0], (list, tuple)):
+        return list(a[0])
+    return list(a)
+
+
+def _nary_mean(*a):
+    """Elementwise n-ary mean — the walkBytecode 'mean' → ONNX Mean
+    analog (/root/reference/dfpipeline/walkBytecode.py:66): sum the
+    operands, divide by their count (float division, like ONNX Mean)."""
+    xs = _args_seq(a)
+    acc = _lit(xs[0])
+    for x in xs[1:]:
+        acc = acc + _lit(x)
+    return acc / float(len(xs))
+
+
 def _func_map():
     m = {
         abs: F.abs,
-        min: lambda *a: F.least(*[_lit(x) for x in a]),
-        max: lambda *a: F.greatest(*[_lit(x) for x in a]),
+        min: lambda *a: F.least(*[_lit(x) for x in _args_seq(a)]),
+        max: lambda *a: F.greatest(*[_lit(x) for x in _args_seq(a)]),
+        statistics.mean: _nary_mean,
         pow: F.pow,
         round: F.round,
         len: F.length,
@@ -68,8 +89,29 @@ def _func_map():
             np.minimum: lambda a, b: F.least(_lit(a), _lit(b)),
             np.maximum: lambda a, b: F.greatest(_lit(a), _lit(b)),
             np.where: lambda c, a, b: F.when(c, _lit(a)).otherwise(_lit(b)),
+            np.mean: _nary_mean,
         })
     return m
+
+
+class _TimeDelta:
+    """Compile-time marker for a ``datetime.timedelta(...)`` whose
+    components involve Columns (walkBytecode 'timedelta' → TimeDelta,
+    /root/reference/dfpipeline/walkBytecode.py:68,401).  Carries the
+    total span in (possibly fractional) seconds as a Column expression;
+    anchored to a datetime by ``_Compiler._td_binop``."""
+
+    __slots__ = ("seconds",)
+
+    def __init__(self, seconds):
+        self.seconds = seconds
+
+
+_TD_POSITIONAL = ("days", "seconds", "microseconds", "milliseconds",
+                  "minutes", "hours", "weeks")
+_TD_FACTORS = {"weeks": 604800.0, "days": 86400.0, "hours": 3600.0,
+               "minutes": 60.0, "seconds": 1.0, "milliseconds": 1e-3,
+               "microseconds": 1e-6}
 
 
 def _lit(v):
@@ -77,7 +119,10 @@ def _lit(v):
 
 
 def _is_col(*vals) -> bool:
-    return any(isinstance(v, Column) for v in vals)
+    flat = []
+    for v in vals:
+        flat.extend(v) if isinstance(v, (list, tuple)) else flat.append(v)
+    return any(isinstance(v, (Column, _TimeDelta)) for v in flat)
 
 
 class _Unsupported(Exception):
@@ -176,9 +221,12 @@ class _Compiler:
             return node.value
         if isinstance(node, ast.Name):
             v = self._name(node)
-            if isinstance(v, (Column, int, float, str, bool, type(None))):
+            if isinstance(v, (Column, int, float, str, bool, type(None),
+                              _dt.datetime, _dt.date, _dt.timedelta)):
                 return v
             raise _Unsupported(f"name {node.id} of type {type(v)}")
+        if isinstance(node, (ast.Tuple, ast.List)):
+            return [self.eval(e) for e in node.elts]
         if isinstance(node, ast.BinOp):
             return self._binop(node)
         if isinstance(node, ast.UnaryOp):
@@ -226,11 +274,57 @@ class _Compiler:
                 if _is_col(arg):
                     return F.expm1(arg)
         a, b = self.eval(node.left), self.eval(node.right)
+        if isinstance(a, _TimeDelta) or isinstance(b, _TimeDelta):
+            return self._td_binop(node.op, a, b)
         try:
             op = self._BIN[type(node.op)]
         except KeyError:
             raise _Unsupported(type(node.op).__name__) from None
         return op(a, b)
+
+    # -- timedelta arithmetic ----------------------------------------------
+    @staticmethod
+    def _epoch(d) -> float:
+        """Seconds-since-epoch of a datetime/date constant; naive
+        datetimes are UTC (the session timezone is pinned UTC)."""
+        if isinstance(d, _dt.datetime):
+            d = d.replace(tzinfo=_dt.timezone.utc) if d.tzinfo is None else d
+            return d.timestamp()
+        return _dt.datetime(d.year, d.month, d.day,
+                            tzinfo=_dt.timezone.utc).timestamp()
+
+    def _td_binop(self, op, a, b):
+        """``anchor ± timedelta(cols)`` → TIMESTAMP expression; td+td and
+        td*k stay symbolic.  Constant-datetime anchors compile to
+        ``timestamp_seconds(epoch + secs)`` (pure codegen, exact to
+        double precision); Column anchors add a day-time interval."""
+        if isinstance(op, ast.Add):
+            if isinstance(a, _TimeDelta) and isinstance(b, _TimeDelta):
+                return _TimeDelta(a.seconds + b.seconds)
+            base, td = (a, b) if isinstance(b, _TimeDelta) else (b, a)
+            return self._anchor(base, td.seconds)
+        if isinstance(op, ast.Sub) and isinstance(b, _TimeDelta) \
+                and not isinstance(a, _TimeDelta):
+            return self._anchor(a, -b.seconds)
+        if isinstance(op, ast.Mult):
+            td, k = (a, b) if isinstance(a, _TimeDelta) else (b, a)
+            if not isinstance(k, _TimeDelta) and not isinstance(k, Column):
+                return _TimeDelta(td.seconds * k)
+        raise _Unsupported("timedelta arithmetic")
+
+    def _anchor(self, base, secs):
+        if isinstance(base, _dt.timedelta):
+            return _TimeDelta(_lit(base.total_seconds()) + secs)
+        if isinstance(base, (_dt.datetime, _dt.date)):
+            return F.timestamp_seconds(F.lit(self._epoch(base)) + secs)
+        if isinstance(base, Column):
+            return base + self._interval(secs)
+        raise _Unsupported("timedelta anchored to non-datetime")
+
+    @staticmethod
+    def _interval(secs):
+        from pyspark.sql.functions import make_dt_interval
+        return make_dt_interval(secs=_lit(secs).cast("decimal(18,6)"))
 
     def _compare(self, node):
         if len(node.ops) != 1:  # chained comparisons: rare, bail
@@ -264,7 +358,19 @@ class _Compiler:
 
     def _call(self, node):
         if node.keywords:
-            raise _Unsupported("kwargs in call")
+            # Only datetime.timedelta takes kwargs (the reference's
+            # `START_DATE + timedelta(seconds=x)` idiom).
+            if any(k.arg is None for k in node.keywords):
+                raise _Unsupported("**kwargs")
+            try:
+                target = self._resolve_static(node.func)
+            except _Unsupported:
+                target = None
+            if target is not _dt.timedelta:
+                raise _Unsupported("kwargs in call")
+            return self._timedelta(
+                [self.eval(a) for a in node.args],
+                {k.arg: self.eval(k.value) for k in node.keywords})
         # method call on a compiled Column: x.lower() / x.split(sep)
         if isinstance(node.func, ast.Attribute):
             try:
@@ -286,6 +392,8 @@ class _Compiler:
                     if _is_col(arg):
                         return F.log1p(arg)
         args = [self.eval(a) for a in node.args]
+        if target is _dt.timedelta:
+            return self._timedelta(args, {})
         if not _is_col(*args):            # pure-Python subtree: fold now
             return target(*args)
         try:
@@ -293,6 +401,20 @@ class _Compiler:
         except (KeyError, TypeError):
             raise _Unsupported(getattr(target, "__name__", repr(target))) from None
         return builder(*args)
+
+    def _timedelta(self, args, kwargs):
+        parts = dict(zip(_TD_POSITIONAL, args))
+        parts.update(kwargs)
+        if set(parts) - set(_TD_FACTORS):
+            raise _Unsupported("timedelta argument")
+        if not _is_col(*parts.values()):       # pure constants: fold
+            return _dt.timedelta(**parts)
+        total = None
+        for name, v in parts.items():
+            f = _TD_FACTORS[name]
+            term = _lit(v) if f == 1.0 else _lit(v) * f
+            total = term if total is None else total + term
+        return _TimeDelta(total)
 
     def _method(self, col: Column, name: str, args):
         if name == "lower" and not args:

@@ -65,23 +65,40 @@ class SetTransformer(SparkDFPBase):
         result = sorted(r["__dfp_v"] for r in self.result_df(df).collect())
         self.output_func(result)
 
-        n = df.count()
+        # Pad into a column: attach by row position (the reference assigns
+        # the list positionally).  Positional padding is a parity-tier
+        # surface — row order is only meaningful relative to the current
+        # partition layout; use ``result_df()`` as the scale-native
+        # output.  Row ids come from the zipWithIndex pattern: one tiny
+        # per-partition count job, then offset[pid] + a partition-LOCAL
+        # row_number — no global single-partition sort anywhere.
+        counts = (df.groupBy(F.spark_partition_id().alias("__dfp_pid"))
+                  .count().collect())
+        offsets, n = {}, 0
+        for r in sorted(counts, key=lambda r: r["__dfp_pid"]):
+            offsets[r["__dfp_pid"]] = n
+            n += r["count"]
         if len(result) > n:
             raise AssertionError(
                 f"The length of the result is longer than that of DataFrame. "
                 f"len(result)={len(result)} len(df)={n}"
             )
-        # Pad into a column: attach by row position (the reference assigns the
-        # list positionally).  Spark has no row order, so impose one.
         res_df = df.sparkSession.range(1).select(
             F.posexplode(F.array(*[F.lit(v).cast("string") for v in result]))
             .alias("__dfp_pos", "__dfp_v")
-        )
-        w = Window.orderBy(F.monotonically_increasing_id())
-        df = df.withColumn("__dfp_pos", F.row_number().over(w) - 1)
+        ).withColumn("__dfp_pos", F.col("__dfp_pos").cast("long"))
+        off = F.create_map(
+            *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]) \
+            if offsets else F.create_map(F.lit(0), F.lit(0).cast("long"))
+        w = Window.partitionBy("__dfp_pid").orderBy(
+            F.monotonically_increasing_id())
         df = (
-            df.join(F.broadcast(res_df), on="__dfp_pos", how="left")
+            df.withColumn("__dfp_pid", F.spark_partition_id())
+            .withColumn("__dfp_pos",
+                        (off[F.col("__dfp_pid")]
+                         + F.row_number().over(w) - 1).cast("long"))
+            .join(F.broadcast(res_df), on="__dfp_pos", how="left")
             .withColumn(self.output_operand, F.col("__dfp_v"))
-            .drop("__dfp_pos", "__dfp_v")
+            .drop("__dfp_pid", "__dfp_pos", "__dfp_v")
         )
         return df

@@ -99,3 +99,31 @@ def test_connected_components_chain(spark):
         pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]}))
     out = {r.node: r.comp for r in connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_deep_path(spark):
+    """A 60-node path graph converges well under max_iter thanks to
+    pointer doubling (O(log n) rounds, not O(n))."""
+    import pandas as pd
+    from dataframe_pipeline_spark.dedup import connected_components
+
+    n = 60
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(n - 1)),
+                      "id_b": list(range(1, n))}))
+    out = {r.node: r.comp for r in
+           connected_components(pairs, max_iter=12).collect()}
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_connected_components_unconverged_raises(spark):
+    import pandas as pd
+    import pytest as pt
+    from dataframe_pipeline_spark.dedup import connected_components
+
+    n = 40
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(n - 1)),
+                      "id_b": list(range(1, n))}))
+    with pt.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)

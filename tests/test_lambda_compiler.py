@@ -105,3 +105,53 @@ def test_function_transformer_udf_fallback(df):
                              func=lambda s: s[::-1], returns=str)
     out = ft.fit_transform(df)
     assert _vals(out, "h") == ["b a", "d c", "dc-ba", "z"]
+
+
+def test_nary_mean_compiles_native(df):
+    """walkBytecode 'mean' → ONNX Mean analog: np.mean over a tuple of
+    columns compiles to (a+b)/2 with no Python in the plan."""
+    out = _compiled(df, lambda x, y: np.mean((x, y)), ["x", "y"])
+    assert _vals(out, "out") == [1.75, 3.0, 6.0, 0.375]
+    assert "EvalPython" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_min_over_list(df):
+    out = _compiled(df, lambda x, y: min([x, y]), ["x", "y"])
+    assert _vals(out, "out") == [1.5, 2.0, 3.0, 0.25]
+
+
+def test_timedelta_seconds_origin(spark):
+    """walkBytecode 'timedelta' analog: the reference's
+    `START_DATE + datetime.timedelta(seconds=x)` idiom
+    (benchmarks/fraud_detection_1/FraudDetection1.py:172) compiles to a
+    native timestamp_seconds expression."""
+    import datetime
+
+    START_DATE = datetime.datetime(2017, 11, 30)
+    f = lambda x: START_DATE + datetime.timedelta(seconds=x)
+    sdf = spark.createDataFrame([(0,), (86400,), (90061,)], "x long")
+    out = _compiled(sdf, f, ["x"])
+    got = _vals(out, "out")
+    exp = [f(v) for v in [0, 86400, 90061]]
+    assert got == exp
+    assert "EvalPython" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_timedelta_mixed_units_and_sub(spark):
+    import datetime
+
+    ANCHOR = datetime.datetime(2020, 1, 1, 12, 0, 0)
+    f = lambda d: ANCHOR - datetime.timedelta(days=d, hours=1)
+    sdf = spark.createDataFrame([(0,), (2,)], "d long")
+    out = _compiled(sdf, f, ["d"])
+    assert _vals(out, "out") == [f(0), f(2)]
+
+
+def test_timedelta_on_timestamp_column(spark):
+    import datetime
+
+    f = lambda t, s: t + datetime.timedelta(seconds=s)
+    sdf = spark.createDataFrame(
+        [(datetime.datetime(2021, 5, 1, 0, 0, 0), 3600)], "t timestamp, s long")
+    out = _compiled(sdf, f, ["t", "s"])
+    assert _vals(out, "out") == [datetime.datetime(2021, 5, 1, 1, 0, 0)]

@@ -115,3 +115,18 @@ def test_asof_join_single_shuffle(spark, qs):
     p = _plan(qs["asof_last_purchase"](spark, SF))
     assert "Window" in p
     assert "SortMergeJoin" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_set_padded_path_no_single_partition_sort(spark):
+    """The positional-padding path uses zipWithIndex-style per-partition
+    offsets: the window is partition-local, so no Exchange
+    SinglePartition appears in the plan."""
+    from dataframe_pipeline_spark.operators import SetTransformer
+
+    df = spark.read.parquet(f"{SF}/customer.parquet").repartition(8)
+    st = SetTransformer(first_operand="c_mktsegment",
+                        second_operand=["BUILDING", "AUTOMOBILE"],
+                        output_operand="seg", output_func=lambda r: None,
+                        set_operation="*")
+    p = _plan(st.transform(df))
+    assert "SinglePartition" not in p
