@@ -1,0 +1,106 @@
+"""Model-boundary parity: fit a real classifier on assembled features,
+score it distributed, ensemble-average — the reference's end state.
+
+The reference's MLPipelineBenchmark finishes with an ensemble of
+classifiers averaged over ``predict_proba(x)[:, 1]``
+(/root/reference/benchmarks/MLPipelineBenchmark.py:96-98,122-127); its
+ONNX path splices the fitted model graph onto the preprocessing graph
+(/root/reference/dfpipeline/OnnxGraph.py:119-136).  The Spark-first
+analog keeps the same split production systems use:
+
+* **fit** happens driver-side on a (bounded) collected feature matrix —
+  the single-node-model wrap tier, same contract as ``WrapTransformer``;
+* **score** happens distributed via ``features.score_with`` — the model
+  parameters ride the closure into an Arrow-batched pandas UDF, so a
+  100 TB scoring pass is a map-only job with no driver round-trip.
+
+sklearn is not available in this container, so the classifier is a
+small, deterministic full-batch gradient-descent logistic regression in
+pure numpy with the sklearn ``fit`` / ``predict_proba`` surface — any
+object with that surface (sklearn, xgboost, ...) drops into
+``ensemble_proba_fn`` unchanged.
+
+Because scoring is elementwise per row (a matrix-vector product and a
+sigmoid), the distributed Arrow-batched result matches driver-side
+scoring of the same matrix to 1 ulp (BLAS summation order varies with
+batch size) — asserted in ``tests/test_models.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class NumpyLogisticRegression:
+    """Binary logistic regression, sklearn-surface (`fit`,
+    `predict_proba`, `predict`), deterministic: full-batch gradient
+    descent, zero init, fixed iteration count — no RNG anywhere."""
+
+    def __init__(self, lr: float = 0.1, n_iter: int = 200, l2: float = 0.0):
+        self.lr = lr
+        self.n_iter = n_iter
+        self.l2 = l2
+        self.coef_ = None
+        self.intercept_ = 0.0
+
+    @staticmethod
+    def _sigmoid(z):
+        return 1.0 / (1.0 + np.exp(-z))
+
+    def fit(self, X, y):
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        n, k = X.shape
+        w = np.zeros(k, dtype=np.float64)
+        b = 0.0
+        for _ in range(self.n_iter):
+            p = self._sigmoid(X @ w + b)
+            g = p - y
+            w -= self.lr * ((X.T @ g) / n + self.l2 * w)
+            b -= self.lr * float(g.mean())
+        self.coef_ = w
+        self.intercept_ = b
+        return self
+
+    def predict_proba(self, X):
+        X = np.asarray(X, dtype=np.float64)
+        p1 = self._sigmoid(X @ self.coef_ + self.intercept_)
+        return np.column_stack([1.0 - p1, p1])
+
+    def predict(self, X):
+        return (self.predict_proba(X)[:, 1] >= 0.5).astype(np.int64)
+
+
+def ensemble_proba_fn(models):
+    """``predict_fn`` for :func:`features.score_with`: the mean positive-
+    class probability across an ensemble — exactly the reference's
+    ``preds += clf.predict_proba(x)[:, 1]; preds /= len(clfs)`` loop
+    (MLPipelineBenchmark.py:122-127), vectorized per Arrow batch."""
+    def _fn(X):
+        preds = np.zeros(len(X), dtype=np.float64)
+        for m in models:
+            preds += m.predict_proba(X)[:, 1]
+        return preds / len(models)
+    return _fn
+
+
+def collect_training_matrix(df, feature_cols, label_col,
+                            max_rows: int = 100_000):
+    """Driver-side (X, y) for the fit step — the wrap-tier boundary.
+    Deterministically bounded: takes the md5-mod sample when the frame
+    exceeds ``max_rows`` (content-addressed, partition-independent)."""
+    from pyspark.sql import functions as F
+
+    sel = df.select(*[F.col(c).cast("double") for c in feature_cols],
+                    F.col(label_col).cast("double").alias("__y"))
+    n = sel.count()
+    if n > max_rows:
+        mod = -(-n // max_rows)
+        key = F.md5(F.concat_ws(
+            ",", *[F.col(c).cast("string") for c in feature_cols]))
+        sel = sel.filter(
+            F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % mod == 0)
+    pdf = sel.toPandas()
+    X = pdf[feature_cols].to_numpy(dtype=np.float64)
+    y = pdf["__y"].to_numpy(dtype=np.float64)
+    return X, y
