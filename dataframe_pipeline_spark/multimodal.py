@@ -49,11 +49,115 @@ def with_payload_metadata(df: DataFrame, src_col: str = "text",
     )
 
 
+def _decode_bmp(b: bytes):
+    """Uncompressed (BI_RGB) 24/32-bit BMP → (width, height, mean_pixel).
+
+    Pure stdlib+numpy: header fields per the public BITMAPINFOHEADER
+    layout; rows are 4-byte aligned, bottom-up (or top-down when height
+    is negative); mean is over the B,G,R channel bytes (alpha and row
+    padding excluded)."""
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP supported (bpp={bpp}, "
+            f"compression={comp})")
+    height, bypp = abs(h), bpp // 8
+    row = ((w * bypp + 3) // 4) * 4
+    if off + row * height > len(b):
+        raise ValueError("truncated BMP pixel array")
+    px = np.frombuffer(b, dtype=np.uint8, count=row * height, offset=off)
+    px = px.reshape(height, row)[:, :w * bypp].reshape(height, w, bypp)[..., :3]
+    return w, height, float(px.mean())
+
+
+def _decode_ppm(b: bytes):
+    """Binary PPM (P6) → (width, height, mean_pixel).  Header tokens may
+    be separated by any whitespace and '#' comments; exactly one
+    whitespace byte separates maxval from the pixel array."""
+    import numpy as np
+
+    if b[:2] != b"P6":
+        raise NotImplementedError("not a P6 PPM payload")
+    toks, i = [], 2
+    while len(toks) < 3:
+        while i < len(b) and b[i:i + 1].isspace():
+            i += 1
+        if b[i:i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j:j + 1].isspace():
+            j += 1
+        toks.append(int(b[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, height, maxval = toks
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    n = w * height * 3
+    if i + n > len(b):
+        raise ValueError("truncated PPM pixel array")
+    data = np.frombuffer(b, dtype=np.uint8, count=n, offset=i)
+    return w, height, float(data.mean())
+
+
 def decode_image(payload: bytes):
-    """Real decoder hook — image libs are not in this container."""
+    """Real decode for the container-decodable formats — uncompressed
+    BMP (24/32-bit BI_RGB) and binary PPM (P6), both pure
+    stdlib+numpy.  Returns (width, height, mean_pixel).  Compressed
+    formats (JPEG/PNG/...) need PIL/opencv, which this container lacks
+    → NotImplementedError; ``FakeImageDecoder`` remains the
+    deterministic double for those."""
+    b = bytes(payload)
+    if b[:2] == b"BM":
+        return _decode_bmp(b)
+    if b[:2] == b"P6":
+        return _decode_ppm(b)
     raise NotImplementedError(
-        "image decoding requires PIL/opencv; not available here — "
+        "only uncompressed BMP/PPM decodable without PIL/opencv — "
         "FakeImageDecoder provides the deterministic test double")
+
+
+def encode_bmp(pixels) -> bytes:
+    """Minimal 24-bit BI_RGB BMP writer (test fixture / synth-data
+    generator): ``pixels`` is an (H, W, 3) uint8 RGB array; rows are
+    written bottom-up, 4-byte padded, channels as BGR."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    height, w, _ = a.shape
+    row = ((w * 3 + 3) // 4) * 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):
+        line = a[y, :, ::-1].tobytes()          # RGB → BGR
+        body += line + b"\0" * (row - len(line))
+    off, size = 54, 54 + len(body)
+    return (b"BM" + size.to_bytes(4, "little") + b"\0\0\0\0"
+            + off.to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + height.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+            + (2835).to_bytes(4, "little") * 2
+            + (0).to_bytes(4, "little") * 2 + bytes(body))
+
+
+def encode_ppm(pixels) -> bytes:
+    """Minimal binary PPM (P6) writer: (H, W, 3) uint8 RGB array."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    height, w, _ = a.shape
+    return f"P6\n{w} {height}\n255\n".encode() + a.tobytes()
 
 
 def resize_image(payload: bytes, width: int, height: int):
@@ -150,6 +254,52 @@ class FakeImageDecoder:
                     "width": raw.map(lambda b: 1 + b[0] % 64).astype("int32"),
                     "height": raw.map(lambda b: 1 + b[-1] % 64).astype("int32"),
                     "mean_pixel": raw.map(lambda b: sum(b) / len(b)),
+                })
+
+        cols = with_payload_metadata(df, id_col=id_col) if "payload" not in df.columns else df
+        return cols.mapInPandas(decode, schema=DECODE_SCHEMA)
+
+
+class ImageDecoder:
+    """REAL image decode + feature extraction over Arrow batches for the
+    formats decodable without external libs (uncompressed BMP, binary
+    PPM — see :func:`decode_image`).  Same schema/partitioning/batch
+    shape as ``FakeImageDecoder``, so swapping a PIL-backed kernel in a
+    full container is a one-function change.
+
+    ``on_error='raise'`` propagates undecodable payloads;
+    ``on_error='null'`` yields NULL width/height/mean for them (the
+    robust bulk-ingest setting).
+    """
+
+    def __init__(self, id_col: str = "doc_id", on_error: str = "raise"):
+        assert on_error in ("raise", "null")
+        self.id_col = id_col
+        self.on_error = on_error
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        id_col, on_error = self.id_col, self.on_error
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ws, hs, ms = [], [], []
+                for b in pdf["payload"]:
+                    try:
+                        w, h, m = decode_image(bytes(b))
+                    except (NotImplementedError, ValueError):
+                        if on_error == "raise":
+                            raise
+                        w = h = m = None
+                    ws.append(w)
+                    hs.append(h)
+                    ms.append(m)
+                yield pd.DataFrame({
+                    id_col: pdf[id_col],
+                    "n_bytes": pdf["n_bytes"],
+                    "digest": pdf["digest"],
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "mean_pixel": pd.array(ms, dtype="Float64"),
                 })
 
         cols = with_payload_metadata(df, id_col=id_col) if "payload" not in df.columns else df

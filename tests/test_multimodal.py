@@ -64,3 +64,62 @@ def test_decode_stubs_raise():
         mm.decode_image(b"\x00")
     with _pytest.raises(NotImplementedError):
         mm.resize_image(b"\x00", 2, 2)
+
+
+def test_bmp_roundtrip_decode():
+    """Generated 24-bit BMP decodes to exact width/height/mean."""
+    import numpy as np
+    from dataframe_pipeline_spark.multimodal import decode_image, encode_bmp
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)  # odd W: padding
+    w, h, mean = decode_image(encode_bmp(img))
+    assert (w, h) == (7, 5)
+    assert mean == float(img.mean())
+
+
+def test_ppm_roundtrip_decode():
+    import numpy as np
+    from dataframe_pipeline_spark.multimodal import decode_image, encode_ppm
+
+    img = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+    w, h, mean = decode_image(encode_ppm(img))
+    assert (w, h) == (3, 4)
+    assert mean == float(img.mean())
+
+
+def test_decode_image_rejects_unknown_format():
+    import pytest as pt
+    from dataframe_pipeline_spark.multimodal import decode_image
+
+    with pt.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\nrest")
+
+
+def test_real_image_decoder_stage(spark):
+    """ImageDecoder decodes real BMP payloads distributed via
+    mapInPandas; on_error='null' nulls out undecodable rows."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from dataframe_pipeline_spark import multimodal as mm
+
+    imgs = {i: np.full((2 + i, 3, 3), i * 10, dtype=np.uint8)
+            for i in range(3)}
+    rows = [(i, bytearray(mm.encode_bmp(img))) for i, img in imgs.items()]
+    rows.append((99, bytearray(b"not-an-image")))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    df = df.select(
+        "doc_id", "payload",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.substring(F.sha2("payload", 256), 1, 16).alias("digest"))
+
+    out = {r.doc_id: r for r in
+           mm.ImageDecoder(on_error="null").transform(df).collect()}
+    for i, img in imgs.items():
+        assert (out[i].width, out[i].height) == (3, 2 + i)
+        assert out[i].mean_pixel == float(img.mean())
+    assert out[99].width is None and out[99].mean_pixel is None
+
+    import pytest as pt
+    with pt.raises(Exception):
+        mm.ImageDecoder(on_error="raise").transform(df).collect()
