@@ -23,8 +23,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--assert"]
+    do_assert = "--assert" in sys.argv
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    only = set(argv[1:])
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     names = [n for n in sorted(oracles) if not only or n in only]
 
@@ -59,7 +61,28 @@ def main():
           f"{sum(r[1] for r in rows):.1f}s, duckdb total "
           f"{sum(r[2] for r in rows):.1f}s; "
           f">2x-and->0.5s: {[r[0] for r in over]}")
+    out = os.environ.get("BENCH_VS_DUCK_OUT")
+    if out:
+        import json
+
+        with open(out, "w") as fh:
+            json.dump({
+                "sf_dir": sf_dir,
+                "spark_total_s": round(sum(r[1] for r in rows), 3),
+                "duckdb_total_s": round(sum(r[2] for r in rows), 3),
+                "over_2x_nontrivial": [r[0] for r in over],
+                "queries": {r[0]: {"spark_s": round(r[1], 3),
+                                   "duck_s": round(r[2], 3),
+                                   "ratio": round(r[3], 2)} for r in rows},
+            }, fh, indent=1)
+        print(f"wrote {out}")
     spark.stop()
+    if do_assert and over:
+        # the ≤2x gate applies to non-trivial queries only (spark >0.5s):
+        # sub-second queries measure Spark's fixed job-launch overhead,
+        # not operator throughput
+        print(f"ASSERT FAILED: {[r[0] for r in over]} exceed 2x DuckDB")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -117,3 +117,39 @@ def test_score_stream_matches_batch(spark, events_batch, tmp_path):
     exp = {r.event_id: (r.type_id, r.user_mean, r.v2)
            for r in pipe.transform(events_batch).collect()}
     assert got == exp
+
+
+def test_streamed_pipeline_end_to_end_sf001(spark, tmp_path):
+    """Composed streaming path at sf0.01 real data: fit a pipeline on
+    the batch events table, then stream a duplicated copy of the table
+    through exact-dedup-within-watermark -> the fitted scoring
+    transform -> memory sink, and assert the drained result equals the
+    batch twin (dropDuplicates -> transform) exactly."""
+    import dataframe_pipeline_spark as dfp
+    from dataframe_pipeline_spark.ext_queries import _events
+
+    events = _events(spark, "/root/testdata/sf0.01")
+    pipe = dfp.DataframePipeline(steps=[
+        dfp.ComplementLabelEncoder(inputs=["event_type"], outputs=["type_id"]),
+        dfp.Aggregator(inputs=["value"], outputs=["user_mean"],
+                       groupby=["user_id"], func="mean"),
+        dfp.FunctionTransformer(inputs=["value"], outputs=["v2"],
+                                func=lambda v: v * 2),
+    ])
+    pipe.fit(events)
+
+    # stream source: the table plus 1000 duplicated events
+    src = str(tmp_path / "events_e2e")
+    events.union(events.limit(1000)).write.parquet(src)
+    sdf = spark.readStream.schema(events.schema).parquet(src)
+    composed = st.score_stream(
+        pipe, st.dedup_stream(sdf, keys="event_id", watermark="1 hour"))
+    st.run_to_memory(composed, name="e2e_t", mode="append")
+
+    got = {r.event_id: (r.type_id, r.user_mean, r.v2)
+           for r in spark.sql("SELECT * FROM e2e_t").collect()}
+    exp = {r.event_id: (r.type_id, r.user_mean, r.v2)
+           for r in st.score_stream(
+               pipe, st.dedup_stream(events, keys="event_id")).collect()}
+    assert len(got) == 10000
+    assert got == exp
