@@ -325,19 +325,32 @@ class SimHasher:
         self.bits = bits
 
     def fingerprint_col(self) -> Column:
-        """Fold the precomputed ``__simhs`` hash array into the fingerprint."""
-        vote = ("aggregate(__simhs, 0L, (acc, h) -> acc + "
-                "(case when (h >> b) & 1 = 1 then 1L else -1L end))")
-        bits = (f"transform(sequence(0, {self.bits - 1}), b -> "
-                f"case when {vote} >= 0 then shiftleft(1L, b) else 0L end)")
+        """Fold the precomputed ``__simhs`` hash array into the
+        fingerprint in ONE pass over the token hashes.
+
+        The accumulator is a ``bits``-element vote-counter array: each
+        token contributes ``2*bit - 1`` (±1) to every counter via a
+        ``zip_with``, then the counters fold into the packed fingerprint.
+        The naive per-bit formulation (``aggregate(__simhs, ...)``
+        *inside* ``transform(sequence(0, 59), ...)``) re-scans the token
+        array once per bit — 60 passes per row, measured 44× slower than
+        the DuckDB twin at sf0.1 (BENCH_VS_DUCK_r02).  Votes and signs
+        are identical either way, so the fingerprint value is unchanged.
+        """
+        nb = self.bits
+        votes = (f"aggregate(__simhs, array_repeat(0L, {nb}), (acc, h) -> "
+                 f"zip_with(acc, transform(sequence(0, {nb - 1}), b -> "
+                 f"(h >> b) & 1), (v, bit) -> v + 2*bit - 1))")
         return F.expr(
-            f"aggregate({bits}, 0L, (acc, x) -> acc + x)"
+            f"aggregate(zip_with({votes}, sequence(0, {nb - 1}), (v, b) -> "
+            f"case when v >= 0 then shiftleft(1L, b) else 0L end), "
+            f"0L, (acc, x) -> acc + x)"
         ).alias("simhash")
 
     def transform(self, df: DataFrame, text_col: str = "text") -> DataFrame:
         hs = f"transform(array_distinct(split({text_col}, ' ')), t -> {h60_expr('t')})"
         return (
-            df.withColumn("__simhs", F.expr(hs))
+            spread(df).withColumn("__simhs", F.expr(hs))
             .withColumn("simhash", self.fingerprint_col())
             .drop("__simhs")
         )

@@ -165,6 +165,12 @@ def q_dedup_simhash(spark, sf_dir):
     return dd.SimHasher().transform(docs).select("doc_id", "simhash")
 
 
+# NOTE: the Spark kernel folds the token hashes in ONE pass (a
+# zip_with vote-counter accumulator, see SimHasher.fingerprint_col);
+# this twin keeps the per-bit list_sum formulation because in DuckDB
+# that is the *faster* shape (0.30s vs 0.50s at sf0.1 for a
+# list_reduce mirror of the accumulator) and the fingerprint values
+# are provably identical either way (same votes, same signs).
 SQL_DEDUP_SIMHASH = f"""
 WITH hs AS (
   SELECT doc_id,
@@ -882,7 +888,12 @@ EXT_QUERIES = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, _sql_embedding_cosine()),
     "sim_topk_cosine": (q_sim_topk_cosine, SQL_SIM_TOPK),
     "sim_ann_lsh": (q_sim_ann_lsh, _sql_sim_ann()),
-    "sim_ann_ivf": (q_sim_ann_ivf, _sql_sim_ann_ivf()),
+    # data-dependent generated oracle: registered as the *generator* so
+    # package import stays side-effect-free (no duckdb import, no parquet
+    # read, no k-means at import time) and so check_oracle/bench can
+    # regenerate it at whatever sf_dir they actually run — the resolver
+    # is __spark_entry__.oracle_sql(sf_dir).
+    "sim_ann_ivf": (q_sim_ann_ivf, _sql_sim_ann_ivf),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_quality": (q_text_quality, _sql_text_quality()),
     "text_langid": (q_text_langid, _sql_text_langid()),

@@ -315,8 +315,17 @@ class _Compiler:
     def _anchor(self, base, secs):
         if isinstance(base, _dt.timedelta):
             return _TimeDelta(_lit(base.total_seconds()) + secs)
-        if isinstance(base, (_dt.datetime, _dt.date)):
+        if isinstance(base, _dt.datetime):
             return F.timestamp_seconds(F.lit(self._epoch(base)) + secs)
+        if isinstance(base, _dt.date):
+            # Python: date ± timedelta is a DATE, but the compiled
+            # timestamp_seconds(...) would be a TIMESTAMP — a different
+            # result type than the lambda (and than the UDF fallback
+            # used when compilation bails).  The span here is always a
+            # Column expression, so whole-day-ness is not statically
+            # knowable — bail to the UDF fallback, which runs the
+            # original lambda and preserves Python semantics exactly.
+            raise _Unsupported("timedelta anchored to datetime.date")
         if isinstance(base, Column):
             return base + self._interval(secs)
         raise _Unsupported("timedelta anchored to non-datetime")

@@ -85,21 +85,29 @@ def ensemble_proba_fn(models):
 
 
 def collect_training_matrix(df, feature_cols, label_col,
-                            max_rows: int = 100_000):
+                            max_rows: int = 100_000, id_col: str | None = None):
     """Driver-side (X, y) for the fit step — the wrap-tier boundary.
     Deterministically bounded: takes the md5-mod sample when the frame
-    exceeds ``max_rows`` (content-addressed, partition-independent)."""
+    exceeds ``max_rows``.  The sample keys on ``id_col`` when one is
+    given — keying on concatenated feature values would keep or drop
+    all duplicates of a feature row together, skewing the sample — and
+    a TakeOrdered ``limit`` after the filter makes the bound hard, not
+    just in-expectation (the md5-mod filter only bounds the *expected*
+    row count)."""
     from pyspark.sql import functions as F
 
-    sel = df.select(*[F.col(c).cast("double") for c in feature_cols],
+    key = (F.col(id_col).cast("string") if id_col is not None
+           else F.concat_ws(",", *[F.col(c).cast("string")
+                                   for c in feature_cols]))
+    sel = df.select(F.md5(key).alias("__k"),
+                    *[F.col(c).cast("double") for c in feature_cols],
                     F.col(label_col).cast("double").alias("__y"))
     n = sel.count()
     if n > max_rows:
         mod = -(-n // max_rows)
-        key = F.md5(F.concat_ws(
-            ",", *[F.col(c).cast("string") for c in feature_cols]))
-        sel = sel.filter(
-            F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % mod == 0)
+        sel = (sel.filter(
+            F.conv(F.substring("__k", 1, 8), 16, 10).cast("long") % mod == 0)
+            .orderBy("__k").limit(max_rows))
     pdf = sel.toPandas()
     X = pdf[feature_cols].to_numpy(dtype=np.float64)
     y = pdf["__y"].to_numpy(dtype=np.float64)

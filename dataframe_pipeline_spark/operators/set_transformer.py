@@ -72,8 +72,15 @@ class SetTransformer(SparkDFPBase):
         # output.  Row ids come from the zipWithIndex pattern: one tiny
         # per-partition count job, then offset[pid] + a partition-LOCAL
         # row_number — no global single-partition sort anywhere.
-        counts = (df.groupBy(F.spark_partition_id().alias("__dfp_pid"))
-                  .count().collect())
+        # The pid-stamped frame is eagerly localCheckpoint-ed so the
+        # count job and the position-assignment job read the SAME
+        # materialized partition layout — lineage re-execution (a
+        # non-deterministic source, AQE re-coalescing between the two
+        # plans) can otherwise shift the pid→offset map and silently
+        # mis-assign positions.
+        keyed = df.withColumn(
+            "__dfp_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+        counts = keyed.groupBy("__dfp_pid").count().collect()
         offsets, n = {}, 0
         for r in sorted(counts, key=lambda r: r["__dfp_pid"]):
             offsets[r["__dfp_pid"]] = n
@@ -93,7 +100,7 @@ class SetTransformer(SparkDFPBase):
         w = Window.partitionBy("__dfp_pid").orderBy(
             F.monotonically_increasing_id())
         df = (
-            df.withColumn("__dfp_pid", F.spark_partition_id())
+            keyed
             .withColumn("__dfp_pos",
                         (off[F.col("__dfp_pid")]
                          + F.row_number().over(w) - 1).cast("long"))

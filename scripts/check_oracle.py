@@ -55,7 +55,7 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql(sf_dir)
     ok = bad = skipped = 0
     for name in sorted(qs):
         if only and name not in only:
