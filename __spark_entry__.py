@@ -42,6 +42,7 @@ _NEVER_CHECKED_FIRST = [
     "join_left_enrich",
     "split_train",
     "multimodal_decode",
+    "dedup_ngram_capped",   # new in r3
 ]
 
 _MERGED = {**CORE_QUERIES, **EXT_QUERIES}

@@ -5,6 +5,18 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is materialized through the `noop` sink so every output column
 is actually computed (a bare count() would let Catalyst prune the work).
+
+Load-noise hygiene (BENCH_r02 read 2x BENCH_r01 purely from a busy
+machine): each query reports min of 3 runs ("queries") AND the median
+("queries_median"), and a fixed-work canary — ``spark.range(2e8).sum()``
+— is timed before and after the query loop ("canary_sec").  A
+contaminated run is self-identifying: median >> min across the board,
+or a canary far off its idle-machine ~0.2 s.
+
+"online_p50_ms" tracks the reference's second deploy shape (1-row
+online scoring, /root/reference/benchmarks/RunBench.py:69-77): median
+wall-clock to run a fitted pipeline's transform plan over a single-row
+frame, driver round-trip included.
 """
 
 from __future__ import annotations
@@ -49,6 +61,39 @@ EXT_HEADLINE = [
 ]
 
 
+def _canary(spark) -> float:
+    """Fixed CPU-bound probe: ~0.2 s on an idle local[32] box; a 2x+
+    reading means the measurement environment is contaminated."""
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id)").collect()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _online_p50_ms(spark, n_iter: int = 15) -> float:
+    """Median 1-row scoring latency through a fitted pipeline."""
+    import statistics
+
+    import dataframe_pipeline_spark as dfp
+    from dataframe_pipeline_spark.ext_queries import _events
+
+    ev = _events(spark, "/root/testdata/sf0.001")
+    pipe = dfp.DataframePipeline(steps=[
+        dfp.ComplementLabelEncoder(inputs=["event_type"], outputs=["type_id"]),
+        dfp.Aggregator(inputs=["value"], outputs=["user_mean"],
+                       groupby=["user_id"], func="mean"),
+        dfp.Scaler(inputs=["value"], outputs=["value_mm"], strategy="minmax"),
+    ])
+    pipe.fit(ev)
+    one = spark.createDataFrame([ev.head()], schema=ev.schema)
+    pipe.transform(one).collect()          # warm the plan paths
+    lats = []
+    for _ in range(n_iter):
+        t0 = time.perf_counter()
+        pipe.transform(one).collect()
+        lats.append(time.perf_counter() - t0)
+    return round(statistics.median(lats) * 1000, 1)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -69,22 +114,31 @@ def main():
     except Exception:
         pass
 
-    times = {}
+    canary_before = _canary(spark)
+
+    times, medians = {}, {}
     for name in names:
-        # min of 2 runs: steady-state time (first run pays one-time JIT /
+        # min of 3 runs: steady-state time (first run pays one-time JIT /
         # codegen / cache-population costs that a long-lived cluster
-        # session amortizes away)
-        best = None
-        for _ in range(2):
+        # session amortizes away); the median is the load-noise tell.
+        runs = []
+        for _ in range(3):
             # each measurement pays its own full cost (incl. any persist
             # the query does) and leaves no cache behind for neighbors
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        times[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
+
+    canary_after = _canary(spark)
+    try:
+        online_ms = _online_p50_ms(spark)
+    except Exception:
+        online_ms = None
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -92,6 +146,10 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_median": medians,
+        "median_total": round(sum(medians.values()), 3),
+        "canary_sec": [canary_before, canary_after],
+        "online_p50_ms": online_ms,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

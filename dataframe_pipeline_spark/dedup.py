@@ -405,17 +405,46 @@ class QuantizedCosineDeduplicator:
 
     ``pairs(bucketed=False)`` — exact all-pairs (O(n²), the correctness
     baseline).  ``bucketed=True`` — random-hyperplane sign LSH: docs are
-    bucketed by an 8-bit signature and only same-bucket pairs are
-    compared; deterministic ±1 hyperplanes derived from md5 so the
+    bucketed by an ``n_planes``-bit signature and only same-bucket pairs
+    are compared; deterministic ±1 hyperplanes derived from md5 so the
     approximation itself is oracle-replayable.
+
+    **Bucket-size math (the scale knob).**  With ``p`` planes there are
+    ``2^p`` buckets and the within-bucket work is Σ n_b² ≈ n²/2^p for
+    roughly balanced buckets — a FIXED ``p`` therefore stays quadratic
+    in n and becomes the bottleneck at corpus scale.  Keeping expected
+    occupancy constant needs ``p ≈ log2(n) + margin``:  at n = 10⁹ docs
+    and margin 4, p = 34 gives ~1/16 expected occupancy, so candidate
+    verification is linear in n.  ``n_planes="auto"`` applies exactly
+    that rule (:meth:`planes_for`, resolved against ``df.count()`` at
+    ``pairs`` time, one count job); the recall trade-off is the standard
+    sign-LSH one — more planes split true near-dup pairs apart, so auto
+    mode is a candidate *generator* to be unioned across permutations /
+    combined with a verify threshold, not a guarantee of recall.
     """
 
     def __init__(self, threshold: float = 0.45, scale: int = 1000,
-                 n_planes: int = 8, dim: int = 64):
+                 n_planes: int | str = 8, dim: int = 64):
         self.threshold = threshold
         self.scale = scale
         self.n_planes = n_planes
         self.dim = dim
+
+    @staticmethod
+    def planes_for(n_rows: int, margin: int = 4) -> int:
+        """``ceil(log2(n)) + margin`` planes — keeps expected bucket
+        occupancy ≤ 2^-margin as the corpus grows (capped at 60 so the
+        signature stays in one BIGINT)."""
+        import math
+
+        return max(1, min(60, math.ceil(math.log2(max(n_rows, 2))) + margin))
+
+    def _resolve_planes(self, df: DataFrame) -> None:
+        """Resolve ``n_planes="auto"`` against the actual corpus size
+        (fit-style: one count job, then the value is pinned on self so
+        hyperplanes/buckets stay consistent across calls)."""
+        if self.n_planes == "auto":
+            self.n_planes = self.planes_for(df.count())
 
     def hyperplane(self, j: int) -> list[int]:
         """Deterministic ±1 hyperplane j (python twin of the md5 rule)."""
@@ -451,6 +480,8 @@ class QuantizedCosineDeduplicator:
 
     def pairs(self, df: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding", bucketed: bool = True) -> DataFrame:
+        if bucketed:
+            self._resolve_planes(df)
         # persist: both sides of the self-join read the quantized table.
         qdf = self._quant(spread(df), id_col, vec_col)
         if bucketed:

@@ -100,6 +100,34 @@ WHERE ROUND(i / (len(sa.s) + len(sb.s) - i), 6) >= 0.95
 """
 
 
+def q_dedup_ngram_capped(spark, sf_dir):
+    """The ``max_doc_freq`` stop-shingle guard under oracle: shingles in
+    more than 5 docs are dropped BEFORE pairing (the skew guard that
+    keeps a degenerate posting list from going quadratic at scale);
+    Jaccard still divides by the FULL shingle-set sizes, so capped
+    scores are a lower bound of the true score."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.NgramJaccardDeduplicator(
+        n=3, threshold=0.9, max_doc_freq=5).pairs(docs)
+
+
+SQL_DEDUP_NGRAM_CAPPED = f"""
+WITH sh AS (SELECT doc_id, {_shingles_duck()} AS s FROM documents),
+inv AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+keep AS (SELECT tok FROM inv GROUP BY tok HAVING count(*) <= 5),
+inv2 AS (SELECT doc_id, tok FROM inv WHERE tok IN (SELECT tok FROM keep)),
+inter AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+  FROM inv2 a JOIN inv2 b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, ROUND(i / (len(sa.s) + len(sb.s) - i), 6) AS jaccard
+FROM inter
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+WHERE ROUND(i / (len(sa.s) + len(sb.s) - i), 6) >= 0.9
+"""
+
+
 def q_dedup_minhash_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dd.MinHashLSHDeduplicator(k=16, bands=2, threshold=0.9).pairs(docs)
@@ -881,6 +909,7 @@ SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 4 <> 3
 EXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_ngram_capped": (q_dedup_ngram_capped, SQL_DEDUP_NGRAM_CAPPED),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, _sql_minhash()),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),

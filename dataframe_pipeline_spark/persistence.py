@@ -40,17 +40,21 @@ class _DFRef:
         return os.path.join(root, "frames", f"s{self.step}_f{self.idx}")
 
 
-def _extract(obj, step: int, sink: list[DataFrame]):
-    """Deep-replace DataFrame leaves with _DFRef tokens, collecting them."""
+def _extract(obj, step: int, sink: list, part_cols=None):
+    """Deep-replace DataFrame leaves with _DFRef tokens, collecting
+    (frame, partition_cols) pairs.  ``part_cols`` rides down from the
+    operator's ``_dfp_partition_hints`` so an index table is written in
+    its scale layout (e.g. IVF cells partitioned by ``__list``) and a
+    reloaded probe is a partition-pruned scan."""
     if isinstance(obj, DataFrame):
-        sink.append(obj)
+        sink.append((obj, part_cols))
         return _DFRef(step, len(sink) - 1)
     if isinstance(obj, dict):
-        return {k: _extract(v, step, sink) for k, v in obj.items()}
+        return {k: _extract(v, step, sink, part_cols) for k, v in obj.items()}
     if isinstance(obj, list):
-        return [_extract(v, step, sink) for v in obj]
+        return [_extract(v, step, sink, part_cols) for v in obj]
     if isinstance(obj, tuple):
-        return tuple(_extract(v, step, sink) for v in obj)
+        return tuple(_extract(v, step, sink, part_cols) for v in obj)
     return obj
 
 
@@ -71,21 +75,24 @@ def save_pipeline(pipe, path: str) -> None:
     steps = getattr(pipe, "steps", pipe)
     manifest = []
     for i, step in enumerate(steps):
-        frames: list[DataFrame] = []
-        state = _extract(dict(vars(step)), i, frames)
-        for j, df in enumerate(frames):
-            df.write.mode("overwrite").parquet(
-                _DFRef(i, j).path(path))
+        frames: list = []
+        hints = getattr(step, "_dfp_partition_hints", {})
+        state = {
+            k: _extract(v, i, frames, part_cols=hints.get(k))
+            for k, v in vars(step).items()
+        }
+        for j, (df, part_cols) in enumerate(frames):
+            w = df.write.mode("overwrite")
+            if part_cols:
+                w = w.partitionBy(*part_cols)
+            w.parquet(_DFRef(i, j).path(path))
         manifest.append((type(step), state))
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "manifest.pkl"), "wb") as f:
         f.write(dumps(manifest))
 
 
-def load_pipeline(spark: SparkSession, path: str):
-    """Reload a fitted pipeline; lookups come back as lazy parquet scans."""
-    from .pipeline import DataframePipeline
-
+def _load_steps(spark: SparkSession, path: str) -> list:
     with open(os.path.join(path, "manifest.pkl"), "rb") as f:
         manifest = loads(f.read())
     steps = []
@@ -93,4 +100,26 @@ def load_pipeline(spark: SparkSession, path: str):
         step = cls.__new__(cls)
         step.__dict__.update(_restore(state, spark, path))
         steps.append(step)
-    return DataframePipeline(steps=steps)
+    return steps
+
+
+def load_pipeline(spark: SparkSession, path: str):
+    """Reload a fitted pipeline; lookups come back as lazy parquet scans."""
+    from .pipeline import DataframePipeline
+
+    return DataframePipeline(steps=_load_steps(spark, path))
+
+
+def save_operator(op, path: str) -> None:
+    """Persist one fitted operator/index (same layout as a 1-step
+    pipeline).  Operators with a ``_dfp_partition_hints`` class attr
+    (IVFIndex cells by ``__list``, HyperplaneLSHIndex by ``__bucket``)
+    get their fitted tables written in that partition layout, so a
+    reloaded probe scans only the probed partitions."""
+    save_pipeline([op], path)
+
+
+def load_operator(spark: SparkSession, path: str):
+    """Reload a single fitted operator/index saved by save_operator."""
+    (step,) = _load_steps(spark, path)
+    return step

@@ -132,6 +132,11 @@ class IVFIndex:
     replays the index bit-for-bit.
     """
 
+    # persistence layout: the assignment table IS the index — written
+    # partitioned by cell id, so a reloaded probe is a partition-pruned
+    # scan of n_probe/n_lists of the data (asserted in test_plans.py).
+    _dfp_partition_hints = {"_assigned": ("__list",)}
+
     def __init__(self, k: int = 10, n_lists: int = 8, n_probe: int = 2,
                  scale: int = 1000, max_train: int = 65536):
         self.k = k
@@ -188,21 +193,62 @@ class IVFIndex:
         assert self._assigned is not None, "call fit first"
         qrow = (self._assigned.filter(F.col(id_col) == query_id)
                 .select("__q", "__nrm").head())
-        lists = probe_cells(list(qrow["__q"]), self.centroids_int, self.n_probe)
+        return self._probe(list(qrow["__q"]), float(qrow["__nrm"]),
+                           id_col=id_col, exclude_id=query_id)
+
+    def search_vec(self, vec, id_col: str = "vec_id") -> DataFrame:
+        """Top-k for an *external* query vector — the serving path.
+
+        The vector is quantized and probed driver-side (tiny: dim ints
+        against n_lists centroids), so the only cluster work is the
+        scoring scan — and that scan carries a ``__list IN (...)``
+        predicate which, over an index loaded from the partitioned
+        layout, becomes a partition-pruned read of n_probe cells.  No
+        full-table query-row lookup anywhere."""
+        assert self._assigned is not None, "call fit or read first"
+        q_int = quantize_centroid(vec, self.scale)
+        nrm = float(sum(x * x for x in q_int)) ** 0.5
+        return self._probe(q_int, nrm, id_col=id_col)
+
+    def _probe(self, q_int: list, q_nrm: float, id_col: str = "vec_id",
+               exclude_id=None) -> DataFrame:
+        lists = probe_cells([int(x) for x in q_int], self.centroids_int,
+                            self.n_probe)
         dot = "aggregate(zip_with(__q, __qq, (x, y) -> x*y), 0L, (acc, v) -> acc + v)"
         qdf = self._assigned.sparkSession.createDataFrame(
-            [(list(qrow["__q"]), float(qrow["__nrm"]))],
+            [([int(x) for x in q_int], q_nrm)],
             "__qq array<bigint>, __qn double")
+        scan = self._assigned.filter(F.col("__list").isin(lists))
+        if exclude_id is not None:
+            scan = scan.filter(F.col(id_col) != exclude_id)
         return (
-            self._assigned.filter(F.col("__list").isin(lists)
-                                  & (F.col(id_col) != query_id))
-            .crossJoin(F.broadcast(qdf))
+            scan.crossJoin(F.broadcast(qdf))
             .withColumn("cosine",
                         F.round(F.expr(dot) / (F.col("__nrm") * F.col("__qn")), 6))
             .select(id_col, "cosine")
             .orderBy(F.desc("cosine"), F.asc(id_col))
             .limit(self.k)
         )
+
+    def write(self, path: str) -> None:
+        """Persist the fitted index: cells as parquet partitioned by
+        ``__list`` plus the fitted parameters (centroids, k, n_probe,
+        ...) — the reference's ``export`` contract applied to an index
+        (/root/reference/dfpipeline/DataframePipeline.py:109-141)."""
+        from .persistence import save_operator
+
+        assert self._assigned is not None, "call fit first"
+        save_operator(self, path)
+
+    @classmethod
+    def read(cls, spark, path: str) -> "IVFIndex":
+        """Reload a fitted index; the cell table comes back as a lazy
+        scan of the partitioned layout, so probes are partition-pruned."""
+        from .persistence import load_operator
+
+        idx = load_operator(spark, path)
+        assert isinstance(idx, cls)
+        return idx
 
 
 class HyperplaneLSHIndex:
@@ -216,20 +262,82 @@ class HyperplaneLSHIndex:
     partition-pruned scan of ~1/2^n_planes of the data.
     """
 
+    # persistence layout: bucketized table partitioned by bucket — a
+    # reloaded probe scans ~1/2^n_planes of the data (partition-pruned).
+    _dfp_partition_hints = {"_index": ("__bucket",)}
+
     def __init__(self, k: int = 5, n_planes: int = 8, scale: int = 1000,
                  dim: int = 64):
         self.k = k
         self.q = QuantizedCosineDeduplicator(scale=scale, n_planes=n_planes,
                                              dim=dim)
+        self._index = None           # DataFrame(id, __q, __nrm, __bucket)
+        self._id_col = None
 
     def bucketize(self, df: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
-        """(id, quantized vec, norm, bucket) — the 'index'."""
+        """(id, quantized vec, norm, bucket) — the 'index'.
+
+        ``n_planes="auto"`` resolves against the corpus size here (see
+        ``QuantizedCosineDeduplicator.planes_for``): bucket count tracks
+        n, so probe cost n/2^p stays ~constant as the table grows."""
+        self.q._resolve_planes(df)
         out = self.q._quant(df, id_col, vec_col)
         return (
             out.withColumn("__bucket", self.q.bucket_col())
             .withColumnRenamed("__id", id_col)
         )
+
+    def build(self, df: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> "HyperplaneLSHIndex":
+        """Materialize the bucketized table as the fitted index state
+        (the fit-analog); persist it via :meth:`write`."""
+        self._index = self.bucketize(df, id_col, vec_col)
+        self._id_col = id_col
+        return self
+
+    def search_vec(self, vec, id_col: str | None = None) -> DataFrame:
+        """Top-k for an external query vector against the built/loaded
+        index.  Quantization and bucket assignment happen driver-side
+        (dim ints against n_planes sign tests), so the scoring scan
+        carries a ``__bucket = <literal>`` predicate — over the
+        partitioned layout, a partition-pruned read of ONE bucket."""
+        assert self._index is not None, "call build or read first"
+        id_col = id_col or self._id_col
+        q_int = quantize_centroid(vec, self.q.scale)
+        bucket = 0
+        for j in range(self.q.n_planes):
+            w = self.q.hyperplane(j)
+            if sum(c * x for c, x in zip(w, q_int)) >= 0:
+                bucket |= 1 << j
+        nrm = float(sum(x * x for x in q_int)) ** 0.5
+        qdf = self._index.sparkSession.createDataFrame(
+            [(q_int, nrm)], "__qq array<bigint>, __qn double")
+        dot = "aggregate(zip_with(__q, __qq, (x, y) -> x*y), 0L, (acc, v) -> acc + v)"
+        return (
+            self._index.filter(F.col("__bucket") == bucket)
+            .crossJoin(F.broadcast(qdf))
+            .withColumn("cosine",
+                        F.round(F.expr(dot) / (F.col("__nrm") * F.col("__qn")), 6))
+            .select(id_col, "cosine")
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(self.k)
+        )
+
+    def write(self, path: str) -> None:
+        """Persist the built index partitioned by ``__bucket``."""
+        from .persistence import save_operator
+
+        assert self._index is not None, "call build first"
+        save_operator(self, path)
+
+    @classmethod
+    def read(cls, spark, path: str) -> "HyperplaneLSHIndex":
+        from .persistence import load_operator
+
+        idx = load_operator(spark, path)
+        assert isinstance(idx, cls)
+        return idx
 
     def search(self, df: DataFrame, query_id, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:

@@ -127,3 +127,48 @@ def test_connected_components_unconverged_raises(spark):
                       "id_b": list(range(1, n))}))
     with pt.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=1)
+
+
+def _synthetic_embeddings(spark, n, dim=16):
+    """Deterministic md5-derived pseudo-random vectors in [-1, 1]."""
+    from pyspark.sql import functions as F
+
+    comp = ("(cast(conv(substring(md5(concat(cast(id as string), '_', d)),"
+            "1,8),16,10) as bigint) % 2001 - 1000) / 1000.0")
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(f"transform(sequence(0, {dim - 1}), d -> {comp})")
+        .alias("embedding"),
+    )
+
+
+def test_sign_lsh_auto_planes_bucket_occupancy_bounded(spark):
+    """n_planes='auto' scales plane count with corpus size so bucket
+    occupancy — and with it the within-bucket all-pairs cost
+    Σ n_b² / n per row — stays ~constant as rows grow, instead of the
+    n²/2^p blowup a fixed plane count gives."""
+    from pyspark.sql import functions as F
+
+    from dataframe_pipeline_spark.dedup import QuantizedCosineDeduplicator
+
+    per_row_cost = {}
+    for n in (1024, 8192):
+        d = QuantizedCosineDeduplicator(n_planes="auto", dim=16)
+        emb = _synthetic_embeddings(spark, n)
+        d._resolve_planes(emb)
+        assert d.n_planes == d.planes_for(n)
+        q = (d._quant(emb, "vec_id", "embedding")
+             .withColumn("__bucket", d.bucket_col()))
+        stats = (q.groupBy("__bucket").count()
+                 .agg(F.max("count").alias("mx"),
+                      F.sum(F.col("count") * F.col("count")).alias("ss"))
+                 .head())
+        per_row_cost[n] = stats["ss"] / n
+        assert stats["mx"] <= 16, f"bucket piled up at n={n}: {stats['mx']}"
+    # 8x the rows must NOT mean ~8x the per-row candidate work
+    assert per_row_cost[8192] <= per_row_cost[1024] * 2.0
+
+    # the rule itself: +margin over log2(n), capped at one BIGINT
+    assert QuantizedCosineDeduplicator.planes_for(1024) == 14
+    assert QuantizedCosineDeduplicator.planes_for(10**9) == 34
+    assert QuantizedCosineDeduplicator.planes_for(2**60) == 60

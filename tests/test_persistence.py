@@ -77,3 +77,45 @@ def test_load_is_lazy_lookup(spark, tmp_path):
     assert lookup.__class__.__name__ == "DataFrame"
     assert default_id == 3
     assert n == 4
+
+
+def test_ivf_index_roundtrip(spark, tmp_path):
+    """fit -> write -> read: identical search result, partitioned-by-cell
+    layout on disk (the index IS the table at scale)."""
+    import os
+
+    from dataframe_pipeline_spark.similarity import IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IVFIndex(k=5, n_lists=4, n_probe=2).fit(emb)
+    before = idx.search(query_id=0).collect()
+
+    path = str(tmp_path / "ivf")
+    idx.write(path)
+    cells = os.path.join(path, "frames", "s0_f0")
+    parts = sorted(d for d in os.listdir(cells) if d.startswith("__list="))
+    assert parts, "cell table must be written partitioned by __list"
+
+    loaded = IVFIndex.read(spark, path)
+    assert loaded.centroids_int == idx.centroids_int
+    assert loaded.search(query_id=0).collect() == before
+
+
+def test_lsh_index_roundtrip(spark, tmp_path):
+    import os
+
+    from dataframe_pipeline_spark.similarity import HyperplaneLSHIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = list(emb.filter("vec_id = 0").head()["embedding"])
+
+    idx = HyperplaneLSHIndex(k=5, n_planes=4).build(emb)
+    before = idx.search_vec(qvec).collect()
+
+    path = str(tmp_path / "lsh")
+    idx.write(path)
+    buckets = os.path.join(path, "frames", "s0_f0")
+    assert any(d.startswith("__bucket=") for d in os.listdir(buckets))
+
+    loaded = HyperplaneLSHIndex.read(spark, path)
+    assert loaded.search_vec(qvec).collect() == before

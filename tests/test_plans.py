@@ -130,3 +130,39 @@ def test_set_padded_path_no_single_partition_sort(spark):
                         set_operation="*")
     p = _plan(st.transform(df))
     assert "SinglePartition" not in p
+
+
+def test_ivf_probe_from_disk_is_partition_pruned(spark, tmp_path):
+    """A reloaded IVF index probes via a PartitionFilter on __list —
+    the scan reads n_probe of n_lists partitions, the layout the 100 TB
+    story depends on (a probe touches n_probe/n_lists of the data)."""
+    from dataframe_pipeline_spark.similarity import IVFIndex
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = list(emb.filter("vec_id = 0").head()["embedding"])
+    idx = IVFIndex(k=5, n_lists=4, n_probe=2).fit(emb)
+    path = str(tmp_path / "ivf")
+    idx.write(path)
+
+    plan = _plan(IVFIndex.read(spark, path).search_vec(qvec))
+    scan = next(l for l in plan.splitlines()
+                if "FileScan" in l and "PartitionFilters: [__list" in l)
+    assert " IN (" in scan
+    # and the quantized payload columns are NOT partition-filtered away
+    # from the schema (the probe still scores inside the cells)
+    assert "ReadSchema: struct<vec_id:bigint,__q:array<bigint>" in scan
+
+
+def test_lsh_probe_from_disk_is_partition_pruned(spark, tmp_path):
+    from dataframe_pipeline_spark.similarity import HyperplaneLSHIndex
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = list(emb.filter("vec_id = 0").head()["embedding"])
+    idx = HyperplaneLSHIndex(k=5, n_planes=4).build(emb)
+    path = str(tmp_path / "lsh")
+    idx.write(path)
+
+    plan = _plan(HyperplaneLSHIndex.read(spark, path).search_vec(qvec))
+    assert any("FileScan" in l and "PartitionFilters: [" in l
+               and "__bucket" in l.split("PartitionFilters: [", 1)[1]
+               for l in plan.splitlines())
