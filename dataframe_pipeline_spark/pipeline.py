@@ -29,6 +29,46 @@ class DataframePipeline:
         self.input_columns = None
         self.input_dtypes = None
         self.output_columns = None
+        # Column-lineage table — the reference's SSA-style ``column_info``
+        # (/root/reference/dfpipeline/DataframePipeline.py:171-198), which
+        # maps each column to the chain of versions steps wrote.  Spark's
+        # Catalyst tracks true SSA via attribute ids internally; this
+        # surface records the *operator-level* chain — which step classes
+        # wrote each output column, in order — for diagnostics and parity.
+        # Entries: "<input>" for columns present on the input frame, then
+        # one "s<i>:<StepClass>" stamp per step that (re)wrote the column.
+        self.column_info: dict[str, list[str]] = {}
+        self.new_columns: list[str] = []
+
+    def _record_lineage(self, i, tr, before_cols, after_cols) -> None:
+        before = set(before_cols)
+        added = [c for c in after_cols if c not in before]
+        declared = [c for c in (getattr(tr, "outputs", None) or [])
+                    if isinstance(c, str) and c in after_cols]
+        stamp = f"s{i}:{type(tr).__name__}"
+        for c in dict.fromkeys(added + declared):
+            chain = self.column_info.setdefault(
+                c, ["<input>"] if c in before else [])
+            chain.append(stamp)
+            if c not in before and c not in self.new_columns:
+                self.new_columns.append(c)
+
+    # -- reference-surface accessors (DataframePipeline.py:170-198) -------
+    def num_column_info(self, c: str) -> int:
+        i = self.column_info.get(c)
+        return 0 if i is None else len(i)
+
+    def get_last_column_info(self, c: str) -> str:
+        """Latest lineage stamp for ``c`` (the column name itself when no
+        step has written it — names are stable here; the reference's
+        fresh-name-per-version bookkeeping is what Catalyst attribute
+        ids subsume)."""
+        i = self.column_info.get(c)
+        return c if not i else i[-1]
+
+    def print_column_info(self) -> None:
+        for k, v in self.column_info.items():
+            print(k, v)
 
     def clear(self) -> None:
         self.steps = []
@@ -45,8 +85,11 @@ class DataframePipeline:
         X = df
         self.input_columns = list(X.columns)
         self.input_dtypes = {f.name: f.dataType for f in X.schema.fields}
-        for tr in self.steps:
+        self.column_info, self.new_columns = {}, []
+        for i, tr in enumerate(self.steps):
+            before = X.columns
             X = tr.transform(X)
+            self._record_lineage(i, tr, before, X.columns)
         self.output_columns = list(X.columns)
         return X
 
@@ -54,9 +97,12 @@ class DataframePipeline:
         X = df
         self.input_columns = list(X.columns)
         self.input_dtypes = {f.name: f.dataType for f in X.schema.fields}
+        self.column_info, self.new_columns = {}, []
         for i, tr in enumerate(self.steps):
             self.steps[i] = tr.fit(X, **kwargs)
+            before = X.columns
             X = self.steps[i].transform(X)
+            self._record_lineage(i, tr, before, X.columns)
         self.output_columns = list(X.columns)
         return X
 

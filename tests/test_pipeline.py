@@ -35,3 +35,34 @@ def test_append_and_clear(spark):
     assert len(pipe.steps) == 1
     pipe.clear()
     assert pipe.steps == []
+
+
+def test_column_lineage_table(spark):
+    """The reference's SSA-style column_info analog
+    (/root/reference/dfpipeline/DataframePipeline.py:171-198): each
+    output column maps to the ordered chain of steps that wrote it;
+    new_columns lists pipeline-created columns in creation order."""
+    df = spark.createDataFrame(pd.DataFrame(
+        {"a": [1.0, 2.0, 3.0], "b": ["x", "y", "x"]}))
+    pipe = dfp.DataframePipeline(steps=[
+        dfp.FunctionTransformer(inputs=["a"], outputs=["a2"],
+                                func=lambda x: x * 2),
+        dfp.Scaler(inputs=["a2"], outputs=["a2"], strategy="minmax"),
+        dfp.FrequencyEncoder(inputs=["b"], outputs=["b_freq"]),
+    ])
+    pipe.fit_transform(df)
+
+    assert pipe.column_info["a2"] == ["s0:FunctionTransformer", "s1:Scaler"]
+    assert pipe.column_info["b_freq"] == ["s2:FrequencyEncoder"]
+    assert pipe.new_columns == ["a2", "b_freq"]
+    assert pipe.num_column_info("a2") == 2
+    assert pipe.num_column_info("a") == 0
+    assert pipe.get_last_column_info("a2") == "s1:Scaler"
+    assert pipe.get_last_column_info("a") == "a"       # untouched input
+
+    # an in-place rewrite of an INPUT column records the <input> origin
+    pipe2 = dfp.DataframePipeline(steps=[
+        dfp.Scaler(inputs=["a"], outputs=["a"], strategy="minmax")])
+    pipe2.fit_transform(df)
+    assert pipe2.column_info["a"] == ["<input>", "s0:Scaler"]
+    assert pipe2.new_columns == []
