@@ -42,7 +42,9 @@ _NEVER_CHECKED_FIRST = [
     "join_left_enrich",
     "split_train",
     "multimodal_decode",
-    "dedup_ngram_capped",   # new in r3
+    "dedup_ngram_capped",          # new in r3
+    "sim_ann_ivf_persisted",       # new in r3
+    "events_click_attribution",    # new in r3
 ]
 
 _MERGED = {**CORE_QUERIES, **EXT_QUERIES}

@@ -374,6 +374,22 @@ LIMIT 5
 """
 
 
+def q_sim_ann_ivf_persisted(spark, sf_dir):
+    """fit → write (parquet partitioned by cell) → read → probe: the
+    persisted index layout must return bit-identical results to the
+    in-session index, so it shares sim_ann_ivf's generated oracle.  The
+    reloaded probe carries a ``__list IN (...)`` partition filter — at
+    scale it scans n_probe/n_lists of the data (plan-asserted in
+    test_plans.py)."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = sim.IVFIndex(k=5, n_lists=8, n_probe=2).fit(emb)
+    path = tempfile.mkdtemp(prefix="dfp_ivf_idx_")
+    idx.write(path)
+    return sim.IVFIndex.read(spark, path).search(query_id=0)
+
+
 def q_sim_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return sim.HyperplaneLSHIndex(k=5, n_planes=4).search(emb, query_id=0)
@@ -682,6 +698,29 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def q_events_click_attribution(spark, sf_dir):
+    """Batch twin of the stream-stream interval join: purchases joined
+    to same-user clicks in the preceding 30 minutes, rolled up to a
+    click count per purchase (purchases with zero clicks drop out —
+    matching the inner-join semantics the streaming side emits)."""
+    ev = _events(spark, sf_dir)
+    pairs = st.click_attribution(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"))
+    return (pairs.groupBy("purchase_id", "user_id")
+            .agg(F.count(F.lit(1)).alias("n_clicks_30m")))
+
+
+SQL_EVENTS_CLICK_ATTRIBUTION = """
+SELECT p.event_id AS purchase_id, p.user_id, count(*) AS n_clicks_30m
+FROM events p JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
 def q_events_latest(spark, sf_dir):
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id", "event_type").orderBy(
@@ -923,6 +962,7 @@ EXT_QUERIES = {
     # regenerate it at whatever sf_dir they actually run — the resolver
     # is __spark_entry__.oracle_sql(sf_dir).
     "sim_ann_ivf": (q_sim_ann_ivf, _sql_sim_ann_ivf),
+    "sim_ann_ivf_persisted": (q_sim_ann_ivf_persisted, _sql_sim_ann_ivf),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_quality": (q_text_quality, _sql_text_quality()),
     "text_langid": (q_text_langid, _sql_text_langid()),
@@ -937,6 +977,8 @@ EXT_QUERIES = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
     "events_latest": (q_events_latest, SQL_EVENTS_LATEST),
+    "events_click_attribution": (q_events_click_attribution,
+                                 SQL_EVENTS_CLICK_ATTRIBUTION),
     "join_left_enrich": (q_join_left_enrich, SQL_JOIN_LEFT_ENRICH),
     "split_train": (q_split_train, SQL_SPLIT_TRAIN),
     "tpch_pricing_summary": (q_tpch_pricing_summary, SQL_TPCH_PRICING),

@@ -122,9 +122,11 @@ class IVFIndex:
     driver-side sample* (centroids are tiny, n_lists × dim — a fitted
     parameter like any other), then *assignment is distributed* — a
     map-only codegen expression over literal integer centroids, no ML
-    library in the apply path.  At 100 TB the assignment table would be
-    written partitioned by ``__list`` so a probe is a partition-pruned
-    scan of n_probe/n_lists of the data.
+    library in the apply path.  ``write()`` materializes the assignment
+    table partitioned by ``__list`` (the index IS the table at 100 TB);
+    a probe over the reloaded index carries a ``__list IN (...)``
+    partition filter, so it scans n_probe/n_lists of the data
+    (plan-asserted in test_plans.py).
 
     Determinism: the sample is id-ordered, training is single-threaded
     numpy (``train_centroids``), distances are exact integer sums on
@@ -257,9 +259,10 @@ class HyperplaneLSHIndex:
 
     Deterministic ±1 hyperplanes (md5-derived, see
     ``QuantizedCosineDeduplicator.hyperplane``) make the approximation
-    itself replayable by a SQL oracle.  At scale the bucketed table
-    would be written partitioned by ``bucket`` so a probe is a
-    partition-pruned scan of ~1/2^n_planes of the data.
+    itself replayable by a SQL oracle.  ``build()`` + ``write()``
+    materialize the bucketized table partitioned by ``__bucket``;
+    ``search_vec`` over the reloaded index is a partition-pruned scan
+    of ~1/2^n_planes of the data (plan-asserted in test_plans.py).
     """
 
     # persistence layout: bucketized table partitioned by bucket — a

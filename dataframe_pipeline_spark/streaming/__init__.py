@@ -122,6 +122,41 @@ def dedup_stream(events: DataFrame, keys: list[str] | str = "event_id",
     return events.dropDuplicates(keys)
 
 
+def click_attribution(purchases: DataFrame, clicks: DataFrame,
+                      horizon_min: int = 30,
+                      watermark: str | None = None) -> DataFrame:
+    """Interval join: each purchase paired with the same user's clicks
+    in the preceding ``horizon_min`` minutes (inclusive bounds) — the
+    attribution shape of an event pipeline, batch/stream unified.
+
+    On streaming inputs this is a **stream-stream join**: both sides
+    carry a watermark and the join condition bounds event time on both
+    ends, so Spark can size the state store — each side's buffered rows
+    are dropped once the watermark passes ``ts + horizon``; state is
+    O(events per watermark+horizon window), not O(history).  Inner
+    joins emit eagerly as matches arrive (the watermark only gates
+    state eviction), so a bounded replay yields the complete pair set.
+
+    On batch inputs the same plan is a SortMergeJoin on ``user_id``
+    with the time range as a join filter — quadratic only within one
+    user's events inside the horizon.  Skewed power-users are the AQE
+    skew-join case, same as any keyed self-join here.
+    """
+    if watermark:
+        purchases = purchases.withWatermark("ts", watermark)
+        clicks = clicks.withWatermark("ts", watermark)
+    p = purchases.select(F.col("event_id").alias("purchase_id"),
+                         "user_id", F.col("ts").alias("p_ts"))
+    c = clicks.select(F.col("user_id").alias("__c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts"))
+    cond = ((p["user_id"] == c["__c_user"])
+            & (c["c_ts"] <= p["p_ts"])
+            & (c["c_ts"] >= p["p_ts"] - F.expr(f"INTERVAL {horizon_min} MINUTES")))
+    return (p.join(c, cond, "inner")
+            .select("purchase_id", "user_id", "click_id", "c_ts", "p_ts"))
+
+
 def score_stream(pipeline, events: DataFrame) -> DataFrame:
     """Online scoring: apply a *fitted* pipeline to a streaming frame.
 

@@ -153,3 +153,48 @@ def test_streamed_pipeline_end_to_end_sf001(spark, tmp_path):
                pipe, st.dedup_stream(events, keys="event_id")).collect()}
     assert len(got) == 10000
     assert got == exp
+
+
+@pytest.fixture(scope="module")
+def attribution_batch(spark):
+    rows = [
+        (0, "2024-01-01 00:00:00", 1, "click", 1.0, "{}"),
+        (1, "2024-01-01 00:10:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:25:00", 1, "purchase", 9.0, "{}"),  # clicks 0,1
+        (3, "2024-01-01 01:20:00", 1, "purchase", 9.0, "{}"),  # none in 30m
+        (4, "2024-01-01 00:05:00", 2, "click", 1.0, "{}"),
+        (5, "2024-01-01 00:05:00", 2, "purchase", 9.0, "{}"),  # click 4 (== ts)
+        (6, "2024-01-01 02:00:00", 3, "click", 1.0, "{}"),     # no purchase
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+              "value double, props string")
+    return df.selectExpr("event_id", "cast(ts as timestamp) ts", "user_id",
+                         "event_type", "value", "props")
+
+
+def test_click_attribution_batch(attribution_batch):
+    ev = attribution_batch
+    pairs = st.click_attribution(ev.filter("event_type = 'purchase'"),
+                                 ev.filter("event_type = 'click'"))
+    got = sorted((r.purchase_id, r.click_id) for r in pairs.collect())
+    assert got == [(2, 0), (2, 1), (5, 4)]
+
+
+def test_click_attribution_stream_stream_join(spark, attribution_batch,
+                                              tmp_path):
+    """The SAME interval-join plan run as an actual stream-stream join
+    (two streaming sides, watermarks bounding both state stores) emits
+    exactly the batch pair set."""
+    src = str(tmp_path / "events_attr")
+    attribution_batch.write.parquet(src)
+    sdf = spark.readStream.schema(attribution_batch.schema).parquet(src)
+    pairs = st.click_attribution(
+        sdf.filter("event_type = 'purchase'"),
+        sdf.filter("event_type = 'click'"),
+        watermark="2 hours")
+    assert pairs.isStreaming
+    st.run_to_memory(pairs, name="attr_t", mode="append")
+    got = sorted((r.purchase_id, r.click_id)
+                 for r in spark.sql("SELECT * FROM attr_t").collect())
+    assert got == [(2, 0), (2, 1), (5, 4)]
