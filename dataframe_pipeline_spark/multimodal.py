@@ -1,13 +1,15 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Beyond-reference surface: media are opaque ``binary`` payload columns +
-typed metadata, processed by Arrow-batched ``mapInPandas`` stages.  The
-actual codec work (PIL/librosa/ffmpeg) is NOT available in this
-container, so the decode kernel is stubbed — ``FakeImageDecoder``
-derives deterministic pseudo-features from the payload bytes, and
-``decode_image`` raises ``NotImplementedError`` where a real decoder
-would plug in.  Everything Spark-side — schema contract, partitioning,
-Arrow batch shape, UDF signature — is real and tested.
+typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
+``decode_image`` is a REAL decoder for every format expressible with
+the stdlib — uncompressed BMP, binary PPM, and non-interlaced 8-bit
+PNG (zlib inflate + all five scanline filters), pure stdlib+numpy.
+Formats whose codecs genuinely need external libs (JPEG/GIF/WebP,
+audio, video — PIL/librosa/ffmpeg are NOT in this container) raise
+``NotImplementedError``; ``FakeImageDecoder`` is their deterministic
+double.  Everything Spark-side — schema contract, partitioning, Arrow
+batch shape, UDF signature — is real and tested either way.
 
 Scale design: payloads never pass through a Python row loop — they move
 as Arrow record batches into ``mapInPandas``; per-batch vectorized
@@ -110,20 +112,119 @@ def _decode_ppm(b: bytes):
     return w, height, float(data.mean())
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: color type → samples per pixel; which leading samples are color
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_COLOR_CH = {0: 1, 2: 3, 4: 1, 6: 3}   # alpha excluded from the mean
+
+
+def _png_unfilter(raw, height: int, stride: int, bpp: int):
+    """Reverse the per-scanline PNG filters (0 none, 1 sub, 2 up,
+    3 average, 4 paeth).  none/up/sub are vectorized (sub is a cumsum
+    per byte-phase); average/paeth are inherently sequential along the
+    row — fine for a feature-extraction kernel, and the swap-in point
+    for a PIL-backed decoder in a full container."""
+    import numpy as np
+
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride,
+            offset=y * (stride + 1) + 1).astype(np.int32)
+        if ft == 0:
+            cur = row
+        elif ft == 1:                        # sub: out[i] = raw[i]+out[i-bpp]
+            cur = row.copy()
+            for r in range(bpp):
+                cur[r::bpp] = np.cumsum(cur[r::bpp]) % 256
+        elif ft == 2:                        # up
+            cur = (row + prev) % 256
+        elif ft == 3:                        # average
+            cur = row.copy()
+            p = prev.astype(np.int32)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + (a + p[i]) // 2) % 256
+        elif ft == 4:                        # paeth
+            cur = row.copy()
+            p = prev.astype(np.int32)
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b_ = int(p[i])
+                c = int(p[i - bpp]) if i >= bpp else 0
+                pa, pb, pc = abs(b_ - c), abs(a - c), abs(a + b_ - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
+                cur[i] = (cur[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    return out
+
+
+def _decode_png(b: bytes):
+    """Non-interlaced 8-bit PNG (gray / RGB / gray+alpha / RGBA) →
+    (width, height, mean_pixel) — pure stdlib (zlib) + numpy: walk the
+    chunk stream, inflate the concatenated IDATs, reverse the scanline
+    filters.  The mean is over color samples only (alpha excluded, same
+    convention as the BMP path).  Interlaced, paletted, or 16-bit PNGs
+    raise NotImplementedError."""
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != PNG_SIG:
+        raise NotImplementedError("not a PNG payload")
+    i, w = 8, None
+    idat = bytearray()
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i:i + 4], "big")
+        typ = b[i + 4:i + 8]
+        data = b[i + 8:i + 8 + ln]
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            depth, ctype, _comp, _filt, interlace = data[8:13]
+            if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
+                raise NotImplementedError(
+                    f"only non-interlaced 8-bit gray/RGB(A) PNG supported "
+                    f"(depth={depth}, color={ctype}, interlace={interlace})")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + ln                      # len + type + data + crc
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    px = _png_unfilter(raw, height, stride, bpp=ch)
+    color = px.reshape(height, w, ch)[..., :_PNG_COLOR_CH[ctype]]
+    return w, height, float(np.asarray(color, dtype=np.float64).mean())
+
+
 def decode_image(payload: bytes):
     """Real decode for the container-decodable formats — uncompressed
-    BMP (24/32-bit BI_RGB) and binary PPM (P6), both pure
-    stdlib+numpy.  Returns (width, height, mean_pixel).  Compressed
-    formats (JPEG/PNG/...) need PIL/opencv, which this container lacks
-    → NotImplementedError; ``FakeImageDecoder`` remains the
-    deterministic double for those."""
+    BMP (24/32-bit BI_RGB), binary PPM (P6), and non-interlaced 8-bit
+    PNG (zlib is stdlib; all five scanline filters handled), all pure
+    stdlib+numpy.  Returns (width, height, mean_pixel).  Formats whose
+    codecs genuinely need external libs (JPEG/GIF/WebP/...) raise
+    NotImplementedError; ``FakeImageDecoder`` remains the deterministic
+    double for those."""
     b = bytes(payload)
     if b[:2] == b"BM":
         return _decode_bmp(b)
     if b[:2] == b"P6":
         return _decode_ppm(b)
+    if b[:8] == PNG_SIG:
+        return _decode_png(b)
     raise NotImplementedError(
-        "only uncompressed BMP/PPM decodable without PIL/opencv — "
+        "only BMP/PPM/PNG decodable without PIL/opencv — "
         "FakeImageDecoder provides the deterministic test double")
 
 
@@ -149,6 +250,59 @@ def encode_bmp(pixels) -> bytes:
             + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
             + (2835).to_bytes(4, "little") * 2
             + (0).to_bytes(4, "little") * 2 + bytes(body))
+
+
+def encode_png(pixels, filter_type: int = 0) -> bytes:
+    """Minimal non-interlaced 8-bit PNG writer (test fixture): RGB
+    (H, W, 3) or grayscale (H, W) uint8 array.  ``filter_type`` applies
+    that forward scanline filter (0-4) to every row, so tests can
+    exercise each unfilter path of the decoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    gray = a.ndim == 2
+    height, w = a.shape[:2]
+    ch = 1 if gray else a.shape[2]
+    assert ch in (1, 3)
+    flat = a.reshape(height, w * ch).astype(np.int32)
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(height):
+        cur = flat[y]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+        if filter_type == 0:
+            f = cur
+        elif filter_type == 1:
+            f = cur - left
+        elif filter_type == 2:
+            f = cur - prev
+        elif filter_type == 3:
+            f = cur - (left + prev) // 2
+        elif filter_type == 4:
+            pa = np.abs(prev - ul)
+            pb = np.abs(left - ul)
+            pc = np.abs(left + prev - 2 * ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            f = cur - pred
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        raw += bytes([filter_type]) + bytes((f % 256).astype(np.uint8))
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, height, 8, 0 if gray else 2, 0, 0, 0)
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
 
 
 def encode_ppm(pixels) -> bytes:
@@ -263,7 +417,8 @@ class FakeImageDecoder:
 class ImageDecoder:
     """REAL image decode + feature extraction over Arrow batches for the
     formats decodable without external libs (uncompressed BMP, binary
-    PPM — see :func:`decode_image`).  Same schema/partitioning/batch
+    PPM, non-interlaced 8-bit PNG — see :func:`decode_image`).  Same
+    schema/partitioning/batch
     shape as ``FakeImageDecoder``, so swapping a PIL-backed kernel in a
     full container is a one-function change.
 

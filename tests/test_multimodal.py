@@ -30,9 +30,9 @@ def test_fake_decoder_schema_and_values(docs):
     assert r[1].mean_pixel == pytest.approx(sum(b"abc") / 3)
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_rejects_lib_dependent_formats():
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG")
+        mm.decode_image(b"\xff\xd8\xff\xe0jpeg-needs-a-real-codec")
 
 
 def test_fake_resizer_shape(spark):
@@ -88,12 +88,47 @@ def test_ppm_roundtrip_decode():
     assert mean == float(img.mean())
 
 
-def test_decode_image_rejects_unknown_format():
+def test_decode_image_rejects_unknown_and_corrupt():
     import pytest as pt
     from dataframe_pipeline_spark.multimodal import decode_image
 
-    with pt.raises(NotImplementedError):
+    with pt.raises(NotImplementedError):       # unknown magic
+        decode_image(b"GIF89a needs a real codec")
+    with pt.raises(ValueError):                # PNG sig but no chunks
         decode_image(b"\x89PNG\r\n\x1a\nrest")
+
+
+def test_png_roundtrip_all_filters():
+    """The PNG decoder reverses every scanline filter type: the same
+    pixel array encoded with filters 0-4 decodes to the same exact
+    width/height/mean (gray and RGB)."""
+    import numpy as np
+    from dataframe_pipeline_spark.multimodal import decode_image, encode_png
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, size=(4, 9), dtype=np.uint8)
+    for ft in range(5):
+        w, h, mean = decode_image(encode_png(rgb, filter_type=ft))
+        assert (w, h) == (5, 6), f"filter {ft}"
+        assert mean == float(rgb.mean()), f"filter {ft}"
+        w, h, mean = decode_image(encode_png(gray, filter_type=ft))
+        assert (w, h) == (9, 4), f"filter {ft}"
+        assert mean == float(gray.mean()), f"filter {ft}"
+
+
+def test_png_16bit_rejected():
+    import struct
+    import zlib
+
+    import pytest as pt
+    from dataframe_pipeline_spark.multimodal import PNG_SIG, decode_image
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)  # 16-bit depth
+    chunk = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+    with pt.raises(NotImplementedError):
+        decode_image(PNG_SIG + chunk)
 
 
 def test_real_image_decoder_stage(spark):
@@ -123,3 +158,30 @@ def test_real_image_decoder_stage(spark):
     import pytest as pt
     with pt.raises(Exception):
         mm.ImageDecoder(on_error="raise").transform(df).collect()
+
+
+def test_png_rgba_mean_excludes_alpha():
+    """Hand-built RGBA (color type 6) PNG: the mean covers RGB samples
+    only, alpha is excluded (same convention as 32-bit BMP)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from dataframe_pipeline_spark.multimodal import PNG_SIG, decode_image
+
+    rgba = np.array([[[10, 20, 30, 255], [40, 50, 60, 0]],
+                     [[70, 80, 90, 128], [100, 110, 120, 7]]], dtype=np.uint8)
+    h, w = rgba.shape[:2]
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    png = (PNG_SIG
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    gw, gh, mean = decode_image(png)
+    assert (gw, gh) == (w, h)
+    assert mean == float(rgba[..., :3].mean())
