@@ -2,14 +2,19 @@
 
 Beyond-reference surface: media are opaque ``binary`` payload columns +
 typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
-``decode_image`` is a REAL decoder for every format expressible with
-the stdlib — uncompressed BMP, binary PPM, and non-interlaced 8-bit
-PNG (zlib inflate + all five scanline filters), pure stdlib+numpy.
+Everything expressible with the stdlib is REAL, pure stdlib+numpy:
+
+* image decode — uncompressed BMP, binary PPM, non-interlaced 8-bit
+  PNG (zlib inflate + all five scanline filters);
+* image resize — decode → nearest-neighbor resample → re-encode;
+* audio decode — PCM WAV (``wave``) → channels/rate/duration/RMS.
+
 Formats whose codecs genuinely need external libs (JPEG/GIF/WebP,
-audio, video — PIL/librosa/ffmpeg are NOT in this container) raise
-``NotImplementedError``; ``FakeImageDecoder`` is their deterministic
-double.  Everything Spark-side — schema contract, partitioning, Arrow
-batch shape, UDF signature — is real and tested either way.
+mp3/ogg, video — PIL/librosa/ffmpeg are NOT in this container) raise
+``NotImplementedError``; the ``Fake*`` classes are their deterministic
+doubles (``FakeFrameSampler`` models the ffmpeg row-expansion shape).
+Everything Spark-side — schema contract, partitioning, Arrow batch
+shape, UDF signature — is real and tested either way.
 
 Scale design: payloads never pass through a Python row loop — they move
 as Arrow record batches into ``mapInPandas``; per-batch vectorized
@@ -52,12 +57,13 @@ def with_payload_metadata(df: DataFrame, src_col: str = "text",
 
 
 def _decode_bmp(b: bytes):
-    """Uncompressed (BI_RGB) 24/32-bit BMP → (width, height, mean_pixel).
+    """Uncompressed (BI_RGB) 24/32-bit BMP → (H, W, 3) uint8 array
+    (B,G,R channel order preserved as stored; alpha and row padding
+    stripped).
 
     Pure stdlib+numpy: header fields per the public BITMAPINFOHEADER
     layout; rows are 4-byte aligned, bottom-up (or top-down when height
-    is negative); mean is over the B,G,R channel bytes (alpha and row
-    padding excluded)."""
+    is negative)."""
     import numpy as np
 
     if len(b) < 54 or b[:2] != b"BM":
@@ -77,11 +83,13 @@ def _decode_bmp(b: bytes):
         raise ValueError("truncated BMP pixel array")
     px = np.frombuffer(b, dtype=np.uint8, count=row * height, offset=off)
     px = px.reshape(height, row)[:, :w * bypp].reshape(height, w, bypp)[..., :3]
-    return w, height, float(px.mean())
+    if h > 0:                           # bottom-up storage → top-down array
+        px = px[::-1]
+    return px
 
 
 def _decode_ppm(b: bytes):
-    """Binary PPM (P6) → (width, height, mean_pixel).  Header tokens may
+    """Binary PPM (P6) → (H, W, 3) uint8 RGB array.  Header tokens may
     be separated by any whitespace and '#' comments; exactly one
     whitespace byte separates maxval from the pixel array."""
     import numpy as np
@@ -109,7 +117,7 @@ def _decode_ppm(b: bytes):
     if i + n > len(b):
         raise ValueError("truncated PPM pixel array")
     data = np.frombuffer(b, dtype=np.uint8, count=n, offset=i)
-    return w, height, float(data.mean())
+    return data.reshape(height, w, 3)
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -166,9 +174,9 @@ def _png_unfilter(raw, height: int, stride: int, bpp: int):
 
 def _decode_png(b: bytes):
     """Non-interlaced 8-bit PNG (gray / RGB / gray+alpha / RGBA) →
-    (width, height, mean_pixel) — pure stdlib (zlib) + numpy: walk the
-    chunk stream, inflate the concatenated IDATs, reverse the scanline
-    filters.  The mean is over color samples only (alpha excluded, same
+    (H, W, color_channels) uint8 array — pure stdlib (zlib) + numpy:
+    walk the chunk stream, inflate the concatenated IDATs, reverse the
+    scanline filters.  Alpha is stripped (color samples only, same
     convention as the BMP path).  Interlaced, paletted, or 16-bit PNGs
     raise NotImplementedError."""
     import zlib
@@ -204,18 +212,17 @@ def _decode_png(b: bytes):
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline data size mismatch")
     px = _png_unfilter(raw, height, stride, bpp=ch)
-    color = px.reshape(height, w, ch)[..., :_PNG_COLOR_CH[ctype]]
-    return w, height, float(np.asarray(color, dtype=np.float64).mean())
+    return np.ascontiguousarray(
+        px.reshape(height, w, ch)[..., :_PNG_COLOR_CH[ctype]])
 
 
-def decode_image(payload: bytes):
-    """Real decode for the container-decodable formats — uncompressed
-    BMP (24/32-bit BI_RGB), binary PPM (P6), and non-interlaced 8-bit
-    PNG (zlib is stdlib; all five scanline filters handled), all pure
-    stdlib+numpy.  Returns (width, height, mean_pixel).  Formats whose
-    codecs genuinely need external libs (JPEG/GIF/WebP/...) raise
-    NotImplementedError; ``FakeImageDecoder`` remains the deterministic
-    double for those."""
+def decode_image_array(payload: bytes):
+    """Decode a container-decodable payload to its (H, W, C) uint8
+    pixel array — uncompressed BMP (24/32-bit BI_RGB, BGR order),
+    binary PPM (P6, RGB), non-interlaced 8-bit PNG (gray/RGB; alpha
+    stripped) — all pure stdlib+numpy.  Formats whose codecs genuinely
+    need external libs (JPEG/GIF/WebP/...) raise NotImplementedError;
+    ``FakeImageDecoder`` remains the deterministic double for those."""
     b = bytes(payload)
     if b[:2] == b"BM":
         return _decode_bmp(b)
@@ -226,6 +233,17 @@ def decode_image(payload: bytes):
     raise NotImplementedError(
         "only BMP/PPM/PNG decodable without PIL/opencv — "
         "FakeImageDecoder provides the deterministic test double")
+
+
+def decode_image(payload: bytes):
+    """(width, height, mean_pixel) features of a decodable payload —
+    see :func:`decode_image_array` for the formats and conventions
+    (mean is over color samples, alpha excluded)."""
+    import numpy as np
+
+    px = decode_image_array(payload)
+    return px.shape[1], px.shape[0], float(
+        np.asarray(px, dtype=np.float64).mean())
 
 
 def encode_bmp(pixels) -> bytes:
@@ -314,11 +332,166 @@ def encode_ppm(pixels) -> bytes:
     return f"P6\n{w} {height}\n255\n".encode() + a.tobytes()
 
 
-def resize_image(payload: bytes, width: int, height: int):
-    """Real resize hook — image libs are not in this container."""
-    raise NotImplementedError(
-        "image resize requires PIL/opencv; not available here — "
-        "FakeResizer provides the deterministic test double")
+def resize_image(payload: bytes, width: int, height: int,
+                 fmt: str = "png") -> bytes:
+    """REAL resize for the decodable formats: decode → nearest-neighbor
+    resample (pure numpy index arithmetic, deterministic) → re-encode
+    as PNG (default) or PPM.  Channel order is preserved as decoded
+    (BMP arrays are BGR).  Undecodable payloads raise like
+    :func:`decode_image_array`; a PIL/opencv-backed kernel (bilinear,
+    JPEG I/O) drops into the same signature in a full container."""
+    import numpy as np
+
+    px = decode_image_array(payload)
+    ih, iw = px.shape[:2]
+    yi = (np.arange(height) * ih) // height
+    xi = (np.arange(width) * iw) // width
+    out = px[yi][:, xi]
+    if fmt == "png":
+        return encode_png(out[..., 0] if out.shape[2] == 1 else out)
+    if fmt == "ppm":
+        if out.shape[2] == 1:
+            out = np.repeat(out, 3, axis=2)
+        return encode_ppm(out)
+    raise ValueError(f"unknown target format {fmt!r}")
+
+
+#: Output schema of the audio feature stage.
+AUDIO_SCHEMA = ("doc_id bigint, n_channels int, sample_rate int, "
+                "n_frames long, duration_s double, rms double")
+
+
+def decode_audio(payload: bytes):
+    """REAL audio decode for PCM WAV (the stdlib-decodable audio
+    format, via ``wave``): returns (n_channels, sample_rate, n_frames,
+    duration_s, rms) with rms over samples normalized to [-1, 1).
+    Compressed audio (mp3/ogg/flac) needs external codecs →
+    NotImplementedError."""
+    import io
+    import wave
+
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    try:
+        with wave.open(io.BytesIO(b)) as wf:
+            nch = wf.getnchannels()
+            sw = wf.getsampwidth()
+            sr = wf.getframerate()
+            nf = wf.getnframes()
+            raw = wf.readframes(nf)
+    except wave.Error as e:                 # non-PCM encodings
+        raise NotImplementedError(f"non-PCM WAV: {e}") from None
+    if sw == 1:                             # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"{sw * 8}-bit WAV unsupported")
+    rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
+    return nch, sr, nf, (nf / sr if sr else 0.0), rms
+
+
+def encode_wav(samples, sample_rate: int = 8000,
+               n_channels: int = 1) -> bytes:
+    """Minimal 16-bit PCM WAV writer (test fixture): ``samples`` is an
+    int16 array, interleaved when ``n_channels`` > 1."""
+    import io
+    import wave
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(a.tobytes())
+    return buf.getvalue()
+
+
+class Resizer:
+    """REAL batch image-resize stage for the decodable formats:
+    decode → nearest-neighbor resample → re-encode, per Arrow batch
+    (see :func:`resize_image`).  ``on_error='null'`` nulls undecodable
+    rows — the robust bulk-ingest setting."""
+
+    def __init__(self, width: int = 8, height: int = 8,
+                 fmt: str = "png", id_col: str = "doc_id",
+                 on_error: str = "raise"):
+        assert on_error in ("raise", "null")
+        self.width = width
+        self.height = height
+        self.fmt = fmt
+        self.id_col = id_col
+        self.on_error = on_error
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        id_col, w, h = self.id_col, self.width, self.height
+        fmt, on_error = self.fmt, self.on_error
+        schema = f"{id_col} bigint, resized binary, out_bytes long"
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for b in pdf["payload"]:
+                    try:
+                        out.append(resize_image(bytes(b), w, h, fmt))
+                    except (NotImplementedError, ValueError):
+                        if on_error == "raise":
+                            raise
+                        out.append(None)
+                yield pd.DataFrame({
+                    id_col: pdf[id_col],
+                    "resized": out,
+                    "out_bytes": [len(x) if x is not None else None
+                                  for x in out],
+                })
+
+        cols = df if "payload" in df.columns else with_payload_metadata(
+            df, id_col=id_col)
+        return cols.mapInPandas(kernel, schema=schema)
+
+
+class AudioFeatureExtractor:
+    """REAL audio feature stage for PCM WAV payloads (see
+    :func:`decode_audio`), Arrow-batched like the image stages."""
+
+    def __init__(self, id_col: str = "doc_id", on_error: str = "raise"):
+        assert on_error in ("raise", "null")
+        self.id_col = id_col
+        self.on_error = on_error
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        id_col, on_error = self.id_col, self.on_error
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for b in pdf["payload"]:
+                    try:
+                        rows.append(decode_audio(bytes(b)))
+                    except (NotImplementedError, ValueError):
+                        if on_error == "raise":
+                            raise
+                        rows.append((None,) * 5)
+                yield pd.DataFrame({
+                    id_col: pdf[id_col],
+                    "n_channels": pd.array([r[0] for r in rows], dtype="Int32"),
+                    "sample_rate": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "n_frames": pd.array([r[2] for r in rows], dtype="Int64"),
+                    "duration_s": pd.array([r[3] for r in rows], dtype="Float64"),
+                    "rms": pd.array([r[4] for r in rows], dtype="Float64"),
+                })
+
+        cols = df if "payload" in df.columns else with_payload_metadata(
+            df, id_col=id_col)
+        return cols.mapInPandas(kernel, schema=AUDIO_SCHEMA)
 
 
 class FakeResizer:

@@ -185,3 +185,91 @@ def test_png_rgba_mean_excludes_alpha():
     gw, gh, mean = decode_image(png)
     assert (gw, gh) == (w, h)
     assert mean == float(rgba[..., :3].mean())
+
+
+def test_resize_image_real():
+    """Nearest-neighbor resize: exact pixel selection, round-trips
+    through the PNG codec, works for every decodable input format."""
+    import numpy as np
+    from dataframe_pipeline_spark.multimodal import (
+        decode_image_array, encode_bmp, encode_png, encode_ppm,
+        resize_image)
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    # expected nearest-neighbor index math
+    yi = (np.arange(4) * 8) // 4
+    xi = (np.arange(3) * 6) // 3
+    exp = img[yi][:, xi]
+
+    out = decode_image_array(resize_image(encode_png(img), 3, 4))
+    assert out.shape == (4, 3, 3)
+    assert (out == exp).all()
+    # PPM input → PPM output path
+    out2 = decode_image_array(resize_image(encode_ppm(img), 3, 4, fmt="ppm"))
+    assert (out2 == exp).all()
+    # BMP input decodes as BGR; resize preserves the decoded channels
+    out3 = decode_image_array(resize_image(encode_bmp(img), 3, 4))
+    assert (out3 == exp[..., ::-1]).all()
+    # upscale: every output pixel still an exact source pixel
+    up = decode_image_array(resize_image(encode_png(img), 12, 16))
+    assert up.shape == (16, 12, 3)
+    assert set(np.unique(up)) <= set(np.unique(img))
+
+
+def test_resizer_stage(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from dataframe_pipeline_spark import multimodal as mm
+
+    img = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    rows = [(0, bytearray(mm.encode_png(img))),
+            (1, bytearray(b"not-an-image"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    df = df.withColumn("n_bytes", F.octet_length("payload").cast("long"))
+    out = {r.doc_id: r for r in
+           mm.Resizer(width=2, height=2, on_error="null")
+           .transform(df).collect()}
+    dec = mm.decode_image_array(bytes(out[0].resized))
+    assert dec.shape == (2, 2, 3)
+    assert out[0].out_bytes == len(bytes(out[0].resized))
+    assert out[1].resized is None and out[1].out_bytes is None
+
+
+def test_wav_roundtrip_decode():
+    import numpy as np
+    from dataframe_pipeline_spark.multimodal import decode_audio, encode_wav
+
+    t = np.arange(8000, dtype=np.float64) / 8000.0
+    sine = (np.sin(2 * np.pi * 440 * t) * 16384).astype(np.int16)
+    nch, sr, nf, dur, rms = decode_audio(encode_wav(sine, sample_rate=8000))
+    assert (nch, sr, nf) == (1, 8000, 8000)
+    assert dur == 1.0
+    # rms of a full-period sine at half amplitude ≈ 0.5/sqrt(2)
+    assert abs(rms - 0.5 / np.sqrt(2)) < 1e-3
+    # stereo: frames = samples / channels
+    stereo = np.stack([sine, sine], axis=1).reshape(-1)
+    nch, sr, nf, dur, _ = decode_audio(
+        encode_wav(stereo, sample_rate=8000, n_channels=2))
+    assert (nch, nf, dur) == (2, 8000, 1.0)
+
+
+def test_audio_stage_and_rejects(spark):
+    import numpy as np
+    import pytest as pt
+    from pyspark.sql import functions as F
+    from dataframe_pipeline_spark import multimodal as mm
+
+    with pt.raises(NotImplementedError):
+        mm.decode_audio(b"ID3\x03mp3-needs-a-real-codec")
+
+    sine = (np.sin(np.arange(800) / 10.0) * 1000).astype(np.int16)
+    rows = [(0, bytearray(mm.encode_wav(sine, sample_rate=4000))),
+            (1, bytearray(b"not-audio"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    df = df.withColumn("n_bytes", F.octet_length("payload").cast("long"))
+    out = {r.doc_id: r for r in
+           mm.AudioFeatureExtractor(on_error="null").transform(df).collect()}
+    assert out[0].sample_rate == 4000 and out[0].n_frames == 800
+    assert out[0].duration_s == 0.2
+    assert out[1].rms is None and out[1].n_channels is None
