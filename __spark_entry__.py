@@ -45,6 +45,7 @@ _NEVER_CHECKED_FIRST = [
     "dedup_ngram_capped",          # new in r3
     "sim_ann_ivf_persisted",       # new in r3
     "events_click_attribution",    # new in r3
+    "text_repetition",             # new in r3
 ]
 
 _MERGED = {**CORE_QUERIES, **EXT_QUERIES}

@@ -527,6 +527,34 @@ GROUP BY term HAVING count(*) >= 5
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (tx.RepetitionScorer().transform(docs)
+            .select("doc_id", "n_bigrams", "distinct_bigrams",
+                    "dup_bigram_ratio", "top_bigram_frac"))
+
+
+SQL_TEXT_REPETITION = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1]) AS bg
+  FROM documents)
+SELECT doc_id,
+       len(bg) AS n_bigrams,
+       len(list_distinct(bg)) AS distinct_bigrams,
+       CASE WHEN len(bg) = 0 THEN 0.0
+            ELSE ROUND((len(bg) - len(list_distinct(bg))) / len(bg), 6)
+       END AS dup_bigram_ratio,
+       CASE WHEN len(bg) = 0 THEN 0.0
+            ELSE ROUND(list_max(list_transform(list_distinct(bg),
+                     d -> len(list_filter(bg, x -> x = d)))) / len(bg), 6)
+       END AS top_bigram_frac
+FROM g
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (tx.Fingerprinter().transform(docs)
@@ -969,6 +997,7 @@ EXT_QUERIES = {
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_redact": (q_text_redact, _sql_text_redact()),
     "text_term_freq": (q_text_term_freq, SQL_TEXT_TERM_FREQ),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "events_hourly_agg": (q_events_hourly_agg, SQL_EVENTS_HOURLY),

@@ -175,6 +175,49 @@ class TermFrequency:
         )
 
 
+class RepetitionScorer:
+    """Gopher/C4-style repetition signals: fraction of duplicate word
+    bigrams and the share taken by the single most-frequent bigram —
+    the standard filters for boilerplate / keyword-stuffed / looping
+    documents in LLM training-data curation.
+
+    Shuffle-free per-row HOF expressions like the rest of this module;
+    the occurrence-count step is O(distinct × total) per document,
+    fine for natural documents (≤ thousands of tokens).  A pathological
+    million-token document would instead use the TermFrequency-style
+    explode → groupBy(doc, gram) shape — same results, one shuffle.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        toks = f"split({self.text_col}, ' ')"
+        bg = (f"case when size({toks}) < 2 then array() else "
+              f"transform(sequence(1, size({toks}) - 1), "
+              f"i -> concat(element_at({toks}, i), ' ', "
+              f"element_at({toks}, i + 1))) end")
+        counts = (f"transform(array_distinct(__bg), d -> "
+                  f"size(filter(__bg, x -> x = d)))")
+        zero = "cast(0.0 as double)"
+        return (
+            df.withColumn("__bg", F.expr(bg))
+            .withColumns({
+                "n_bigrams": F.expr("size(__bg)").cast("long"),
+                "distinct_bigrams":
+                    F.expr("size(array_distinct(__bg))").cast("long"),
+                "dup_bigram_ratio": F.expr(
+                    f"case when size(__bg) = 0 then {zero} else "
+                    f"round((size(__bg) - size(array_distinct(__bg))) "
+                    f"/ size(__bg), 6) end"),
+                "top_bigram_frac": F.expr(
+                    f"case when size(__bg) = 0 then {zero} else "
+                    f"round(array_max({counts}) / size(__bg), 6) end"),
+            })
+            .drop("__bg")
+        )
+
+
 class Fingerprinter:
     """Deterministic document fingerprints: a normalized-content md5 and
     a position-weighted polynomial token hash (rolling-hash style).

@@ -86,3 +86,23 @@ def test_term_frequency(spark):
         "doc_id": [0, 1], "text": ["a b a", "a c"]}))
     out = {r.term: (r.tf, r.df) for r in TermFrequency().transform(df).collect()}
     assert out == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
+
+
+def test_repetition_scorer(spark):
+    """Gopher-style repetition: crafted docs with known bigram stats."""
+    from dataframe_pipeline_spark.text import RepetitionScorer
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b"),       # bigrams: ab ba ab ba ab -> 5 total, 2 distinct, top 'a b' = 3
+         (1, "w x y z"),           # 3 bigrams, all distinct
+         (2, "solo")],             # no bigrams
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           RepetitionScorer().transform(docs).collect()}
+    assert (out[0].n_bigrams, out[0].distinct_bigrams) == (5, 2)
+    assert out[0].dup_bigram_ratio == 0.6
+    assert out[0].top_bigram_frac == 0.6          # 'a b' appears 3/5
+    assert out[1].dup_bigram_ratio == 0.0
+    assert out[1].top_bigram_frac == round(1 / 3, 6)
+    assert (out[2].n_bigrams, out[2].dup_bigram_ratio,
+            out[2].top_bigram_frac) == (0, 0.0, 0.0)
