@@ -46,6 +46,8 @@ _NEVER_CHECKED_FIRST = [
     "sim_ann_ivf_persisted",       # new in r3
     "events_click_attribution",    # new in r3
     "text_repetition",             # new in r3
+    "text_contamination",          # new in r3
+    "sample_weighted",             # new in r3
 ]
 
 _MERGED = {**CORE_QUERIES, **EXT_QUERIES}

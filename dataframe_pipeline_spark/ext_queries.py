@@ -555,6 +555,54 @@ FROM g
 """
 
 
+def q_text_contamination(spark, sf_dir):
+    """Decontamination shape: every 50th doc plays the benchmark/eval
+    set; corpus docs sharing any word 3-gram with it are flagged with
+    their shared-shingle count."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return tx.ContaminationChecker(n=3).flag(corpus, bench)
+
+
+SQL_TEXT_CONTAMINATION = f"""
+WITH bs AS (
+  SELECT DISTINCT unnest({_shingles_duck(n=3)}) AS s
+  FROM documents WHERE doc_id % 50 = 0),
+cs AS (
+  SELECT doc_id, unnest({_shingles_duck(n=3)}) AS s
+  FROM documents WHERE doc_id % 50 <> 0)
+SELECT doc_id, count(DISTINCT s) AS n_shared
+FROM cs WHERE s IN (SELECT s FROM bs)
+GROUP BY doc_id
+"""
+
+
+def q_sample_weighted(spark, sf_dir):
+    """Domain-mixing sampler: per-priority keep rates over orders,
+    content-addressed (md5 of the order key) so the kept set is
+    engine- and partitioning-independent."""
+    from .sources import weighted_sample
+
+    od = _t(spark, sf_dir, "orders")
+    out = weighted_sample(
+        od, "o_orderpriority",
+        {"1-URGENT": 0.5, "2-HIGH": 0.1}, key="o_orderkey",
+        default_rate=0.02)
+    return out.select("o_orderkey", "o_orderpriority")
+
+
+SQL_SAMPLE_WEIGHTED = """
+SELECT o_orderkey, o_orderpriority
+FROM orders
+WHERE (('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT)
+      / 4294967296.0
+    < CASE WHEN o_orderpriority = '1-URGENT' THEN 0.5::DOUBLE
+           WHEN o_orderpriority = '2-HIGH' THEN 0.1::DOUBLE
+           ELSE 0.02::DOUBLE END
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (tx.Fingerprinter().transform(docs)
@@ -998,6 +1046,8 @@ EXT_QUERIES = {
     "text_redact": (q_text_redact, _sql_text_redact()),
     "text_term_freq": (q_text_term_freq, SQL_TEXT_TERM_FREQ),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "text_contamination": (q_text_contamination, SQL_TEXT_CONTAMINATION),
+    "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "events_hourly_agg": (q_events_hourly_agg, SQL_EVENTS_HOURLY),

@@ -96,6 +96,28 @@ def sample_rows(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     return df.sample(fraction=fraction, seed=seed)
 
 
+def weighted_sample(df: DataFrame, stratum_col: str, rates: dict[str, float],
+                    key: str, default_rate: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum sampling — the domain-mixing step of a
+    training-data pipeline (keep 50% of domain A, 2% of domain B, ...).
+
+    A row survives iff ``md5_fraction(key) < rate[stratum]``, where
+    md5_fraction maps the row key to a uniform [0,1) value (first 8 md5
+    hex digits / 2^32).  Content-addressed like every sampler in this
+    repo: the kept set is a pure function of the data — independent of
+    partitioning, ordering, retries, or cluster size — and the same row
+    stays kept when rates only *increase* (nested samples).  Map-only:
+    a filter expression, no shuffle, no RNG state.
+    """
+    frac = (f"conv(substring(md5(cast({key} as string)), 1, 8), 16, 10)"
+            f" / 4294967296.0")
+    rate = "CASE " + " ".join(
+        f"WHEN {stratum_col} = '{s}' THEN cast({r} as double)"
+        for s, r in sorted(rates.items())
+    ) + f" ELSE cast({default_rate} as double) END"
+    return df.filter(F.expr(f"{frac} < {rate}"))
+
+
 def salted_join(fact: DataFrame, dim: DataFrame, on: str,
                 how: str = "inner", salt: int = 8,
                 seed: int = 42) -> DataFrame:

@@ -218,6 +218,41 @@ class RepetitionScorer:
         )
 
 
+class ContaminationChecker:
+    """Benchmark decontamination: flag corpus documents that share any
+    word ``n``-gram with a benchmark/eval set — the step an LLM data
+    pipeline runs so test sets don't leak into training data.
+
+    Plan: the benchmark side (small by construction — eval sets are
+    thousands of docs, not billions) is reduced to its distinct shingle
+    set and **broadcast**; the corpus side explodes shingles map-side
+    and semi-joins against it, then aggregates matches per doc — so the
+    100 TB corpus is never shuffled, only scanned.  Shingling is the
+    same md5-free ``shingle_expr`` the dedup operators use, so a SQL
+    oracle replays it exactly.
+    """
+
+    def __init__(self, n: int = 5):
+        self.n = n
+
+    def flag(self, corpus: DataFrame, benchmark: DataFrame,
+             id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+        """(id, n_shared) for every corpus doc sharing ≥1 shingle."""
+        from .dedup import shingle_expr
+
+        cs = corpus.select(
+            F.col(id_col),
+            F.explode(shingle_expr(text_col, self.n)).alias("__s"))
+        bs = (benchmark
+              .select(F.explode(shingle_expr(text_col, self.n)).alias("__s"))
+              .distinct())
+        return (
+            cs.join(F.broadcast(bs), "__s")
+            .groupBy(id_col)
+            .agg(F.count_distinct("__s").alias("n_shared"))
+        )
+
+
 class Fingerprinter:
     """Deterministic document fingerprints: a normalized-content md5 and
     a position-weighted polynomial token hash (rolling-hash style).

@@ -108,3 +108,38 @@ def test_json_roundtrip(spark, tmp_path):
     write_csv(df, str(tmp_path / "c"))
     back = spark.read.option("header", "true").csv(str(tmp_path / "c"))
     assert sorted(r.b for r in back.collect()) == ["x", "y"]
+
+
+def test_weighted_sample_deterministic_and_nested(spark):
+    """Per-stratum rates hold approximately; the kept set is a pure
+    function of the data (stable under repartitioning), and raising a
+    rate only ADDS rows (nested samples — the property that lets a
+    pipeline re-mix domains without resampling from scratch)."""
+    from dataframe_pipeline_spark.sources import weighted_sample
+
+    od = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    rates = {"1-URGENT": 0.5, "2-HIGH": 0.1}
+    out = weighted_sample(od, "o_orderpriority", rates,
+                          key="o_orderkey", default_rate=0.02)
+    kept = {r.o_orderkey for r in out.select("o_orderkey").collect()}
+    kept_repart = {r.o_orderkey for r in
+                   weighted_sample(od.repartition(13), "o_orderpriority",
+                                   rates, key="o_orderkey",
+                                   default_rate=0.02)
+                   .select("o_orderkey").collect()}
+    assert kept == kept_repart
+
+    by_prio = {r.o_orderpriority: r.cnt for r in
+               out.groupBy("o_orderpriority")
+               .agg(F.count("*").alias("cnt")).collect()}
+    totals = {r.o_orderpriority: r.cnt for r in
+              od.groupBy("o_orderpriority")
+              .agg(F.count("*").alias("cnt")).collect()}
+    assert abs(by_prio["1-URGENT"] / totals["1-URGENT"] - 0.5) < 0.05
+    assert abs(by_prio["2-HIGH"] / totals["2-HIGH"] - 0.1) < 0.05
+
+    bigger = weighted_sample(od, "o_orderpriority",
+                             {"1-URGENT": 0.8, "2-HIGH": 0.3},
+                             key="o_orderkey", default_rate=0.05)
+    kept_big = {r.o_orderkey for r in bigger.select("o_orderkey").collect()}
+    assert kept <= kept_big

@@ -106,3 +106,28 @@ def test_repetition_scorer(spark):
     assert out[1].top_bigram_frac == round(1 / 3, 6)
     assert (out[2].n_bigrams, out[2].dup_bigram_ratio,
             out[2].top_bigram_frac) == (0, 0.0, 0.0)
+
+
+def test_contamination_checker(spark):
+    from dataframe_pipeline_spark.text import ContaminationChecker
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(0, "a quick brown fox ran away"),   # shares 'quick brown fox'
+         (1, "totally different words here"),
+         (2, "the quick brown fox jumps high")],  # shares 3 trigrams
+        "doc_id long, text string")
+    out = {r.doc_id: r.n_shared for r in
+           ContaminationChecker(n=3).flag(corpus, bench).collect()}
+    assert out == {0: 1, 2: 3}
+
+
+def test_contamination_benchmark_is_broadcast(spark):
+    from dataframe_pipeline_spark.text import ContaminationChecker
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = ContaminationChecker(n=3).flag(
+        docs.filter("doc_id % 50 <> 0"), docs.filter("doc_id % 50 = 0"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan     # corpus side never shuffles
