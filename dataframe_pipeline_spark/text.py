@@ -192,6 +192,9 @@ class RepetitionScorer:
         self.text_col = text_col
 
     def transform(self, df: DataFrame) -> DataFrame:
+        from .dedup import spread
+
+        df = spread(df)       # CPU-bound per-row kernel: use every core
         toks = f"split({self.text_col}, ' ')"
         bg = (f"case when size({toks}) < 2 then array() else "
               f"transform(sequence(1, size({toks}) - 1), "
@@ -238,9 +241,9 @@ class ContaminationChecker:
     def flag(self, corpus: DataFrame, benchmark: DataFrame,
              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
         """(id, n_shared) for every corpus doc sharing ≥1 shingle."""
-        from .dedup import shingle_expr
+        from .dedup import shingle_expr, spread
 
-        cs = corpus.select(
+        cs = spread(corpus).select(
             F.col(id_col),
             F.explode(shingle_expr(text_col, self.n)).alias("__s"))
         bs = (benchmark

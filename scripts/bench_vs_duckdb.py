@@ -3,6 +3,14 @@
 
 Usage: python scripts/bench_vs_duckdb.py [sf_dir] [query ...]
 Prints one line per query: spark_s, duck_s, ratio — plus a summary.
+
+Reading the ratios: sub-second Spark times measure fixed job-launch
+overhead, not operator throughput (hence the >0.5s gate on the assert
+list).  The fit-bearing queries (sim_ann_ivf*, pipeline_flagship,
+wrap_*, models) run their full TRAINING loop inside the Spark timing,
+while their DuckDB oracle replays pre-fitted literals — those ratios
+compare fit+score against score-only by design (the oracle exists for
+value parity, not symmetric work).
 """
 
 from __future__ import annotations
