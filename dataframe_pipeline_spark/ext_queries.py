@@ -670,8 +670,10 @@ def q_events_hourly_agg(spark, sf_dir):
 SQL_EVENTS_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour_ts, event_type,
        count(*) AS n,
-       ROUND(avg(value), 6) AS avg_value,
-       ROUND(sum(value), 6) AS sum_value
+       ROUND(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS avg_value,
+       ROUND(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -725,7 +727,8 @@ s AS (
   FROM g)
 SELECT user_id, min(ts) AS session_start,
        count(*) AS n_events,
-       ROUND(sum(value), 6) AS session_value
+       ROUND(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS session_value
 FROM s GROUP BY user_id, sid
 """
 

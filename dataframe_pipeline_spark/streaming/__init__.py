@@ -39,11 +39,19 @@ def hourly_agg(events: DataFrame, watermark: str | None = None) -> DataFrame:
     """
     if watermark:
         events = events.withWatermark("ts", watermark)
+    # value is exactly representable at 6 decimals, so summing in
+    # DECIMAL is lossless AND reduction-order independent — a double
+    # sum's order varies with partitioning and flipped the last ulp of
+    # one avg at sf0.1 vs the oracle.  Cast back to double AFTER the
+    # exact sum; the division then operates on identical doubles in
+    # every engine.
+    vdec = F.sum(F.col("value").cast("decimal(18,6)"))
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.avg("value"), 6).alias("avg_value"),
-             F.round(F.sum("value"), 6).alias("sum_value"))
+             F.round(vdec.cast("double") / F.count(F.lit(1)), 6)
+             .alias("avg_value"),
+             F.round(vdec.cast("double"), 6).alias("sum_value"))
         .select(F.col("w.start").alias("hour_ts"), "event_type",
                 "n", "avg_value", "sum_value")
     )
@@ -58,7 +66,9 @@ def session_stats(events: DataFrame, gap: str = "30 minutes",
     return (
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 6).alias("session_value"))
+             # exact decimal sum — see hourly_agg
+             F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                     .cast("double"), 6).alias("session_value"))
         .select("user_id", F.col("w.start").alias("session_start"),
                 "n_events", "session_value")
     )
