@@ -760,17 +760,22 @@ def q_events_rolling_30m(spark, sf_dir):
     ev = _events(spark, sf_dir)
     w = (Window.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts")))
          .rangeBetween(-1_800_000_000, 0))
+    # decimal frame sum: accumulation order inside a RANGE frame is
+    # engine/sort-stability dependent — lossless DECIMAL makes the sum
+    # order-independent (same rationale as streaming.hourly_agg)
     return ev.select(
         "event_id", "user_id",
         F.count(F.lit(1)).over(w).alias("n_30m"),
-        F.round(F.sum("value").over(w), 6).alias("sum_30m"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+                .cast("double"), 6).alias("sum_30m"),
     )
 
 
 SQL_EVENTS_ROLLING_30M = """
 SELECT event_id, user_id,
        count(*) OVER w AS n_30m,
-       ROUND(sum(value) OVER w, 6) AS sum_30m
+       ROUND(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
+         AS sum_30m
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)

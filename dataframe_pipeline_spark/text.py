@@ -38,6 +38,9 @@ class TokenCounter:
         self.text_col = text_col
 
     def transform(self, df: DataFrame) -> DataFrame:
+        from .dedup import spread
+
+        df = spread(df)
         t = self.text_col
         return df.withColumns({
             "ws_tokens": F.size(F.split(F.col(t), " ")).cast("long"),
@@ -59,6 +62,9 @@ class QualityScorer:
         self.text_col = text_col
 
     def transform(self, df: DataFrame) -> DataFrame:
+        from .dedup import spread
+
+        df = spread(df)
         t = self.text_col
         toks = f"split({t}, ' ')"
         stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -101,6 +107,9 @@ class LanguageIdentifier:
         self.markers = markers or LANG_MARKERS
 
     def transform(self, df: DataFrame) -> DataFrame:
+        from .dedup import spread
+
+        df = spread(df)
         toks = f"split({self.text_col}, ' ')"
         scores = {}
         for lang, words in sorted(self.markers.items()):
@@ -147,6 +156,9 @@ class Redactor:
         self.output = output
 
     def transform(self, df: DataFrame) -> DataFrame:
+        from .dedup import spread
+
+        df = spread(df)
         out = F.col(self.text_col)
         for name, pat in self.patterns.items():
             out = F.regexp_replace(out, pat, f"<{name.upper()}>")
@@ -164,7 +176,9 @@ class TermFrequency:
         self.min_count = min_count
 
     def transform(self, df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-        tok = df.select(
+        from .dedup import spread
+
+        tok = spread(df).select(
             F.col(id_col),
             F.explode(F.split(F.col(self.text_col), " ")).alias("term"))
         return (
@@ -269,6 +283,9 @@ class Fingerprinter:
         self.text_col = text_col
 
     def transform(self, df: DataFrame) -> DataFrame:
+        from .dedup import spread
+
+        df = spread(df)
         t = self.text_col
         norm = f"lower(regexp_replace({t}, '\\\\s+', ' '))"
         toks = f"split({norm}, ' ')"
