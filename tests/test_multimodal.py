@@ -273,3 +273,23 @@ def test_audio_stage_and_rejects(spark):
     assert out[0].sample_rate == 4000 and out[0].n_frames == 800
     assert out[0].duration_s == 0.2
     assert out[1].rms is None and out[1].n_channels is None
+
+
+def test_bmp_topdown_negative_height():
+    """BMPs with negative height store rows top-down — the decoder must
+    not flip them (hand-built header, same pixel payload)."""
+    import numpy as np
+    from dataframe_pipeline_spark.multimodal import (
+        decode_image_array, encode_bmp)
+
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    b = bytearray(encode_bmp(img))
+    # encode_bmp wrote bottom-up rows with height=+2; flip the sign and
+    # the row order to express the same image top-down
+    h = -2
+    b[22:26] = h.to_bytes(4, "little", signed=True)
+    row = ((2 * 3 + 3) // 4) * 4
+    body = bytes(b[54:])
+    b[54:] = body[row:] + body[:row]        # swap the two rows
+    out = decode_image_array(bytes(b))
+    assert (out == img[..., ::-1]).all()

@@ -110,3 +110,59 @@ def test_label_encoder_sorted_order(spark, vals):
     classes = sorted(set(vals) | {"extra_category_"})
     for i, v in enumerate(vals):
         assert out[i] == classes.index(v)
+
+
+# -- codec round-trip properties (no Spark session needed) -----------------
+
+img_arrays = st.tuples(
+    st.integers(min_value=1, max_value=9),    # H
+    st.integers(min_value=1, max_value=9),    # W
+    st.integers(min_value=0, max_value=4),    # PNG filter type
+    st.integers(min_value=0, max_value=2**31 - 1),  # seed
+)
+
+
+@given(p=img_arrays)
+@SET
+def test_png_roundtrip_property(p):
+    """encode_png(any HxWx3 array, any filter) decodes to the exact
+    array — every filter path, every shape."""
+    from dataframe_pipeline_spark.multimodal import (
+        decode_image_array, encode_png)
+
+    h, w, ft, seed = p
+    img = np.random.RandomState(seed).randint(
+        0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_image_array(encode_png(img, filter_type=ft))
+    assert out.shape == (h, w, 3)
+    assert (out == img).all()
+
+
+@given(p=img_arrays)
+@SET
+def test_bmp_roundtrip_property(p):
+    from dataframe_pipeline_spark.multimodal import (
+        decode_image_array, encode_bmp)
+
+    h, w, _ft, seed = p
+    img = np.random.RandomState(seed).randint(
+        0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_image_array(encode_bmp(img))
+    # BMP stores BGR; decode preserves stored channel order
+    assert (out == img[..., ::-1]).all()
+
+
+@given(n=st.integers(min_value=1, max_value=2000),
+       seed=st.integers(min_value=0, max_value=2**31 - 1),
+       rate=st.sampled_from([4000, 8000, 44100]))
+@SET
+def test_wav_roundtrip_property(n, seed, rate):
+    from dataframe_pipeline_spark.multimodal import decode_audio, encode_wav
+
+    samples = np.random.RandomState(seed).randint(
+        -32768, 32767, size=n, dtype=np.int16)
+    nch, sr, nf, dur, rms = decode_audio(encode_wav(samples, sample_rate=rate))
+    assert (nch, sr, nf) == (1, rate, n)
+    assert dur == n / rate
+    exp_rms = float(np.sqrt(((samples / 32768.0) ** 2).mean()))
+    assert abs(rms - exp_rms) < 1e-12

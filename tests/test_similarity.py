@@ -59,3 +59,17 @@ def test_ivf_index_matches_bruteforce_top1(spark):
     # and with partial probing it still returns k results from probed cells
     part = IVFIndex(k=5, n_lists=4, n_probe=1).fit(emb).search(query_id=0)
     assert 0 < part.count() <= 5
+
+
+def test_ivf_fit_is_partition_independent(spark):
+    """The IVF trainer's sample is content-addressed (md5-mod of the id,
+    then id-ordered) — fitted centroids must be identical no matter how
+    the input is partitioned."""
+    from dataframe_pipeline_spark.similarity import IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = IVFIndex(k=5, n_lists=4, n_probe=2, max_train=100).fit(emb)
+    b = IVFIndex(k=5, n_lists=4, n_probe=2, max_train=100).fit(
+        emb.repartition(17))
+    assert a.centroids_int == b.centroids_int
+    assert a.search(query_id=0).collect() == b.search(query_id=0).collect()
