@@ -48,6 +48,7 @@ _NEVER_CHECKED_FIRST = [
     "text_repetition",             # new in r3
     "text_contamination",          # new in r3
     "sample_weighted",             # new in r3
+    "dedup_segments",              # new in r3
 ]
 
 _MERGED = {**CORE_QUERIES, **EXT_QUERIES}

@@ -311,6 +311,54 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     return labels.select(F.col("node"), F.col("comp"))
 
 
+class SegmentDeduplicator:
+    """Corpus-wide sub-document dedup: drop fixed-width word segments
+    that occur in more than ``max_doc_freq`` distinct documents, and
+    reassemble each document from its surviving segments — the
+    boilerplate-removal step (headers, footers, licence blocks, nav
+    text) of an LLM curation pipeline, at segment rather than document
+    granularity.
+
+    Scale design: the corpus-wide frequency count shuffles a 60-bit
+    segment hash + doc id (16 bytes/segment), never the segment text;
+    the text stays doc-side and rides the final per-doc regroup.  Docs
+    whose every segment is boilerplate drop out entirely (both engines
+    agree).  Determinism: the hash is the md5-derived ``h60`` the rest
+    of this module uses, so the DuckDB oracle counts the identical
+    hashes; reassembly orders by segment position.
+    """
+
+    def __init__(self, k: int = 8, max_doc_freq: int = 1):
+        self.k = k
+        self.max_doc_freq = max_doc_freq
+
+    def transform(self, df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+        k = self.k
+        toks = f"split({text_col}, ' ')"
+        nseg = f"cast(ceil(size({toks}) / {k}.0) as int)"
+        segs = (f"transform(sequence(0, {nseg} - 1), "
+                f"i -> concat_ws(' ', slice({toks}, i*{k}+1, {k})))")
+        seg_rows = (
+            spread(df).select(F.col(id_col),
+                              F.posexplode(F.expr(segs)).alias("pos", "seg"))
+            .withColumn("__h", F.expr(h60_expr("seg")))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        common = (seg_rows.groupBy("__h")
+                  .agg(F.count_distinct(id_col).alias("__df"))
+                  .filter(F.col("__df") > self.max_doc_freq)
+                  .select("__h"))
+        kept = seg_rows.join(common, "__h", "left_anti")
+        return (
+            kept.groupBy(id_col)
+            .agg(F.expr("array_join(transform(array_sort("
+                        "collect_list(struct(pos, seg))), s -> s.seg), ' ')")
+                 .alias("cleaned"),
+                 F.count(F.lit(1)).alias("n_segments"))
+        )
+
+
 class SimHasher:
     """SimHash document fingerprint (60-bit) over distinct word tokens.
 

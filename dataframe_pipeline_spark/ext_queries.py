@@ -128,6 +128,32 @@ WHERE ROUND(i / (len(sa.s) + len(sb.s) - i), 6) >= 0.9
 """
 
 
+def q_dedup_segments(spark, sf_dir):
+    """Boilerplate-segment removal: 8-word segments occurring in ≥2
+    distinct docs are dropped corpus-wide; docs are reassembled from
+    surviving segments in position order."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.SegmentDeduplicator(k=8, max_doc_freq=1).transform(docs)
+
+
+SQL_DEDUP_SEGMENTS = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+segs AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS seg
+  FROM t, unnest(generate_series(0,
+        CAST(ceil(len(toks) / 8.0) AS INT) - 1)) AS g(i)),
+h AS (SELECT doc_id, pos, seg, {_h60_duck('seg')} AS hh FROM segs),
+common AS (
+  SELECT hh FROM h GROUP BY hh HAVING count(DISTINCT doc_id) > 1)
+SELECT doc_id,
+       string_agg(seg, ' ' ORDER BY pos) AS cleaned,
+       count(*) AS n_segments
+FROM h WHERE hh NOT IN (SELECT hh FROM common)
+GROUP BY doc_id
+"""
+
+
 def q_dedup_minhash_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dd.MinHashLSHDeduplicator(k=16, bands=2, threshold=0.9).pairs(docs)
@@ -1033,6 +1059,7 @@ EXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_ngram_capped": (q_dedup_ngram_capped, SQL_DEDUP_NGRAM_CAPPED),
+    "dedup_segments": (q_dedup_segments, SQL_DEDUP_SEGMENTS),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, _sql_minhash()),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),

@@ -172,3 +172,24 @@ def test_sign_lsh_auto_planes_bucket_occupancy_bounded(spark):
     assert QuantizedCosineDeduplicator.planes_for(1024) == 14
     assert QuantizedCosineDeduplicator.planes_for(10**9) == 34
     assert QuantizedCosineDeduplicator.planes_for(2**60) == 60
+
+
+def test_segment_deduplicator(spark):
+    """8-word segments shared by ≥2 docs are removed corpus-wide; docs
+    reassemble from surviving segments in order; all-boilerplate docs
+    drop out."""
+    from dataframe_pipeline_spark.dedup import SegmentDeduplicator
+
+    boiler = "p q r s"                       # shared 4-word segment
+    docs = spark.createDataFrame(
+        [(0, f"{boiler} a b c d"),           # segment 0 shared, seg 1 unique
+         (1, f"{boiler} e f g h"),
+         (2, boiler),                        # only the shared segment
+         (3, "i j k l m")],                  # untouched (5 words → 2 segs)
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           SegmentDeduplicator(k=4, max_doc_freq=1).transform(docs).collect()}
+    assert set(out) == {0, 1, 3}             # doc 2 was pure boilerplate
+    assert out[0].cleaned == "a b c d" and out[0].n_segments == 1
+    assert out[1].cleaned == "e f g h"
+    assert out[3].cleaned == "i j k l m" and out[3].n_segments == 2
