@@ -339,11 +339,14 @@ class SegmentDeduplicator:
         nseg = f"cast(ceil(size({toks}) / {k}.0) as int)"
         segs = (f"transform(sequence(0, {nseg} - 1), "
                 f"i -> concat_ws(' ', slice({toks}, i*{k}+1, {k})))")
+        # deliberately NOT persisted: both consumers re-derive the
+        # exploded rows from the (compressed, columnar) source — two
+        # cheap scans beat materializing exploded rows that are ~2× the
+        # corpus (text duplicated across doc_id/pos/seg/hash columns)
         seg_rows = (
             spread(df).select(F.col(id_col),
                               F.posexplode(F.expr(segs)).alias("pos", "seg"))
             .withColumn("__h", F.expr(h60_expr("seg")))
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         common = (seg_rows.groupBy("__h")
                   .agg(F.count_distinct(id_col).alias("__df"))

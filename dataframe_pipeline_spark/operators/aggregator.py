@@ -47,6 +47,16 @@ def _resolve_func(func):
         "nunique": F.count_distinct,
         "first": F.first,
         "last": F.last,
+        # sketch tier — the 100 TB versions of nunique/median: HLL++ and
+        # KLL-style partial aggregates with bounded per-group memory and
+        # full map-side combine, where the exact forms either shuffle
+        # every distinct value (nunique) or collect the whole group
+        # (percentile).  Approximate by contract, so no DuckDB value
+        # oracle — accuracy is asserted against the exact aggregates in
+        # test_agg.py instead.
+        "approx_nunique": lambda c: F.approx_count_distinct(c, rsd=0.02),
+        "approx_median": lambda c: F.percentile_approx(
+            c, F.lit(0.5), F.lit(10000)),
     }
     if name in table:
         return table[name]

@@ -57,3 +57,32 @@ def test_groupby_std_unseen_key(spark):
         "col2": ["device-1", "device-9"],
         "std_to_col2": [0.0, None],
     }))
+
+
+def test_sketch_aggregates_close_to_exact(spark):
+    """approx_nunique (HLL++) and approx_median (percentile_approx)
+    track their exact counterparts within the configured error — the
+    bounded-memory tier for groups too hot for exact distinct/percentile
+    at scale."""
+    from dataframe_pipeline_spark.operators import Aggregator
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    a1 = Aggregator(inputs=["l_partkey"], outputs=["nu"],
+                    groupby=["l_returnflag"], func="approx_nunique").fit(li)
+    e1 = Aggregator(inputs=["l_partkey"], outputs=["nu"],
+                    groupby=["l_returnflag"], func="nunique").fit(li)
+    a2 = Aggregator(inputs=["l_extendedprice"], outputs=["md"],
+                    groupby=["l_returnflag"], func="approx_median").fit(li)
+    e2 = Aggregator(inputs=["l_extendedprice"], outputs=["md"],
+                    groupby=["l_returnflag"], func="median").fit(li)
+
+    def vals(agg):
+        out = agg.transform(li).select("l_returnflag", agg.outputs[0])
+        return {r[0]: r[1] for r in out.distinct().collect()}
+
+    av, ev = vals(a1), vals(e1)
+    for k in ev:
+        assert abs(av[k] - ev[k]) / ev[k] < 0.05, (k, av[k], ev[k])
+    av, ev = vals(a2), vals(e2)
+    for k in ev:
+        assert abs(av[k] - ev[k]) / ev[k] < 0.05, (k, av[k], ev[k])
