@@ -166,3 +166,14 @@ def test_lsh_probe_from_disk_is_partition_pruned(spark, tmp_path):
     assert any("FileScan" in l and "PartitionFilters: [" in l
                and "__bucket" in l.split("PartitionFilters: [", 1)[1]
                for l in plan.splitlines())
+
+
+def test_segment_dedup_anti_join_broadcasts_common_set(spark):
+    """The corpus-wide boilerplate filter must broadcast the (small)
+    common-hash set into the anti-join — the full exploded segment
+    table never shuffles for the filtering step."""
+    from dataframe_pipeline_spark.dedup import SegmentDeduplicator
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(SegmentDeduplicator(k=8, max_doc_freq=1).transform(docs))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
