@@ -27,6 +27,42 @@ from .queries import _r6, _t
 from .sources import left_enrich, split_mod
 
 
+#: Size gate for explicit dim-broadcast hints in the TPC-H-shaped query
+#: plans — the query-shape analog of label_encoder's BROADCAST_MAX_ROWS
+#: gate.  A dim under this bound is safely an executor-memory broadcast;
+#: above it the hint is withheld and AQE picks the strategy from the
+#: true runtime size (it will still broadcast when the materialized dim
+#: turns out small).  256 MB of *source-scan parquet* over-bounds the
+#: narrow pre-joined dim by the column-pruning factor, so the gate errs
+#: conservative in the OOM-safe direction.
+DIM_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def _stats_bytes(df) -> int:
+    """Catalyst's size estimate for a frame (file-size-based for scans).
+    Pure planning metadata — launches no job, reads no data."""
+    return int(str(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+
+
+def maybe_broadcast(df, bound_df=None, max_bytes: int | None = None):
+    """Size-gated broadcast hint: hint only when Catalyst statistics
+    bound ``bound_df`` (default: ``df`` itself) under ``max_bytes``;
+    otherwise return the frame unhinted and let AQE choose.
+
+    Pass ``bound_df`` when ``df`` is a join whose estimated size
+    Catalyst over-states (join estimates multiply child sizes) but
+    whose true cardinality is bounded by one input — FK-join dims:
+    orders ⋈ customer ⋈ nation has at most one row per orders row, so
+    the accurate orders *scan* statistic is the sound bound.  A fact
+    table at 100× data blows past the gate and the hint disappears —
+    an unconditional ``F.broadcast`` there is the 100 TB executor OOM.
+    """
+    limit = DIM_BROADCAST_MAX_BYTES if max_bytes is None else max_bytes
+    src = df if bound_df is None else bound_df
+    return F.broadcast(df) if _stats_bytes(src) <= limit else df
+
+
 def _events(spark, sf_dir):
     """Load the events table with its TIMESTAMP(NANOS) column normalized
     to a microsecond TIMESTAMP — the same truncation DuckDB applies when
@@ -400,6 +436,25 @@ LIMIT 5
 """
 
 
+_IVF_SCRATCH: str | None = None
+
+
+def _ivf_scratch_dir() -> str:
+    """Process-scoped scratch dir for the persisted-index round-trip:
+    one dir per process, reused across invocations (index writes are
+    mode=overwrite) and removed at interpreter exit — no per-call
+    mkdtemp leak across oracle + bench repetitions."""
+    global _IVF_SCRATCH
+    if _IVF_SCRATCH is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _IVF_SCRATCH = tempfile.mkdtemp(prefix="dfp_ivf_idx_")
+        atexit.register(shutil.rmtree, _IVF_SCRATCH, ignore_errors=True)
+    return _IVF_SCRATCH
+
+
 def q_sim_ann_ivf_persisted(spark, sf_dir):
     """fit → write (parquet partitioned by cell) → read → probe: the
     persisted index layout must return bit-identical results to the
@@ -407,11 +462,9 @@ def q_sim_ann_ivf_persisted(spark, sf_dir):
     reloaded probe carries a ``__list IN (...)`` partition filter — at
     scale it scans n_probe/n_lists of the data (plan-asserted in
     test_plans.py)."""
-    import tempfile
-
     emb = _t(spark, sf_dir, "embeddings")
     idx = sim.IVFIndex(k=5, n_lists=8, n_probe=2).fit(emb)
-    path = tempfile.mkdtemp(prefix="dfp_ivf_idx_")
+    path = _ivf_scratch_dir()
     idx.write(path)
     return sim.IVFIndex.read(spark, path).search(query_id=0)
 
@@ -912,11 +965,17 @@ def q_top_revenue_orders(spark, sf_dir):
     od = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    # orders (join cols only) is a few MB at sf0.1 — broadcast both dims
-    # so the 600k-row lineitem side never shuffles before aggregation.
-    od_b = F.broadcast(
-        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey, "left_semi")
-        .select("o_orderkey", "o_orderdate"))
+    # Size-gated broadcast (maybe_broadcast): at bench scale the
+    # semi-joined orders dim is a few MB and the hint keeps the
+    # 600k-row lineitem side shuffle-free; orders is a *fact* table
+    # though, so at 100x the gate withholds the hint and AQE picks the
+    # strategy — never an unconditional executor-memory broadcast.
+    # The semi-join output is bounded by the orders scan (bound_df=od).
+    od_b = maybe_broadcast(
+        od.join(maybe_broadcast(cu), od.o_custkey == cu.c_custkey,
+                "left_semi")
+        .select("o_orderkey", "o_orderdate"),
+        bound_df=od)
     return (
         li.join(od_b, li.l_orderkey == od_b.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
@@ -943,14 +1002,18 @@ def q_revenue_by_nation(spark, sf_dir):
     od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem")
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    # pre-join the dim chain (orders→customer→nation, ≤150k narrow rows)
-    # and broadcast it: the fact scan streams through one broadcast hash
-    # join straight into partial aggregation — zero fact-side shuffle
-    # before the 25-row final agg.
-    dim = F.broadcast(
-        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
-        .select("o_orderkey", "n_name"))
+    # Pre-join the dim chain (orders -> customer -> nation; FK joins, so
+    # at most one output row per orders row) and size-gate the broadcast
+    # on the orders *scan* statistic: under the gate the fact scan
+    # streams through one broadcast hash join straight into partial
+    # aggregation (zero fact-side shuffle before the 25-row final agg);
+    # above it — orders at 100x is no longer broadcastable — the hint
+    # disappears and AQE plans from runtime sizes.
+    dim = maybe_broadcast(
+        od.join(maybe_broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(maybe_broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .select("o_orderkey", "n_name"),
+        bound_df=od)
     return (
         li.join(dim, li.l_orderkey == dim.o_orderkey)
         .groupBy("n_name")

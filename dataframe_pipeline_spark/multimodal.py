@@ -57,9 +57,10 @@ def with_payload_metadata(df: DataFrame, src_col: str = "text",
 
 
 def _decode_bmp(b: bytes):
-    """Uncompressed (BI_RGB) 24/32-bit BMP → (H, W, 3) uint8 array
-    (B,G,R channel order preserved as stored; alpha and row padding
-    stripped).
+    """Uncompressed (BI_RGB) 24/32-bit BMP → (H, W, 3) uint8 **RGB**
+    array (storage is B,G,R — the channel axis is reversed on decode so
+    every format this module decodes yields the same RGB convention;
+    alpha and row padding stripped).
 
     Pure stdlib+numpy: header fields per the public BITMAPINFOHEADER
     layout; rows are 4-byte aligned, bottom-up (or top-down when height
@@ -85,7 +86,7 @@ def _decode_bmp(b: bytes):
     px = px.reshape(height, row)[:, :w * bypp].reshape(height, w, bypp)[..., :3]
     if h > 0:                           # bottom-up storage → top-down array
         px = px[::-1]
-    return px
+    return np.ascontiguousarray(px[..., ::-1])   # stored BGR → RGB
 
 
 def _decode_ppm(b: bytes):
@@ -208,7 +209,10 @@ def _decode_png(b: bytes):
         raise ValueError("PNG missing IHDR/IDAT")
     ch = _PNG_CHANNELS[ctype]
     stride = w * ch
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:                 # corrupt deflate stream
+        raise ValueError(f"corrupt PNG IDAT: {e}") from None
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline data size mismatch")
     px = _png_unfilter(raw, height, stride, bpp=ch)
@@ -218,11 +222,15 @@ def _decode_png(b: bytes):
 
 def decode_image_array(payload: bytes):
     """Decode a container-decodable payload to its (H, W, C) uint8
-    pixel array — uncompressed BMP (24/32-bit BI_RGB, BGR order),
-    binary PPM (P6, RGB), non-interlaced 8-bit PNG (gray/RGB; alpha
-    stripped) — all pure stdlib+numpy.  Formats whose codecs genuinely
-    need external libs (JPEG/GIF/WebP/...) raise NotImplementedError;
-    ``FakeImageDecoder`` remains the deterministic double for those."""
+    pixel array, **always RGB** (or single-channel gray) regardless of
+    the container's storage order — uncompressed BMP (24/32-bit BI_RGB,
+    stored BGR, reversed on decode), binary PPM (P6), non-interlaced
+    8-bit PNG (gray/RGB; alpha stripped) — all pure stdlib+numpy.
+    Formats whose codecs genuinely need external libs (JPEG/GIF/WebP/…)
+    raise NotImplementedError; corrupt payloads of a recognized format
+    raise ValueError (the ``on_error='null'`` stages catch exactly
+    these two).  ``FakeImageDecoder`` remains the deterministic double
+    for the stubbed formats."""
     b = bytes(payload)
     if b[:2] == b"BM":
         return _decode_bmp(b)
@@ -336,8 +344,9 @@ def resize_image(payload: bytes, width: int, height: int,
                  fmt: str = "png") -> bytes:
     """REAL resize for the decodable formats: decode → nearest-neighbor
     resample (pure numpy index arithmetic, deterministic) → re-encode
-    as PNG (default) or PPM.  Channel order is preserved as decoded
-    (BMP arrays are BGR).  Undecodable payloads raise like
+    as PNG (default) or PPM.  All decoded arrays are RGB (see
+    :func:`decode_image_array`), so the re-encoded output is a correct
+    RGB image for any input format.  Undecodable payloads raise like
     :func:`decode_image_array`; a PIL/opencv-backed kernel (bilinear,
     JPEG I/O) drops into the same signature in a full container."""
     import numpy as np
@@ -366,8 +375,10 @@ def decode_audio(payload: bytes):
     format, via ``wave``): returns (n_channels, sample_rate, n_frames,
     duration_s, rms) with rms over samples normalized to [-1, 1).
     Compressed audio (mp3/ogg/flac) needs external codecs →
-    NotImplementedError."""
+    NotImplementedError; corrupt/truncated RIFF containers raise
+    ValueError (so ``on_error='null'`` stages null them, not fail)."""
     import io
+    import struct
     import wave
 
     import numpy as np
@@ -384,6 +395,8 @@ def decode_audio(payload: bytes):
             raw = wf.readframes(nf)
     except wave.Error as e:                 # non-PCM encodings
         raise NotImplementedError(f"non-PCM WAV: {e}") from None
+    except (EOFError, struct.error) as e:   # truncated/corrupt container
+        raise ValueError(f"corrupt WAV: {e}") from None
     if sw == 1:                             # 8-bit WAV is unsigned
         x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
     elif sw == 2:

@@ -109,13 +109,19 @@ def weighted_sample(df: DataFrame, stratum_col: str, rates: dict[str, float],
     stays kept when rates only *increase* (nested samples).  Map-only:
     a filter expression, no shuffle, no RNG state.
     """
-    frac = (f"conv(substring(md5(cast({key} as string)), 1, 8), 16, 10)"
-            f" / 4294967296.0")
-    rate = "CASE " + " ".join(
-        f"WHEN {stratum_col} = '{s}' THEN cast({r} as double)"
-        for s, r in sorted(rates.items())
-    ) + f" ELSE cast({default_rate} as double) END"
-    return df.filter(F.expr(f"{frac} < {rate}"))
+    # Column API throughout (no SQL-string interpolation): stratum
+    # values and column names pass as literals/refs, so quotes or
+    # SQL metacharacters in the data can't alter the predicate.
+    frac = (F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8),
+                   16, 10).cast("double") / F.lit(4294967296.0))
+    rate = None
+    for s, r in sorted(rates.items()):
+        cond = F.col(stratum_col) == F.lit(s)
+        rate = (F.when(cond, F.lit(float(r))) if rate is None
+                else rate.when(cond, F.lit(float(r))))
+    default = F.lit(float(default_rate))
+    rate = default if rate is None else rate.otherwise(default)
+    return df.filter(frac < rate)
 
 
 def salted_join(fact: DataFrame, dim: DataFrame, on: str,

@@ -208,9 +208,10 @@ def test_resize_image_real():
     # PPM input → PPM output path
     out2 = decode_image_array(resize_image(encode_ppm(img), 3, 4, fmt="ppm"))
     assert (out2 == exp).all()
-    # BMP input decodes as BGR; resize preserves the decoded channels
+    # BMP storage is BGR but decode normalizes to RGB, so a BMP input
+    # resizes to the same RGB output as the PNG/PPM paths
     out3 = decode_image_array(resize_image(encode_bmp(img), 3, 4))
-    assert (out3 == exp[..., ::-1]).all()
+    assert (out3 == exp).all()
     # upscale: every output pixel still an exact source pixel
     up = decode_image_array(resize_image(encode_png(img), 12, 16))
     assert up.shape == (16, 12, 3)
@@ -292,4 +293,77 @@ def test_bmp_topdown_negative_height():
     body = bytes(b[54:])
     b[54:] = body[row:] + body[:row]        # swap the two rows
     out = decode_image_array(bytes(b))
-    assert (out == img[..., ::-1]).all()
+    assert (out == img).all()
+
+
+def test_corrupt_payloads_raise_value_error():
+    """Corrupt payloads of a *recognized* format raise ValueError — the
+    exact class the on_error='null' stages catch — never a codec
+    internal (zlib.error / EOFError / struct.error)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as pt
+    from dataframe_pipeline_spark.multimodal import (
+        PNG_SIG, decode_audio, decode_image, encode_wav)
+
+    # PNG with a garbage (non-deflate) IDAT → zlib.error internally
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    bad_png = (PNG_SIG + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", b"\xff\xfe\x00garbage")
+               + chunk(b"IEND", b""))
+    with pt.raises(ValueError):
+        decode_image(bad_png)
+
+    # WAV truncated mid-header → EOFError/struct.error internally
+    wav = encode_wav(np.zeros(64, dtype=np.int16))
+    with pt.raises(ValueError):
+        decode_audio(wav[:20])
+
+
+def test_null_stages_survive_corrupt_recognized_payloads(spark):
+    """on_error='null' must null corrupt-but-recognized payloads (the
+    bulk-ingest contract), not fail the job."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+    from dataframe_pipeline_spark import multimodal as mm
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    bad_png = (mm.PNG_SIG + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", b"\xff\xfe\x00garbage")
+               + chunk(b"IEND", b""))
+    good = mm.encode_png(np.arange(12, dtype=np.uint8).reshape(2, 2, 3))
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(bad_png))],
+        "doc_id long, payload binary").withColumn(
+            "n_bytes", F.octet_length("payload").cast("long"))
+    out = {r.doc_id: r for r in
+           mm.Resizer(width=2, height=2, on_error="null")
+           .transform(df).collect()}
+    assert out[0].resized is not None
+    assert out[1].resized is None
+
+    wav = mm.encode_wav(np.zeros(64, dtype=np.int16))
+    dfa = spark.createDataFrame(
+        [(0, bytearray(wav)), (1, bytearray(wav[:20]))],
+        "doc_id long, payload binary").withColumn(
+            "n_bytes", F.octet_length("payload").cast("long"))
+    outa = {r.doc_id: r for r in
+            mm.AudioFeatureExtractor(on_error="null")
+            .transform(dfa).collect()}
+    assert outa[0].n_frames == 64
+    assert outa[1].n_frames is None

@@ -95,6 +95,26 @@ def test_topk_uses_heap_not_global_sort(spark, qs):
     assert "LeftSemi" in p                    # orders pruned by semi join
 
 
+def test_tpch_dim_broadcast_is_size_gated(spark, no_auto_broadcast,
+                                          monkeypatch):
+    """The orders-derived dims in the TPC-H shapes carry a broadcast
+    hint only under the size gate (Catalyst scan statistics): below it
+    the hint is present (shuffle-free fact side at bench scale); above
+    it — the 100x case, simulated by zeroing the gate — no hint is
+    emitted and the plan falls back to AQE's choice, never a forced
+    executor-memory broadcast of a fact-derived table."""
+    import dataframe_pipeline_spark.ext_queries as xq
+
+    # under the gate: explicit hint survives even with auto-broadcast off
+    assert "BroadcastHashJoin" in _plan(xq.q_revenue_by_nation(spark, SF))
+    assert "BroadcastHashJoin" in _plan(xq.q_top_revenue_orders(spark, SF))
+    # above the gate: the hint disappears from both shapes
+    monkeypatch.setattr(xq, "DIM_BROADCAST_MAX_BYTES", 0)
+    assert "BroadcastHashJoin" not in _plan(xq.q_revenue_by_nation(spark, SF))
+    assert "BroadcastHashJoin" not in _plan(
+        xq.q_top_revenue_orders(spark, SF))
+
+
 def test_scan_prunes_columns(spark, qs):
     """A 3-column projection must not read all 11 lineitem columns."""
     p = _plan(qs["typeconv"](spark, SF))
