@@ -190,3 +190,44 @@ def infer_spark_type_of_value(v) -> T.DataType:
     if isinstance(v, (bytes, bytearray)):
         return T.BinaryType()
     return T.StringType()
+
+
+def cheap_row_count(df: DataFrame) -> int:
+    """Row count without a Spark job when the frame is a parquet scan
+    (possibly projected/filtered): sums ``num_rows`` from the parquet
+    footers of ``df.inputFiles()`` — driver-side metadata reads, no
+    executor pass over the data.  Falls back to a ``count()`` job for
+    non-file frames (local relations, post-shuffle results, non-parquet
+    sources).
+
+    With filters present the footer total is an *upper bound* on the
+    true count — the safe direction for every caller in this package
+    (sampling-modulus and plane-count decisions: an overestimate samples
+    slightly fewer rows / adds a plane, never unbounds a driver
+    collect).  Plans with row-multiplying operators (joins, generators)
+    — where the footer sum could *under*-count — fall back to the job.
+    At 100 TB this turns three fit-time full scans into footer reads.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if "Join" in plan or "Generate" in plan:
+            return df.count()
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files and all(f.rsplit("?", 1)[0].endswith(".parquet") for f in files):
+        try:
+            from urllib.parse import unquote, urlparse
+
+            import pyarrow.parquet as pq
+
+            total = 0
+            for f in files:
+                u = urlparse(f)
+                if u.scheme not in ("", "file"):
+                    raise ValueError(f"non-local file {f}")
+                total += pq.ParquetFile(unquote(u.path)).metadata.num_rows
+            return total
+        except Exception:
+            pass
+    return df.count()

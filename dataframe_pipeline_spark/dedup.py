@@ -35,6 +35,8 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .base import cheap_row_count
+
 # Mersenne prime 2^31-1: MinHash universe. a*h+b stays < 2^37 << 2^63.
 MINHASH_P = 2_147_483_647
 
@@ -491,11 +493,12 @@ class QuantizedCosineDeduplicator:
         return max(1, min(60, math.ceil(math.log2(max(n_rows, 2))) + margin))
 
     def _resolve_planes(self, df: DataFrame) -> None:
-        """Resolve ``n_planes="auto"`` against the actual corpus size
-        (fit-style: one count job, then the value is pinned on self so
-        hyperplanes/buckets stay consistent across calls)."""
+        """Resolve ``n_planes="auto"`` against the corpus size — parquet
+        footer metadata when the input is a scan (cheap_row_count: no
+        job), a count job otherwise; the value is pinned on self so
+        hyperplanes/buckets stay consistent across calls."""
         if self.n_planes == "auto":
-            self.n_planes = self.planes_for(df.count())
+            self.n_planes = self.planes_for(cheap_row_count(df))
 
     def hyperplane(self, j: int) -> list[int]:
         """Deterministic ±1 hyperplane j (python twin of the md5 rule)."""

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .base import cheap_row_count
+
 
 class NumpyLogisticRegression:
     """Binary logistic regression, sklearn-surface (`fit`,
@@ -102,7 +104,10 @@ def collect_training_matrix(df, feature_cols, label_col,
     sel = df.select(F.md5(key).alias("__k"),
                     *[F.col(c).cast("double") for c in feature_cols],
                     F.col(label_col).cast("double").alias("__y"))
-    n = sel.count()
+    # Footer-metadata cardinality when the frame is a scan (no job); the
+    # hard limit() below keeps the collect bounded even if an estimate
+    # on a filtered scan over-counts (the safe direction).
+    n = cheap_row_count(sel)
     if n > max_rows:
         mod = -(-n // max_rows)
         sel = (sel.filter(

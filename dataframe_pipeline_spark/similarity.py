@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .base import cheap_row_count
 from .dedup import QuantizedCosineDeduplicator
 
 
@@ -157,8 +158,11 @@ class IVFIndex:
             F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__arr"),
         )
         # Train on a bounded, deterministic sample (md5-mod of the id —
-        # content-addressed, partition-layout independent).
-        n = arr.count()
+        # content-addressed, partition-layout independent).  Cardinality
+        # comes from parquet footer metadata when the input is a scan
+        # (cheap_row_count: no job, no data pass) — at 100 TB the fit
+        # must not spend a full scan just to pick the sample modulus.
+        n = cheap_row_count(arr)
         sample = arr
         if n > self.max_train:
             mod = -(-n // self.max_train)  # ceil

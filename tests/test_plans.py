@@ -115,6 +115,42 @@ def test_tpch_dim_broadcast_is_size_gated(spark, no_auto_broadcast,
         xq.q_top_revenue_orders(spark, SF))
 
 
+def test_cheap_row_count_is_jobless_on_scans(spark):
+    """Fit-time cardinality for sampling/plane decisions must come from
+    parquet footer metadata, not a count() job — at 100 TB each of those
+    counts is a full scan.  Asserted via the status tracker: no job runs
+    under the marker group."""
+    from dataframe_pipeline_spark.base import cheap_row_count
+
+    sc = spark.sparkContext
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = df.count()
+    sc.setJobGroup("crc_jobless", "cheap_row_count")
+    try:
+        n = cheap_row_count(df)
+    finally:
+        sc.setJobGroup("crc_done", "")
+    assert n == exact
+    assert list(sc.statusTracker().getJobIdsForGroup("crc_jobless")) == []
+
+    # filtered scan: footer total is the safe upper bound, still jobless
+    filt = df.filter("vec_id % 2 = 0")
+    sc.setJobGroup("crc_jobless2", "cheap_row_count filtered")
+    try:
+        nf = cheap_row_count(filt)
+    finally:
+        sc.setJobGroup("crc_done", "")
+    assert nf == exact
+    assert list(sc.statusTracker().getJobIdsForGroup("crc_jobless2")) == []
+
+    # row-multiplying plans (join) must fall back to the exact job
+    joined = df.alias("a").join(df.alias("b"), "vec_id")
+    assert cheap_row_count(joined) == exact
+    # non-file frames fall back to the exact job too
+    local = spark.range(7)
+    assert cheap_row_count(local) == 7
+
+
 def test_scan_prunes_columns(spark, qs):
     """A 3-column projection must not read all 11 lineitem columns."""
     p = _plan(qs["typeconv"](spark, SF))
