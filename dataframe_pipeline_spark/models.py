@@ -73,6 +73,101 @@ class NumpyLogisticRegression:
         return (self.predict_proba(X)[:, 1] >= 0.5).astype(np.int64)
 
 
+class NumpyGradientBoostedStumps:
+    """Gradient-boosted depth-1 trees (stumps) on logistic loss — a
+    real GBM with the sklearn ``fit`` / ``predict_proba`` / ``predict``
+    surface, pure deterministic numpy (no RNG, no library deps).
+
+    Proves the model-boundary contract with the reference's actual
+    model family: the reference trains/splices XGBoost-style boosted
+    trees (/root/reference/benchmarks/MLPipelineBenchmark.py:96-127,
+    /root/reference/dfpipeline/OnnxGraph.py:119-136); this is the
+    same additive-trees-on-logit functional form, so pushing it
+    through ``ensemble_proba_fn`` + ``features.score_with`` exercises
+    exactly the driver-fit / Arrow-batched-distributed-score boundary
+    an xgboost/lightgbm model would cross in a full container.
+
+    Standard Friedman GBM: raw score F starts at the log-odds prior;
+    each round fits a stump to the negative gradient (y - p) choosing
+    the (feature, threshold) split with the best squared-error gain
+    over per-feature quantile candidates, then takes a Newton leaf
+    step  sum(g) / sum(p*(1-p))  per side.  Deterministic: quantile
+    candidates, first-occurrence argmax tie-break, no sampling.
+    """
+
+    def __init__(self, n_rounds: int = 30, lr: float = 0.3,
+                 n_candidates: int = 31):
+        self.n_rounds = n_rounds
+        self.lr = lr
+        self.n_candidates = n_candidates
+        self.stumps_ = None      # list[(feat, threshold, left_val, right_val)]
+        self.f0_ = 0.0
+
+    @staticmethod
+    def _sigmoid(z):
+        return 1.0 / (1.0 + np.exp(-z))
+
+    def fit(self, X, y):
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        n, k = X.shape
+        prior = min(max(y.mean(), 1e-6), 1 - 1e-6)
+        self.f0_ = float(np.log(prior / (1.0 - prior)))
+        raw = np.full(n, self.f0_)
+        # per-feature candidate thresholds: interior quantiles (exclude
+        # 0/1 so every split is non-trivial), computed once
+        qs = np.linspace(0, 1, self.n_candidates + 2)[1:-1]
+        cands = [np.unique(np.quantile(X[:, j], qs)) for j in range(k)]
+        self.stumps_ = []
+        for _ in range(self.n_rounds):
+            p = self._sigmoid(raw)
+            g = y - p                       # negative gradient of log-loss
+            h = p * (1.0 - p)               # hessian
+            best = None                     # (gain, j, thr)
+            for j in range(k):
+                cj = cands[j]
+                if not len(cj):
+                    continue
+                # (n, c) split masks → vectorized left/right residual sums
+                left = X[:, j][:, None] <= cj[None, :]
+                gl = g @ left
+                nl = left.sum(axis=0)
+                gr = g.sum() - gl
+                nr = n - nl
+                ok = (nl > 0) & (nr > 0)
+                # squared-error gain of the two-mean fit to the residuals
+                gain = np.where(ok, gl * gl / np.maximum(nl, 1)
+                                + gr * gr / np.maximum(nr, 1), -np.inf)
+                i = int(gain.argmax())
+                if best is None or gain[i] > best[0]:
+                    best = (float(gain[i]), j, float(cj[i]))
+            if best is None or not np.isfinite(best[0]):
+                break
+            _, j, thr = best
+            mask = X[:, j] <= thr
+            hl = float(h[mask].sum())
+            hr = float(h[~mask].sum())
+            lv = float(g[mask].sum()) / hl if hl > 0 else 0.0
+            rv = float(g[~mask].sum()) / hr if hr > 0 else 0.0
+            self.stumps_.append((j, thr, lv, rv))
+            raw = raw + self.lr * np.where(mask, lv, rv)
+        return self
+
+    def _raw(self, X):
+        X = np.asarray(X, dtype=np.float64)
+        raw = np.full(len(X), self.f0_)
+        for j, thr, lv, rv in self.stumps_:
+            raw += self.lr * np.where(X[:, j] <= thr, lv, rv)
+        return raw
+
+    def predict_proba(self, X):
+        p1 = self._sigmoid(self._raw(X))
+        return np.column_stack([1.0 - p1, p1])
+
+    def predict(self, X):
+        return (self.predict_proba(X)[:, 1] >= 0.5).astype(np.int64)
+
+
 def ensemble_proba_fn(models):
     """``predict_fn`` for :func:`features.score_with`: the mean positive-
     class probability across an ensemble — exactly the reference's
