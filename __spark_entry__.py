@@ -49,6 +49,8 @@ _NEVER_CHECKED_FIRST = [
     "text_contamination",          # new in r3
     "sample_weighted",             # new in r3
     "dedup_segments",              # new in r3
+    "events_user_totals",          # new in r4 (stateful-op batch twin)
+    "events_dedup",                # new in r4 (stream-dedup batch twin)
 ]
 
 _MERGED = {**CORE_QUERIES, **EXT_QUERIES}

@@ -884,6 +884,42 @@ GROUP BY 1, 2
 """
 
 
+def q_events_user_totals(spark, sf_dir):
+    """Batch twin of the custom stateful operator (``st.user_totals``,
+    applyInPandasWithState in streaming): on a batch frame the same
+    fold runs once per group via applyInPandas — state starts empty and
+    sees all rows, exactly one micro-batch — so the DuckDB GROUP BY
+    oracle checks the fold kernel itself, not a separate reimplementation
+    (stream final snapshots == this batch result is asserted in
+    test_streaming.py)."""
+    ev = _events(spark, sf_dir)
+    return (st.user_totals(ev)
+            .withColumn("total_value", F.round("total_value", 6)))
+
+
+SQL_EVENTS_USER_TOTALS = """
+SELECT user_id, count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_events_dedup(spark, sf_dir):
+    """Batch twin of the streaming dedup (``st.dedup_stream``,
+    dropDuplicatesWithinWatermark in streaming / dropDuplicates in
+    batch): multi-key dedup on (user_id, event_type), projected to the
+    key columns so the survivor row-set is deterministic regardless of
+    which duplicate each engine keeps."""
+    ev = _events(spark, sf_dir)
+    return (st.dedup_stream(ev, keys=["user_id", "event_type"])
+            .select("user_id", "event_type"))
+
+
+SQL_EVENTS_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def q_events_latest(spark, sf_dir):
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id", "event_type").orderBy(
@@ -1156,6 +1192,8 @@ EXT_QUERIES = {
     "events_latest": (q_events_latest, SQL_EVENTS_LATEST),
     "events_click_attribution": (q_events_click_attribution,
                                  SQL_EVENTS_CLICK_ATTRIBUTION),
+    "events_user_totals": (q_events_user_totals, SQL_EVENTS_USER_TOTALS),
+    "events_dedup": (q_events_dedup, SQL_EVENTS_DEDUP),
     "join_left_enrich": (q_join_left_enrich, SQL_JOIN_LEFT_ENRICH),
     "split_train": (q_split_train, SQL_SPLIT_TRAIN),
     "tpch_pricing_summary": (q_tpch_pricing_summary, SQL_TPCH_PRICING),

@@ -86,13 +86,29 @@ def user_totals(events: DataFrame, timeout_ms: int | None = None) -> DataFrame:
     group key across executors; with ``timeout_ms`` idle users are
     evicted (bounded state at 100 TB).
 
-    The batch twin is ``events.groupBy(user_id).agg(count, sum)`` — the
-    streaming test asserts the final snapshots match it.
+    On a **batch** frame the same fold runs once per group via
+    ``applyInPandas`` (state starts empty and sees all rows — exactly
+    one micro-batch), so the operator is batch/stream unified like
+    ``dedup_stream``: the batch result equals the stream's final
+    snapshots (asserted in test_streaming.py) and is oracle-checked
+    against ``GROUP BY user_id`` SQL (``events_user_totals``).
     """
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
     out_schema = "user_id bigint, n_events bigint, total_value double"
     state_schema = "n bigint, total double"
+
+    if not events.isStreaming:
+        def fold_batch(pdf):
+            import pandas as pd  # local import: runs inside the worker
+            return pd.DataFrame({
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "total_value": [float(pdf["value"].sum())],
+            })
+
+        return events.groupBy("user_id").applyInPandas(
+            fold_batch, out_schema)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fold(key, pdfs, state: GroupState):
         if state.hasTimedOut:
