@@ -367,3 +367,33 @@ def test_null_stages_survive_corrupt_recognized_payloads(spark):
             .transform(dfa).collect()}
     assert outa[0].n_frames == 64
     assert outa[1].n_frames is None
+
+
+def test_decode_dispatch_order():
+    """Pins the magic-byte dispatch contract documented in MULTIMODAL.md:
+    BM -> BMP, P6 -> PPM, PNG signature -> PNG, else NotImplementedError
+    — so a PIL-backed extension slots in at a known position."""
+    import inspect
+
+    import numpy as np
+    import pytest as pt
+    from dataframe_pipeline_spark import multimodal as mm
+
+    # behavior: each prefix routes to its decoder (distinguishable by
+    # the format-specific rejection message on a truncated payload)
+    with pt.raises(ValueError, match="BMP"):
+        mm.decode_image_array(mm.encode_bmp(
+            np.zeros((2, 2, 3), np.uint8))[:56])
+    with pt.raises(ValueError, match="PPM"):
+        mm.decode_image_array(b"P6\n4 4\n255\nxx")
+    with pt.raises(ValueError, match="PNG"):
+        mm.decode_image_array(mm.PNG_SIG + b"trailing-garbage")
+    with pt.raises(NotImplementedError):
+        mm.decode_image_array(b"\xff\xd8\xff\xe0 jpeg")
+    with pt.raises(NotImplementedError):
+        mm.decode_image_array(b"GIF89a")
+
+    # order: the source checks BM before P6 before the PNG signature
+    src = inspect.getsource(mm.decode_image_array)
+    assert (src.index('b"BM"') < src.index('b"P6"')
+            < src.index("PNG_SIG"))
