@@ -70,17 +70,23 @@ def _canary(spark) -> float:
 
 
 def _online_p50_ms(spark, n_iter: int = 15) -> dict:
-    """Median 1-row scoring latency through a fitted pipeline.
+    """Serving-path latencies with the same min+median discipline as the
+    batch queries (median = the comparable per-round trend number, min =
+    the load-noise floor).
 
-    Two numbers: "plan_and_exec" rebuilds the transform plan per request
-    (the naive serving loop — pays Catalyst analysis every call);
-    "exec_only" reuses one built plan and re-collects (what a real
-    serving layer would do: the fitted plan is static, only the input
-    row changes)."""
+    Three paths: "plan_and_exec" rebuilds the fitted pipeline's
+    transform plan per request (the naive serving loop — pays Catalyst
+    analysis every call); "exec_only" reuses one built plan and
+    re-collects (what a real serving layer does: the fitted plan is
+    static, only the input row changes); "ann_search_vec" is the
+    external-query-vector ANN probe (IVFIndex.search_vec — driver-side
+    quantize + pruned scoring scan), the serving shape of the
+    similarity tier."""
     import statistics
 
     import dataframe_pipeline_spark as dfp
     from dataframe_pipeline_spark.ext_queries import _events
+    from dataframe_pipeline_spark.similarity import IVFIndex
 
     ev = _events(spark, "/root/testdata/sf0.001")
     pipe = dfp.DataframePipeline(steps=[
@@ -93,7 +99,13 @@ def _online_p50_ms(spark, n_iter: int = 15) -> dict:
     one = spark.createDataFrame([ev.head()], schema=ev.schema)
     plan = pipe.transform(one)
     plan.collect()                         # warm the plan paths
-    full, exec_only = [], []
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IVFIndex(k=5, n_lists=8, n_probe=2).fit(emb)
+    qvec = list(emb.head()["embedding"])
+    idx.search_vec(qvec).collect()         # warm the probe path
+
+    full, exec_only, ann = [], [], []
     for _ in range(n_iter):
         t0 = time.perf_counter()
         pipe.transform(one).collect()
@@ -101,9 +113,22 @@ def _online_p50_ms(spark, n_iter: int = 15) -> dict:
         t0 = time.perf_counter()
         plan.collect()
         exec_only.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        idx.search_vec(qvec).collect()
+        ann.append(time.perf_counter() - t0)
+
+    def ms(x):
+        return round(x * 1000, 1)
+
     return {
-        "plan_and_exec": round(statistics.median(full) * 1000, 1),
-        "exec_only": round(statistics.median(exec_only) * 1000, 1),
+        # r03-comparable keys (medians), unchanged meaning
+        "plan_and_exec": ms(statistics.median(full)),
+        "exec_only": ms(statistics.median(exec_only)),
+        # min floor + the ANN serving path (new in r4)
+        "plan_and_exec_min": ms(min(full)),
+        "exec_only_min": ms(min(exec_only)),
+        "ann_search_vec": ms(statistics.median(ann)),
+        "ann_search_vec_min": ms(min(ann)),
     }
 
 
