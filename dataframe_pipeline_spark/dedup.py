@@ -313,6 +313,26 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     return labels.select(F.col("node"), F.col("comp"))
 
 
+def keep_canonical(df: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id", id_a: str = "id_a",
+                   id_b: str = "id_b") -> DataFrame:
+    """Resolve near-dup pairs to surviving rows: transitive clusters via
+    :func:`connected_components`, keep the minimum-id member of each
+    cluster, drop the rest — the final pairs→survivors step of a full
+    dedup pipeline (docs in no pair survive untouched).
+
+    Scale shape: the dropped-id set is one long column (ids only, never
+    bodies); the anti-join hashes on ``id_col`` and AQE converts it to
+    a broadcast when the dup rate is low (the common case — a few
+    percent of a 100 TB corpus), so the surviving-body side needn't
+    shuffle at all.
+    """
+    comps = connected_components(pairs, id_a, id_b)
+    losers = (comps.filter(F.col("node") != F.col("comp"))
+              .select(F.col("node").alias(id_col)))
+    return df.join(losers, id_col, "left_anti")
+
+
 class SegmentDeduplicator:
     """Corpus-wide sub-document dedup: drop fixed-width word segments
     that occur in more than ``max_doc_freq`` distinct documents, and

@@ -250,6 +250,32 @@ FROM reach GROUP BY node
 """
 
 
+def q_dedup_keep_canonical(spark, sf_dir):
+    """Full dedup resolution: MinHash pairs → transitive clusters →
+    keep the min-id member of each cluster; unpaired docs survive."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.MinHashLSHDeduplicator(k=16, bands=2, threshold=0.9).pairs(docs)
+    return dd.keep_canonical(docs, pairs).select("doc_id")
+
+
+def _sql_dedup_keep_canonical() -> str:
+    return f"""
+WITH RECURSIVE pr AS (
+  SELECT id_a, id_b FROM ({_sql_minhash()}) t),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pr
+  UNION SELECT id_b, id_a FROM pr),
+reach(node, comp) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, r.comp FROM edges e JOIN reach r ON e.d = r.node),
+losers AS (
+  SELECT node FROM reach GROUP BY node HAVING node <> min(comp))
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM losers)
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dd.SimHasher().transform(docs).select("doc_id", "simhash")
@@ -631,6 +657,74 @@ SELECT doc_id,
                      d -> len(list_filter(bg, x -> x = d)))) / len(bg), 6)
        END AS top_bigram_frac
 FROM g
+"""
+
+
+def q_text_chunk(spark, sf_dir):
+    """Overlapping token-bounded chunking (LLM context-window prep):
+    48-token chunks with 8-token overlap over every document."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.DocumentChunker(max_tokens=48, overlap=8).transform(docs)
+
+
+# Same chunk geometry replayed in DuckDB list algebra: stride = 40,
+# nchunks = 1 if n<=48 else ceil((n-48)/40)+1, chunk i = tokens
+# [i*40+1, i*40+48] (1-based inclusive list_slice).
+SQL_TEXT_CHUNK = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0,
+             CASE WHEN n <= 48 THEN 0
+                  ELSE CAST(ceil((n - 48) / 40.0) AS INT) END)) AS chunk_id
+  FROM t)
+SELECT doc_id, chunk_id,
+       array_to_string(list_slice(toks, chunk_id * 40 + 1,
+                                  chunk_id * 40 + 48), ' ') AS chunk_text,
+       len(list_slice(toks, chunk_id * 40 + 1,
+                      chunk_id * 40 + 48)) AS chunk_tokens
+FROM c
+"""
+
+
+def q_text_pack(spark, sf_dir):
+    """Chunk → pack: 48/8 chunks packed into 256-token context windows
+    over 8 hash shards (training-batch prep)."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = tx.DocumentChunker(max_tokens=48, overlap=8).transform(docs)
+    return tx.SequencePacker(budget=256, n_shards=8).transform(chunks)
+
+
+SQL_TEXT_PACK = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0,
+             CASE WHEN n <= 48 THEN 0
+                  ELSE CAST(ceil((n - 48) / 40.0) AS INT) END)) AS chunk_id
+  FROM t),
+ch AS (
+  SELECT doc_id, chunk_id,
+         len(list_slice(toks, chunk_id * 40 + 1,
+                        chunk_id * 40 + 48)) AS chunk_tokens,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8
+              AS INT) AS shard
+  FROM c),
+w AS (
+  SELECT doc_id, chunk_id, chunk_tokens, shard,
+         CAST(SUM(chunk_tokens) OVER (
+              PARTITION BY shard ORDER BY doc_id, chunk_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM ch)
+SELECT doc_id, chunk_id, chunk_tokens, shard, cum_tokens,
+       CAST(floor((cum_tokens - 1) / 256.0) AS BIGINT) AS pack_id
+FROM w
 """
 
 
@@ -1161,6 +1255,8 @@ EXT_QUERIES = {
     "dedup_segments": (q_dedup_segments, SQL_DEDUP_SEGMENTS),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, _sql_minhash()),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
+    "dedup_keep_canonical": (q_dedup_keep_canonical,
+                             _sql_dedup_keep_canonical()),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, _sql_embedding_cosine()),
@@ -1181,6 +1277,8 @@ EXT_QUERIES = {
     "text_term_freq": (q_text_term_freq, SQL_TEXT_TERM_FREQ),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_contamination": (q_text_contamination, SQL_TEXT_CONTAMINATION),
+    "text_chunk": (q_text_chunk, SQL_TEXT_CHUNK),
+    "text_pack": (q_text_pack, SQL_TEXT_PACK),
     "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),

@@ -297,3 +297,119 @@ class Fingerprinter:
             "fp_md5": F.expr(f"md5({norm})"),
             "fp_roll": F.expr(roll),
         })
+
+
+class DocumentChunker:
+    """Split documents into overlapping token-bounded chunks for LLM
+    context windows (beyond-reference: training pipelines chunk before
+    tokenize/pack).
+
+    Tokens are whitespace words (consistent with
+    :class:`TokenCounter`'s ``ws_tokens``).  With ``stride =
+    max_tokens - overlap``, chunk *i* covers tokens ``[i*stride,
+    i*stride + max_tokens)``; a document of ``n`` tokens yields ``1``
+    chunk when ``n <= max_tokens`` else ``ceil((n - max_tokens) /
+    stride) + 1`` — the last chunk always reaches the final token and
+    every consecutive pair shares exactly ``overlap`` tokens (except a
+    possibly-shorter tail).
+
+    Scale notes: pure codegen (``split``/``sequence``/``posexplode``/
+    ``slice``) — no Python, no shuffle; the explode is map-side, so the
+    operator streams at input-scan speed and the output partitioning
+    inherits the input's.  Output rows carry only the chunk slice, not
+    the source body, so downstream shuffles move ``max_tokens`` words
+    per row at most.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 max_tokens: int = 64, overlap: int = 8):
+        if overlap >= max_tokens:
+            raise ValueError("overlap must be < max_tokens")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.max_tokens = max_tokens
+        self.overlap = overlap
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from .dedup import spread
+
+        df = spread(df)
+        mt, stride = self.max_tokens, self.max_tokens - self.overlap
+        toks = f"split({self.text_col}, ' ')"
+        nchunks = (f"if(size({toks}) <= {mt}, 1, "
+                   f"cast(ceil((size({toks}) - {mt}) / cast({stride} as double)) as int) + 1)")
+        return (df
+                .select(F.col(self.id_col),
+                        F.expr(toks).alias("__toks"),
+                        F.expr(f"sequence(0, {nchunks} - 1)").alias("__ids"))
+                .select(self.id_col, "__toks",
+                        F.posexplode("__ids").alias("chunk_id", "__i"))
+                .select(
+                    self.id_col,
+                    F.col("chunk_id"),
+                    F.expr(f"array_join(slice(__toks, chunk_id * {stride} + 1, {mt}), ' ')")
+                    .alias("chunk_text"),
+                    F.expr(f"size(slice(__toks, chunk_id * {stride} + 1, {mt}))")
+                    .cast("long").alias("chunk_tokens"),
+                ))
+
+
+class SequencePacker:
+    """Pack token-bounded chunks into fixed-budget context windows
+    (training-batch prep: sequences are concatenated until the window
+    is full).
+
+    Deterministic *contiguous* packing, chosen for parallelism: chunks
+    are sharded by an md5 hash of the document id (a document's chunks
+    stay in one shard), ordered by ``(doc_id, chunk_id)`` within the
+    shard, and assigned ``pack_id = floor((running_token_sum - 1) /
+    budget)`` — pack boundaries sit at budget multiples in token
+    space, and a chunk straddling a boundary belongs to the pack where
+    it *ends*.  Consequently a pack holds at most ``budget +
+    max_chunk_tokens - 1`` tokens (the straddler's overhang); trainers
+    that need a hard window truncate or split the boundary chunk
+    downstream, which is the standard pack-with-truncation recipe.
+    First-fit-decreasing would pack tighter but is inherently
+    sequential; contiguous packing is one window function per shard —
+    ``n_shards``-way parallel, and at cluster scale ``n_shards`` is
+    set to the partition count so every core packs independently.  The
+    only shuffle is the hash partition on ``shard``.
+    """
+
+    def __init__(self, budget: int = 512, n_shards: int = 32,
+                 id_col: str = "doc_id", chunk_col: str = "chunk_id",
+                 token_col: str = "chunk_tokens"):
+        if budget <= 0 or n_shards <= 0:
+            raise ValueError("budget and n_shards must be positive")
+        self.budget = budget
+        self.n_shards = n_shards
+        self.id_col = id_col
+        self.chunk_col = chunk_col
+        self.token_col = token_col
+
+    def transform(self, chunks: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        shard = F.expr(
+            f"pmod({h32_expr(f'cast({self.id_col} as string)')}, "
+            f"{self.n_shards})").cast("int")
+        w = (Window.partitionBy("shard")
+             .orderBy(self.id_col, self.chunk_col))
+        out = (chunks
+               .withColumn("shard", shard)
+               .withColumn("cum_tokens",
+                           F.sum(self.token_col).over(w).cast("long"))
+               .withColumn("pack_id",
+                           F.floor((F.col("cum_tokens") - 1) / self.budget)
+                           .cast("long")))
+        return out.select(self.id_col, self.chunk_col, self.token_col,
+                          "shard", "cum_tokens", "pack_id")
+
+    def pack_stats(self, chunks: DataFrame) -> DataFrame:
+        """Per-pack fill statistics (how tight the packing is)."""
+        packed = self.transform(chunks)
+        return (packed.groupBy("shard", "pack_id")
+                .agg(F.count("*").cast("long").alias("n_chunks"),
+                     F.sum(self.token_col).cast("long").alias("pack_tokens"))
+                .withColumn("fill_ratio",
+                            F.round(F.col("pack_tokens") / self.budget, 6)))

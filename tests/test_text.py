@@ -131,3 +131,112 @@ def test_contamination_benchmark_is_broadcast(spark):
         docs.filter("doc_id % 50 <> 0"), docs.filter("doc_id % 50 = 0"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan     # corpus side never shuffles
+
+
+def test_chunker_short_doc_single_chunk(docs):
+    out = {r.doc_id: r for r in
+           tx.DocumentChunker(max_tokens=48, overlap=8)
+           .transform(docs).collect()}
+    assert len(out) == 3                       # one chunk per short doc
+    assert out[0].chunk_id == 0
+    assert out[0].chunk_text == "the quick brown fox"
+    assert out[0].chunk_tokens == 4
+
+
+def test_chunker_overlap_geometry(spark):
+    # 10 tokens, max=4, overlap=1 -> stride 3, nchunks = ceil(6/3)+1 = 3
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame([(0, " ".join(words))],
+                               "doc_id long, text string")
+    rows = sorted(tx.DocumentChunker(max_tokens=4, overlap=1)
+                  .transform(df).collect(), key=lambda r: r.chunk_id)
+    assert [r.chunk_text.split(" ") for r in rows] == [
+        words[0:4], words[3:7], words[6:10]]
+    assert [r.chunk_tokens for r in rows] == [4, 4, 4]
+    # consecutive chunks share exactly `overlap` tokens
+    assert rows[0].chunk_text.split(" ")[-1:] == \
+        rows[1].chunk_text.split(" ")[:1]
+
+
+def test_chunker_tail_chunk_reaches_last_token(spark):
+    # 11 tokens, max=4, overlap=1 -> stride 3, nchunks = ceil(7/3)+1 = 4
+    words = [f"w{i}" for i in range(11)]
+    df = spark.createDataFrame([(0, " ".join(words))],
+                               "doc_id long, text string")
+    rows = sorted(tx.DocumentChunker(max_tokens=4, overlap=1)
+                  .transform(df).collect(), key=lambda r: r.chunk_id)
+    assert len(rows) == 4
+    assert rows[-1].chunk_text.split(" ")[-1] == "w10"
+    assert rows[-1].chunk_tokens == 2          # tokens 9..10
+
+
+def test_chunker_rejects_bad_overlap():
+    with pytest.raises(ValueError):
+        tx.DocumentChunker(max_tokens=4, overlap=4)
+
+
+def test_chunker_no_python_udf(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = (tx.DocumentChunker().transform(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_packer_bound_and_running_sum(spark):
+    # chunks <= budget  =>  every pack <= budget + max_chunk - 1
+    rows = [(0, 0, 6), (0, 1, 6), (1, 0, 4), (1, 1, 4), (1, 2, 4),
+            (2, 0, 10), (3, 0, 3), (3, 1, 9)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_id long, chunk_tokens long")
+    out = tx.SequencePacker(budget=10, n_shards=1).transform(df).collect()
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    max_chunk = max(t for _, _, t in rows)
+    for pid, members in by_pack.items():
+        assert sum(m.chunk_tokens for m in members) <= 10 + max_chunk - 1
+    # pack ids are contiguous in the running order and non-decreasing
+    seq = sorted(out, key=lambda r: (r.doc_id, r.chunk_id))
+    run = 0
+    for r in seq:
+        run += r.chunk_tokens
+        assert r.cum_tokens == run
+        assert r.pack_id == (run - 1) // 10
+
+
+def test_packer_sharding_is_doc_stable(spark):
+    df = spark.createDataFrame(
+        [(d, c, 5) for d in range(20) for c in range(3)],
+        "doc_id long, chunk_id long, chunk_tokens long")
+    out = tx.SequencePacker(budget=64, n_shards=4).transform(df).collect()
+    shard_of = {}
+    for r in out:
+        assert 0 <= r.shard < 4
+        assert shard_of.setdefault(r.doc_id, r.shard) == r.shard
+    assert len({r.shard for r in out}) > 1     # hash actually spreads
+
+
+def test_pack_stats_fill(spark):
+    df = spark.createDataFrame(
+        [(0, 0, 6), (0, 1, 6), (0, 2, 8)],
+        "doc_id long, chunk_id long, chunk_tokens long")
+    stats = {r.pack_id: r for r in
+             tx.SequencePacker(budget=10, n_shards=1)
+             .pack_stats(df).collect()}
+    # cum 6, 12, 20 -> packs 0, 1, 1 (the 6-token straddler closes in 1)
+    assert stats[0].pack_tokens == 6 and stats[0].n_chunks == 1
+    assert stats[1].pack_tokens == 14 and stats[1].n_chunks == 2
+    assert abs(stats[1].fill_ratio - 1.4) < 1e-9
+
+
+def test_keep_canonical_survivors(spark):
+    from dataframe_pipeline_spark import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string")
+    # pairs: {0,1,2} via chain, {4,5}; 3 unpaired
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in
+                  dd.keep_canonical(docs, pairs).select("doc_id").collect())
+    assert kept == [0, 3, 4]
