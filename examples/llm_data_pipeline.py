@@ -45,10 +45,7 @@ def main():
     #    keep one survivor (min doc_id) per transitive cluster
     exact = dd.ExactDeduplicator().transform(kept)
     pairs = dd.MinHashLSHDeduplicator(k=16, bands=2, threshold=0.9).pairs(exact)
-    clusters = dd.connected_components(pairs)
-    losers = clusters.filter(F.col("node") != F.col("comp")) \
-        .select(F.col("node").alias("doc_id"))
-    deduped = exact.join(losers, "doc_id", "left_anti")
+    deduped = dd.keep_canonical(exact, pairs)
     n2 = deduped.count()
 
     # 4. decontaminate: drop docs sharing any 3-gram with the
@@ -70,11 +67,21 @@ def main():
               .agg(F.count(F.lit(1)).alias("docs"),
                    F.sum("ws_tokens").alias("ws_tokens"),
                    F.sum("subword_est").alias("subword_est")).head())
+
+    # 7. chunk into overlapping context windows and pack into
+    #    fixed-budget training sequences (shard-parallel)
+    chunks = tx.DocumentChunker(max_tokens=48, overlap=8).transform(mixed)
+    packer = tx.SequencePacker(budget=256, n_shards=8)
+    fill = (packer.pack_stats(chunks)
+            .agg(F.count(F.lit(1)).alias("packs"),
+                 F.round(F.avg("fill_ratio"), 3).alias("avg_fill")).head())
+
     print(f"[llm_data_pipeline] {n0} docs -> quality/lang {n1} "
           f"-> dedup {n2} -> decontaminated {n3} "
           f"-> mixed {budget['docs']} docs, "
           f"{budget['ws_tokens']} ws tokens "
-          f"(~{budget['subword_est']} subwords)")
+          f"(~{budget['subword_est']} subwords) "
+          f"-> {fill['packs']} packed windows (avg fill {fill['avg_fill']})")
     spark.stop()
 
 
