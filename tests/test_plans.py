@@ -233,3 +233,29 @@ def test_segment_dedup_anti_join_broadcasts_common_set(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = _plan(SegmentDeduplicator(k=8, max_doc_freq=1).transform(docs))
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_chunker_plan_is_shuffle_free(spark):
+    """Chunk explode is map-side: no Exchange anywhere in the plan —
+    the operator streams at scan speed at any scale."""
+    from dataframe_pipeline_spark import text as tx
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(tx.DocumentChunker(max_tokens=48, overlap=8).transform(docs))
+    # the only Exchange allowed is spread()'s RoundRobin widener for
+    # tiny local inputs (a no-op at real scale); no keyed shuffle ever
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert "Generate explode" in p or "Generate posexplode" in p
+
+
+def test_packer_single_shard_exchange(spark):
+    """Packing costs exactly one hash partition on the shard key (the
+    window's requirement); no second shuffle sneaks in."""
+    from dataframe_pipeline_spark import text as tx
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    chunks = tx.DocumentChunker(max_tokens=48, overlap=8).transform(docs)
+    p = _plan(tx.SequencePacker(budget=256, n_shards=8).transform(chunks))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "shard" in p.split("Exchange hashpartitioning", 1)[1][:60]
