@@ -117,6 +117,53 @@ class ExactDeduplicator:
         return df.join(w_ids, on=self.id_col, how="left_semi")
 
 
+class IncrementalDeduplicator:
+    """Dedup a new batch against an existing corpus *snapshot* — the
+    steady-state shape of a production ingest pipeline, where every
+    arriving crawl/batch must drop (a) anything already in the corpus
+    and (b) within-batch copies, without rereading corpus bodies.
+
+    Both sides reduce to 256-bit content digests before any join, so the
+    comparison shuffles 64 B/row regardless of document size; the
+    snapshot side can (and should) be a *persisted digest index* — see
+    :meth:`digests` — so steady-state ingest never rescans corpus text
+    at all.  Survivor rule within the batch matches
+    :class:`ExactDeduplicator` (min id per digest).
+
+    Plan shape: batch → digest → groupBy(min id) [one keyed shuffle on
+    digests] → left_anti join against snapshot digests [second digest
+    shuffle, or a broadcast when the snapshot index is small] → semi
+    join back to batch rows by id.  No step ever shuffles a document
+    body.
+    """
+
+    def __init__(self, content_col: str = "text", id_col: str = "doc_id"):
+        self.content_col = content_col
+        self.id_col = id_col
+
+    def digests(self, df: DataFrame) -> DataFrame:
+        """The digest index of a frame — persist this (parquet) as the
+        corpus snapshot so future batches dedup against 64 B/doc."""
+        return df.select(
+            F.sha2(F.col(self.content_col).cast("binary"), 256)
+            .alias("__digest")).distinct()
+
+    def transform(self, batch: DataFrame,
+                  snapshot_digests: DataFrame) -> DataFrame:
+        """Rows of ``batch`` that are new to the corpus: not in the
+        snapshot, and one survivor (min id) per within-batch digest."""
+        batch_idx = (
+            batch.select(
+                F.col(self.id_col),
+                F.sha2(F.col(self.content_col).cast("binary"), 256)
+                .alias("__digest"))
+            .groupBy("__digest")
+            .agg(F.min(self.id_col).alias(self.id_col)))
+        fresh = batch_idx.join(snapshot_digests, on="__digest",
+                               how="left_anti").select(self.id_col)
+        return batch.join(fresh, on=self.id_col, how="left_semi")
+
+
 class NgramJaccardDeduplicator:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join.
 

@@ -1244,6 +1244,93 @@ SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 4 <> 3
 """
 
 
+def q_split_group(spark, sf_dir):
+    """Leakage-safe group split: every customer's orders land on one
+    side (md5-fraction on the customer key, not the row key)."""
+    from .sources import split_by_group
+
+    od = _t(spark, sf_dir, "orders")
+    train, _test = split_by_group(od, "o_custkey", test_frac=0.25)
+    return train.select("o_orderkey", "o_custkey")
+
+
+SQL_SPLIT_GROUP = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE NOT ((('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT)
+           / 4294967296.0 < 0.25)
+"""
+
+
+def q_quantile_bin(spark, sf_dir):
+    """Equal-frequency quartile binning of order value — learned
+    boundaries (exact interpolated percentiles), codegen assignment."""
+    from .operators import QuantileBinner
+
+    od = _t(spark, sf_dir, "orders")
+    qb = QuantileBinner(inputs=["o_totalprice"], outputs=["price_bin"],
+                        n_bins=4)
+    return qb.fit_transform(od).select("o_orderkey", "price_bin")
+
+
+SQL_QUANTILE_BIN = """
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.50) AS q2,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders)
+SELECT o_orderkey,
+       CAST((o_totalprice > q1)::INT + (o_totalprice > q2)::INT
+            + (o_totalprice > q3)::INT AS INT) AS price_bin
+FROM orders, b
+"""
+
+_SNAP_SOURCES = ", ".join(f"'src{i}'" for i in range(10))
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Steady-state ingest dedup: treat sources src0-src9 as the
+    existing corpus snapshot (reduced to a digest index) and dedup the
+    src10-src19 batch against it + within itself."""
+    docs = _t(spark, sf_dir, "documents")
+    snap_sources = [f"src{i}" for i in range(10)]
+    snapshot = docs.filter(F.col("source").isin(snap_sources))
+    batch = docs.filter(~F.col("source").isin(snap_sources))
+    inc = dd.IncrementalDeduplicator()
+    return inc.transform(batch, inc.digests(snapshot)).select(
+        "doc_id", "source")
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH snap AS (
+  SELECT DISTINCT text FROM documents WHERE source IN ({_SNAP_SOURCES})),
+batch AS (
+  SELECT * FROM documents WHERE source NOT IN ({_SNAP_SOURCES})),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM batch
+  WHERE text NOT IN (SELECT text FROM snap)
+  GROUP BY text)
+SELECT b.doc_id, b.source FROM batch b JOIN keep USING (doc_id)
+"""
+
+
+def q_text_tfidf(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return tx.TfIdf(min_df=5).transform(docs)
+
+
+SQL_TEXT_TFIDF = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dt AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+tdf AS (SELECT term, count(*) AS df FROM dt GROUP BY term
+        HAVING count(*) >= 5),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT dt.doc_id, dt.term, dt.tf,
+       ROUND(dt.tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6) AS tfidf
+FROM dt JOIN tdf USING (term), n
+"""
+
+
 # ==========================================================================
 # Registry
 # ==========================================================================
@@ -1294,6 +1381,10 @@ EXT_QUERIES = {
     "events_dedup": (q_events_dedup, SQL_EVENTS_DEDUP),
     "join_left_enrich": (q_join_left_enrich, SQL_JOIN_LEFT_ENRICH),
     "split_train": (q_split_train, SQL_SPLIT_TRAIN),
+    "split_group": (q_split_group, SQL_SPLIT_GROUP),
+    "quantile_bin": (q_quantile_bin, SQL_QUANTILE_BIN),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
     "tpch_pricing_summary": (q_tpch_pricing_summary, SQL_TPCH_PRICING),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),

@@ -8,6 +8,7 @@ from .label_encoder import ComplementLabelEncoder
 from .map_transformer import MapTransformer
 from .minority_transformer import MinorityTransformer
 from .onehot_encoder import OneHotEncoder
+from .quantile_binner import QuantileBinner
 from .range_transformer import RangeTransformer
 from .row_transformer import RowTransformer
 from .scaler import Scaler
@@ -27,6 +28,7 @@ __all__ = [
     "MapTransformer",
     "MinorityTransformer",
     "OneHotEncoder",
+    "QuantileBinner",
     "RangeTransformer",
     "RowTransformer",
     "Scaler",

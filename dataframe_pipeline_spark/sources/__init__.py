@@ -91,6 +91,28 @@ def split_positional(df: DataFrame, order_by: str,
     return train, test
 
 
+def split_by_group(df: DataFrame, group_col: str,
+                   test_frac: float = 0.25) -> tuple[DataFrame, DataFrame]:
+    """Leakage-safe train/test split: every row of a *group* (user,
+    customer, document source, ...) lands on the same side, so features
+    learned on train never see a test group's data.
+
+    Membership is content-addressed — ``md5_fraction(group_key) <
+    test_frac`` — the same uniform-[0,1) construction as
+    :func:`weighted_sample`, so the split is a pure function of the key:
+    independent of partitioning, ordering, retries, or cluster size, and
+    stable when ``test_frac`` grows (nested test sets).  Map-only: two
+    filters over one scan, no shuffle, no RNG state, no group-cardinality
+    pass.
+    """
+    if not 0.0 <= test_frac <= 1.0:
+        raise ValueError("test_frac must be in [0, 1]")
+    frac = (F.conv(F.substring(F.md5(F.col(group_col).cast("string")), 1, 8),
+                   16, 10).cast("double") / F.lit(4294967296.0))
+    is_test = frac < F.lit(float(test_frac))
+    return df.filter(~is_test), df.filter(is_test)
+
+
 def sample_rows(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     """Row sampling (reference: df.sample(frac, random_state))."""
     return df.sample(fraction=fraction, seed=seed)

@@ -189,6 +189,52 @@ class TermFrequency:
         )
 
 
+class TfIdf:
+    """Per-(document, term) TF-IDF weights with sklearn's smoothed IDF:
+    ``idf = ln((1 + N) / (1 + df)) + 1``, ``tfidf = tf * idf`` — the
+    relevance weighting behind keyword extraction, near-dup triage, and
+    quality features in curation pipelines.
+
+    Plan shape (three keyed shuffles, all on narrow rows): explode →
+    partial-aggregated groupBy(doc, term) for tf; groupBy(term) over
+    that for df; join tf⋈df on term.  The corpus size N rides in on a
+    broadcast one-row cross join so the whole plan stays lazy (no
+    driver count action).  Document bodies never shuffle — after the
+    explode every row is (id, term) or smaller.  ``min_df`` prunes
+    hapax legomena before the join, which at web scale removes the
+    (huge) long tail of the vocabulary.
+    """
+
+    def __init__(self, text_col: str = "text", min_df: int = 1):
+        self.text_col = text_col
+        self.min_df = min_df
+
+    def transform(self, df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+        from .dedup import spread
+
+        tok = spread(df).select(
+            F.col(id_col),
+            F.explode(F.split(F.col(self.text_col), " ")).alias("term"))
+        tf = (tok.groupBy(id_col, "term")
+              .agg(F.count(F.lit(1)).alias("tf")))
+        dfreq = (tf.groupBy("term")
+                 .agg(F.count(F.lit(1)).alias("df"))
+                 .filter(F.col("df") >= self.min_df))
+        n_docs = df.agg(
+            F.count_distinct(F.col(id_col)).alias("__n_docs"))
+        return (
+            tf.join(dfreq, on="term")
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                id_col, "term", "tf",
+                F.round(
+                    F.col("tf")
+                    * (F.log((1.0 + F.col("__n_docs"))
+                             / (1.0 + F.col("df"))) + 1.0),
+                    6).alias("tfidf"),
+            ))
+
+
 class RepetitionScorer:
     """Gopher/C4-style repetition signals: fraction of duplicate word
     bigrams and the share taken by the single most-frequent bigram —

@@ -193,3 +193,39 @@ def test_segment_deduplicator(spark):
     assert out[0].cleaned == "a b c d" and out[0].n_segments == 1
     assert out[1].cleaned == "e f g h"
     assert out[3].cleaned == "i j k l m" and out[3].n_segments == 2
+
+
+def test_incremental_dedup_against_snapshot(spark):
+    """Batch rows already in the snapshot drop; within-batch dups keep
+    the min id; genuinely new content survives untouched."""
+    snap = spark.createDataFrame(
+        [(0, "alpha bravo"), (1, "charlie delta")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "alpha bravo"),      # already in corpus -> drop
+         (11, "echo foxtrot"),     # new -> keep
+         (12, "echo foxtrot"),     # within-batch dup -> drop (11 wins)
+         (13, "golf hotel")],      # new -> keep
+        "doc_id long, text string")
+    inc = dd.IncrementalDeduplicator()
+    kept = sorted(r.doc_id for r in
+                  inc.transform(batch, inc.digests(snap)).collect())
+    assert kept == [11, 13]
+
+
+def test_incremental_dedup_digest_index_roundtrip(spark, tmp_path):
+    """The persisted digest index (64 B/doc) replaces the corpus scan:
+    dedup against the parquet index equals dedup against the frame."""
+    snap = spark.createDataFrame(
+        [(0, "alpha bravo"), (1, "charlie delta")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "alpha bravo"), (11, "echo foxtrot")],
+        "doc_id long, text string")
+    inc = dd.IncrementalDeduplicator()
+    idx_path = str(tmp_path / "digest_idx")
+    inc.digests(snap).write.parquet(idx_path)
+    from_idx = inc.transform(batch, spark.read.parquet(idx_path))
+    from_frame = inc.transform(batch, inc.digests(snap))
+    assert sorted(r.doc_id for r in from_idx.collect()) \
+        == sorted(r.doc_id for r in from_frame.collect())

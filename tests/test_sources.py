@@ -143,3 +143,38 @@ def test_weighted_sample_deterministic_and_nested(spark):
                              key="o_orderkey", default_rate=0.05)
     kept_big = {r.o_orderkey for r in bigger.select("o_orderkey").collect()}
     assert kept <= kept_big
+
+
+def test_split_by_group_leakage_safe(spark):
+    """Every group lands wholly on one side; the two sides partition the
+    frame; membership is partitioning-independent; growing test_frac
+    nests (old test groups stay test groups)."""
+    from dataframe_pipeline_spark.sources import split_by_group
+
+    od = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    train, test = split_by_group(od, "o_custkey", test_frac=0.25)
+
+    tr_groups = {r.o_custkey for r in
+                 train.select("o_custkey").distinct().collect()}
+    te_groups = {r.o_custkey for r in
+                 test.select("o_custkey").distinct().collect()}
+    assert tr_groups.isdisjoint(te_groups)
+    assert train.count() + test.count() == od.count()
+    # approximate rate over GROUPS (not rows)
+    frac = len(te_groups) / (len(te_groups) + len(tr_groups))
+    assert abs(frac - 0.25) < 0.05
+
+    # partitioning-independent
+    _, test2 = split_by_group(od.repartition(17), "o_custkey",
+                              test_frac=0.25)
+    assert {r.o_orderkey for r in test2.select("o_orderkey").collect()} \
+        == {r.o_orderkey for r in test.select("o_orderkey").collect()}
+
+    # nested: a bigger test fraction only ADDS groups
+    _, test_big = split_by_group(od, "o_custkey", test_frac=0.5)
+    te_big = {r.o_custkey for r in
+              test_big.select("o_custkey").distinct().collect()}
+    assert te_groups <= te_big
+
+    with pytest.raises(ValueError):
+        split_by_group(od, "o_custkey", test_frac=1.5)

@@ -240,3 +240,32 @@ def test_keep_canonical_survivors(spark):
     kept = sorted(r.doc_id for r in
                   dd.keep_canonical(docs, pairs).select("doc_id").collect())
     assert kept == [0, 3, 4]
+
+
+def test_tfidf_matches_manual(spark):
+    """tf, df, and the smoothed-idf weights against hand arithmetic."""
+    import math
+
+    rows = [(0, "cat dog cat"), (1, "cat fish"), (2, "dog dog bird")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_id, r.term): (r.tf, r.tfidf)
+           for r in tx.TfIdf(min_df=1).transform(df).collect()}
+    n = 3
+
+    def w(tf, dfreq):
+        return round(tf * (math.log((1 + n) / (1 + dfreq)) + 1), 6)
+
+    assert out[(0, "cat")] == (2, w(2, 2))
+    assert out[(1, "cat")] == (1, w(1, 2))
+    assert out[(2, "dog")] == (2, w(2, 2))
+    assert out[(0, "dog")] == (1, w(1, 2))
+    assert out[(1, "fish")] == (1, w(1, 1))
+    assert out[(2, "bird")] == (1, w(1, 1))
+    assert len(out) == 6
+
+
+def test_tfidf_min_df_prunes_rare_terms(spark):
+    rows = [(0, "cat dog"), (1, "cat fish")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = {r.term for r in tx.TfIdf(min_df=2).transform(df).collect()}
+    assert terms == {"cat"}
