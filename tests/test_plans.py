@@ -259,3 +259,31 @@ def test_packer_single_shard_exchange(spark):
     p = _plan(tx.SequencePacker(budget=256, n_shards=8).transform(chunks))
     assert p.count("Exchange hashpartitioning") == 1
     assert "shard" in p.split("Exchange hashpartitioning", 1)[1][:60]
+
+
+def test_quantile_bin_transform_is_map_only(spark, qs):
+    """Binning after fit is a codegen comparison chain: no Python, no
+    shuffle anywhere in the transform plan (the only exchange in the
+    declared query is none at all — scan → project)."""
+    p = _plan(qs["quantile_bin"](spark, SF))
+    assert "EvalPython" not in p
+    assert "Exchange" not in p
+
+
+def test_split_group_is_shuffle_free(spark, qs):
+    """Group membership is a hash of the key evaluated per-row — the
+    split must never shuffle or sort."""
+    p = _plan(qs["split_group"](spark, SF))
+    assert "Exchange" not in p and "Sort" not in p
+    assert "EvalPython" not in p
+
+
+def test_incremental_dedup_shuffles_digests_not_bodies(spark, qs):
+    """Every exchange in the incremental-dedup plan is keyed on the
+    64-byte digest or the id — a document body (text) in any exchange
+    key or shuffle projection would be the 100 TB mistake."""
+    plan = qs["dedup_incremental"](spark, SF)
+    p = _plan(plan)
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
