@@ -529,6 +529,58 @@ LIMIT 5
 """
 
 
+def q_embed_normalize(spark, sf_dir):
+    """Unit-normalize embeddings; posexplode to scalar rows so the
+    oracle compare is array-free."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.VectorNormalizer().transform(emb)
+    return out.select(
+        "vec_id", F.posexplode("vec_norm").alias("dim", "val"))
+
+
+SQL_EMBED_NORMALIZE = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (
+  SELECT vec_id, q,
+         sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS nrm
+  FROM q)
+SELECT vec_id, i - 1 AS dim, ROUND(q[i] / nrm, 6) AS val
+FROM n, generate_series(1, 64) t(i)
+"""
+
+
+def q_embed_project(spark, sf_dir):
+    """JL random projection 64 -> 8 dims, exact integer dot products
+    against a seed-derived quantized Gaussian matrix."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (sim.RandomProjector(in_dim=64, out_dim=8, seed=42)
+            .transform(emb)
+            .select("vec_id", *[f"proj_{j}" for j in range(8)]))
+
+
+def _sql_embed_project() -> str:
+    rp = sim.RandomProjector(in_dim=64, out_dim=8, seed=42)
+    cols = ",\n       ".join(
+        f"CAST(list_sum(list_transform(generate_series(1, 64), "
+        f"i -> q[i] * ([{', '.join(str(c) for c in w)}])[i])) AS BIGINT) "
+        f"AS proj_{j}"
+        for j, w in enumerate(rp.planes))
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+  FROM embeddings)
+SELECT vec_id,
+       {cols}
+FROM q
+"""
+
+
 # ==========================================================================
 # Text analysis
 # ==========================================================================
@@ -1356,6 +1408,8 @@ EXT_QUERIES = {
     # is __spark_entry__.oracle_sql(sf_dir).
     "sim_ann_ivf": (q_sim_ann_ivf, _sql_sim_ann_ivf),
     "sim_ann_ivf_persisted": (q_sim_ann_ivf_persisted, _sql_sim_ann_ivf),
+    "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
+    "embed_project": (q_embed_project, _sql_embed_project()),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_quality": (q_text_quality, _sql_text_quality()),
     "text_langid": (q_text_langid, _sql_text_langid()),

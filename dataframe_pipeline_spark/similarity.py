@@ -73,6 +73,74 @@ def quantize_centroid(vec, scale: int = 1000) -> list[int]:
             * (1 if float(x) >= 0 else -1) for x in vec]
 
 
+class VectorNormalizer:
+    """L2-normalize an embedding column — the prerequisite for treating
+    dot product as cosine downstream (ANN indexes, centroid assignment,
+    near-dup thresholds all assume unit vectors).
+
+    Exactness contract like the rest of this module: the norm is
+    computed over integer-quantized components (``round(x*scale)``) so
+    it is a reduction-order-independent integer sum both engines agree
+    on; each output component is ``round(q_i / nrm, 6)``.  Map-only
+    codegen — no shuffle, no UDF, streams at scan speed.
+    """
+
+    def __init__(self, scale: int = 1000):
+        self.scale = scale
+
+    def transform(self, df: DataFrame, vec_col: str = "embedding",
+                  out_col: str = "vec_norm") -> DataFrame:
+        q = (f"transform({vec_col}, x -> "
+             f"cast(round(cast(x as double) * {self.scale}) as bigint))")
+        nrm = f"sqrt(aggregate({q}, 0L, (acc, x) -> acc + x*x))"
+        return df.withColumn(
+            out_col,
+            F.expr(f"transform({q}, x -> round(x / {nrm}, 6))"))
+
+
+class RandomProjector:
+    """Johnson-Lindenstrauss random projection: ``in_dim``-dim
+    embeddings down to ``out_dim`` dims with a fixed Gaussian matrix —
+    the cheap front-end of large-scale similarity pipelines (shrink
+    vectors 8× before storing/shuffling; pairwise distances survive to
+    within 1±ε by the JL lemma).
+
+    Fit-free and deterministic: the matrix derives from ``seed`` alone
+    (numpy ``default_rng``), integer-quantized so every projected
+    component is an exact integer dot product — bit-identical across
+    engines, partitionings, and replays.  Transform is map-only
+    codegen over literal coefficient arrays (the IVF-centroid trick —
+    no broadcast, no join, no Python); each output row carries
+    ``out_dim`` bigints, so a downstream shuffle moves ~64 B/row
+    instead of the 256 B+ full embedding.
+    """
+
+    def __init__(self, in_dim: int = 64, out_dim: int = 8,
+                 seed: int = 42, scale: int = 1000):
+        import numpy as np
+
+        if out_dim < 1 or in_dim < 1:
+            raise ValueError("in_dim and out_dim must be positive")
+        rng = np.random.default_rng(seed)
+        m = rng.normal(0.0, 1.0, (out_dim, in_dim))
+        self.in_dim = in_dim
+        self.out_dim = out_dim
+        self.scale = scale
+        self.planes = [quantize_centroid(row, scale) for row in m]
+
+    def transform(self, df: DataFrame, vec_col: str = "embedding",
+                  prefix: str = "proj_") -> DataFrame:
+        q = (f"transform({vec_col}, x -> "
+             f"cast(round(cast(x as double) * {self.scale}) as bigint))")
+        cols = {}
+        for j, w in enumerate(self.planes):
+            lits = ", ".join(f"{c}L" for c in w)
+            cols[f"{prefix}{j}"] = F.expr(
+                f"aggregate(zip_with({q}, array({lits}), "
+                f"(x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+        return df.withColumns(cols)
+
+
 def train_centroids(vectors, n_lists: int, iters: int = 10,
                     scale: int = 1000) -> list[list[int]]:
     """Deterministic Lloyd's k-means over an id-ordered float64 sample.

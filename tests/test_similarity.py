@@ -73,3 +73,67 @@ def test_ivf_fit_is_partition_independent(spark):
         emb.repartition(17))
     assert a.centroids_int == b.centroids_int
     assert a.search(query_id=0).collect() == b.search(query_id=0).collect()
+
+
+def test_vector_normalizer_unit_norm(spark):
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from dataframe_pipeline_spark.similarity import VectorNormalizer
+
+    out = VectorNormalizer().transform(emb).select("vec_id", "vec_norm")
+    rows = out.limit(20).collect()
+    for r in rows:
+        v = np.array(r.vec_norm)
+        # quantization + per-component rounding keeps the norm within 1e-3
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+
+
+def test_random_projector_matches_numpy(spark):
+    """Projected values equal the integer dot products of the quantized
+    inputs against the seed-derived quantized matrix."""
+    import numpy as np
+
+    from dataframe_pipeline_spark.similarity import RandomProjector
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rp = RandomProjector(in_dim=64, out_dim=4, seed=7)
+    got = {r.vec_id: [r.proj_0, r.proj_1, r.proj_2, r.proj_3]
+           for r in rp.transform(emb).limit(50).collect()}
+    src = {r.vec_id: r.embedding for r in emb.limit(50).collect()}
+    planes = np.array(rp.planes, dtype=np.int64)
+    for vid, vec in src.items():
+        q = np.array([int(np.floor(abs(float(x)) * 1000 + 0.5))
+                      * (1 if float(x) >= 0 else -1) for x in vec],
+                     dtype=np.int64)
+        assert got[vid] == list(planes @ q), vid
+
+
+def test_random_projector_preserves_similarities(spark):
+    """JL sanity: cosine similarities in 16-dim projected space track
+    the full 64-dim cosines (high correlation across random pairs)."""
+    import numpy as np
+
+    from dataframe_pipeline_spark.similarity import RandomProjector
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def corr(out_dim):
+        rp = RandomProjector(in_dim=64, out_dim=out_dim, seed=42)
+        rows = rp.transform(emb).select(
+            "embedding", *[f"proj_{j}" for j in range(out_dim)]).collect()
+        V = np.array([r.embedding for r in rows], dtype=np.float64)
+        P = np.array([[getattr(r, f"proj_{j}") for j in range(out_dim)]
+                      for r in rows], dtype=np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        P /= np.linalg.norm(P, axis=1, keepdims=True)
+        return np.corrcoef((V[:40] @ V.T).ravel(),
+                           (P[:40] @ P.T).ravel())[0, 1]
+
+    # the testdata's true-similarity spread is small (σ≈0.13), so the
+    # JL error term (~1/sqrt(k)) dominates at small k; the invariant is
+    # that fidelity RISES with out_dim and is substantial by k=32
+    c8, c32 = corr(8), corr(32)
+    assert c8 > 0.15, c8
+    assert c32 > 0.5, c32
+    assert c32 > c8
