@@ -197,6 +197,37 @@ def score_stream(pipeline, events: DataFrame) -> DataFrame:
     return pipeline.transform(events)
 
 
+def write_idempotent_partitions(sdf: DataFrame, path: str,
+                                partition_col: str,
+                                checkpoint: str) -> "object":
+    """Exactly-once-effect file sink: every micro-batch dynamically
+    OVERWRITES only the partitions it touches, so a replayed batch
+    (post-crash re-delivery — Structured Streaming's at-least-once
+    foreachBatch contract) rewrites the same partition files instead of
+    appending duplicates.  The standard idempotent-upsert recipe for a
+    parquet lake without a transactional table format; with Delta/Iceberg
+    the same ``foreachBatch`` body becomes a MERGE.
+
+    Scale notes: dynamic partition-overwrite touches only partitions
+    present in the batch (partitionOverwriteMode=dynamic, scoped to the
+    write, not session-global); the checkpoint carries batch lineage so
+    restarts resume, and downstream readers partition-prune on
+    ``partition_col``.
+    """
+    def upsert(batch_df: DataFrame, batch_id: int):
+        (batch_df.write
+         .option("partitionOverwriteMode", "dynamic")
+         .mode("overwrite")
+         .partitionBy(partition_col)
+         .parquet(path))
+
+    q = (sdf.writeStream.foreachBatch(upsert)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q
+
+
 def run_to_memory(sdf: DataFrame, name: str, mode: str = "complete"):
     """Drain a (bounded) stream into an in-memory table; returns the
     query after completion.  Test/demo harness — production sinks are
