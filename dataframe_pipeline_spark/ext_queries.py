@@ -1365,6 +1365,25 @@ SELECT b.doc_id, b.source FROM batch b JOIN keep USING (doc_id)
 """
 
 
+def q_sample_cap_domain(spark, sf_dir):
+    """Per-domain quota: at most 20 docs per source, md5-chosen."""
+    from .sources import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", "doc_id", 20).select(
+        "doc_id", "source")
+
+
+SQL_SAMPLE_CAP_DOMAIN = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+  FROM documents)
+WHERE rk <= 20
+"""
+
+
 def q_text_tfidf(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return tx.TfIdf(min_df=5).transform(docs)
@@ -1439,6 +1458,7 @@ EXT_QUERIES = {
     "quantile_bin": (q_quantile_bin, SQL_QUANTILE_BIN),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
+    "sample_cap_domain": (q_sample_cap_domain, SQL_SAMPLE_CAP_DOMAIN),
     "tpch_pricing_summary": (q_tpch_pricing_summary, SQL_TPCH_PRICING),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),

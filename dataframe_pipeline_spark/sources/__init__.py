@@ -146,6 +146,28 @@ def weighted_sample(df: DataFrame, stratum_col: str, rates: dict[str, float],
     return df.filter(frac < rate)
 
 
+def cap_per_group(df: DataFrame, group_col: str, key: str,
+                  k: int) -> DataFrame:
+    """Deterministic per-group quota: keep at most ``k`` rows per group
+    (domain, source, license bucket...), chosen by md5 order of the row
+    key — the curation step that stops one giant domain from dominating
+    a training mix.
+
+    Content-addressed like the samplers: the kept set depends only on
+    the data, not on partitioning or arrival order (md5 of the key is
+    the sort key, with the key itself as tiebreak).  One shuffle on the
+    group column; rows beyond the quota are dropped by a rank filter,
+    so the window state per group is a single counter — no global sort,
+    no driver collection.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.md5(F.col(key).cast("string")), F.col(key)))
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k).drop("__rk"))
+
+
 def salted_join(fact: DataFrame, dim: DataFrame, on: str,
                 how: str = "inner", salt: int = 8,
                 seed: int = 42) -> DataFrame:

@@ -178,3 +178,29 @@ def test_split_by_group_leakage_safe(spark):
 
     with pytest.raises(ValueError):
         split_by_group(od, "o_custkey", test_frac=1.5)
+
+
+def test_cap_per_group_quota_and_determinism(spark):
+    """At most k rows per group; kept set is a pure function of the
+    data (stable under repartitioning); groups under quota untouched."""
+    from dataframe_pipeline_spark.sources import cap_per_group
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    capped = cap_per_group(docs, "source", "doc_id", 7)
+    per = {r.source: r.cnt for r in
+           capped.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert per and all(c <= 7 for c in per.values())
+
+    totals = {r.source: r.cnt for r in
+              docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    for s, c in totals.items():
+        assert per.get(s, 0) == min(c, 7)
+
+    a = {r.doc_id for r in capped.select("doc_id").collect()}
+    b = {r.doc_id for r in
+         cap_per_group(docs.repartition(13), "source", "doc_id", 7)
+         .select("doc_id").collect()}
+    assert a == b
+
+    with pytest.raises(ValueError):
+        cap_per_group(docs, "source", "doc_id", 0)
