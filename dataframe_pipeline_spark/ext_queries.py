@@ -27,40 +27,10 @@ from .queries import _r6, _t
 from .sources import left_enrich, split_mod
 
 
-#: Size gate for explicit dim-broadcast hints in the TPC-H-shaped query
-#: plans — the query-shape analog of label_encoder's BROADCAST_MAX_ROWS
-#: gate.  A dim under this bound is safely an executor-memory broadcast;
-#: above it the hint is withheld and AQE picks the strategy from the
-#: true runtime size (it will still broadcast when the materialized dim
-#: turns out small).  256 MB of *source-scan parquet* over-bounds the
-#: narrow pre-joined dim by the column-pruning factor, so the gate errs
-#: conservative in the OOM-safe direction.
-DIM_BROADCAST_MAX_BYTES = 256 << 20
-
-
-def _stats_bytes(df) -> int:
-    """Catalyst's size estimate for a frame (file-size-based for scans).
-    Pure planning metadata — launches no job, reads no data."""
-    return int(str(
-        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-
-
-def maybe_broadcast(df, bound_df=None, max_bytes: int | None = None):
-    """Size-gated broadcast hint: hint only when Catalyst statistics
-    bound ``bound_df`` (default: ``df`` itself) under ``max_bytes``;
-    otherwise return the frame unhinted and let AQE choose.
-
-    Pass ``bound_df`` when ``df`` is a join whose estimated size
-    Catalyst over-states (join estimates multiply child sizes) but
-    whose true cardinality is bounded by one input — FK-join dims:
-    orders ⋈ customer ⋈ nation has at most one row per orders row, so
-    the accurate orders *scan* statistic is the sound bound.  A fact
-    table at 100× data blows past the gate and the hint disappears —
-    an unconditional ``F.broadcast`` there is the 100 TB executor OOM.
-    """
-    limit = DIM_BROADCAST_MAX_BYTES if max_bytes is None else max_bytes
-    src = df if bound_df is None else bound_df
-    return F.broadcast(df) if _stats_bytes(src) <= limit else df
+# Size-gated broadcast hint + Catalyst size statistic: canonical home
+# is relational.py; re-exported here for the query shapes below.
+from .relational import (DIM_BROADCAST_MAX_BYTES, maybe_broadcast,  # noqa: F401,E402
+                         stats_bytes as _stats_bytes)
 
 
 def _events(spark, sf_dir):
@@ -1406,7 +1376,125 @@ FROM dt JOIN tdf USING (term), n
 # Registry
 # ==========================================================================
 
+# ==========================================================================
+# Relational tier: skew-salted join, blocklist anti-join, top-k per group,
+# single-pass profiling
+# ==========================================================================
+
+def q_join_salted(spark, sf_dir):
+    """Skew-resistant fact⋈dim join: lineitem ⋈ orders on (orderkey,
+    __salt) — the hot-key mitigation shape (relational.salted_join).
+    Row-identical to the plain join, so the oracle is the unsalted SQL;
+    the salt lives only in the shuffle keys.  Salt source is the
+    lineitem PK (orderkey, linenumber) — NEVER the join key itself,
+    which would put a hot key's rows back on one reducer."""
+    from .relational import salted_join
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    j = salted_join(li.withColumnRenamed("l_orderkey", "o_orderkey"), od,
+                    on="o_orderkey", how="inner", n_salts=8,
+                    salt_src=["o_orderkey", "l_linenumber"])
+    return (j.groupBy("o_orderpriority")
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+SQL_JOIN_SALTED = f"""
+SELECT o_orderpriority, CAST(sum({_REV}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_filter_blocklist(spark, sf_dir):
+    """Blocklist anti-join (relational.filter_blocklist): drop every
+    event from error-heavy users (>= 14 error events — a criterion that
+    splits the user population at every sf, so both kept and dropped
+    sides are non-empty), then aggregate.  left_anti == NOT EXISTS
+    (NULL-safe, unlike NOT IN); the blocklist side is
+    size-gate-broadcast."""
+    from .relational import filter_blocklist
+    ev = _events(spark, sf_dir)
+    blocked = (ev.filter(F.col("event_type") == "error")
+               .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_err"))
+               .filter(F.col("n_err") >= 14).select("user_id"))
+    kept = filter_blocklist(ev, blocked, "user_id")
+    return (kept.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").cast("double").alias("total_value")))
+
+
+SQL_FILTER_BLOCKLIST = """
+SELECT event_type, count(*) AS n, CAST(sum(value) AS DOUBLE) AS total_value
+FROM events e
+WHERE NOT EXISTS (
+    SELECT 1 FROM (SELECT user_id FROM events WHERE event_type = 'error'
+                   GROUP BY user_id HAVING count(*) >= 14) b
+    WHERE b.user_id = e.user_id)
+GROUP BY event_type
+"""
+
+
+def q_topk_per_segment(spark, sf_dir):
+    """Top-3 customers by balance per market segment
+    (relational.topk_per_group): rank-limit window — bounded per-group
+    heap (WindowGroupLimit), not a full per-group sort."""
+    from .relational import topk_per_group
+    cu = _t(spark, sf_dir, "customer")
+    top = topk_per_group(cu, "c_mktsegment", "c_acctbal", k=3,
+                         tiebreak="c_custkey")
+    return top.select("c_mktsegment", F.col("rk").cast("long").alias("rk"),
+                      "c_custkey", "c_acctbal")
+
+
+SQL_TOPK_PER_SEGMENT = """
+SELECT c_mktsegment, rk, c_custkey, c_acctbal
+FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+      FROM customer) t
+WHERE rk <= 3
+"""
+
+
+def q_profile_customer(spark, sf_dir):
+    """Single-pass column profiler (profiling.profile): every statistic
+    for every column in ONE aggregate over ONE scan, unpivoted from the
+    1-row wide result.  exact=True for DuckDB parity (the approx HLL++
+    tier is the 100 TB default)."""
+    from .profiling import profile
+    cu = _t(spark, sf_dir, "customer")
+    return profile(cu, ["c_custkey", "c_acctbal", "c_mktsegment"],
+                   exact=True)
+
+
+def _sql_profile_customer() -> str:
+    num = ("SELECT '{c}' AS col_name, count(*) AS n_rows, "
+           "count({c}) AS n_nonnull, count(DISTINCT {c}) AS n_distinct, "
+           "CAST(min({c}) AS DOUBLE) AS min_num, "
+           "CAST(max({c}) AS DOUBLE) AS max_num, avg({c}) AS mean_num, "
+           "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str "
+           "FROM customer")
+    s = ("SELECT '{c}' AS col_name, count(*) AS n_rows, "
+         "count({c}) AS n_nonnull, count(DISTINCT {c}) AS n_distinct, "
+         "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, "
+         "CAST(NULL AS DOUBLE) AS mean_num, "
+         "min({c}) AS min_str, max({c}) AS max_str FROM customer")
+    return " UNION ALL ".join([num.format(c="c_custkey"),
+                               num.format(c="c_acctbal"),
+                               s.format(c="c_mktsegment")])
+
+
+SQL_PROFILE_CUSTOMER = _sql_profile_customer()
+
+
 EXT_QUERIES = {
+    "join_salted": (q_join_salted, SQL_JOIN_SALTED),
+    "filter_blocklist": (q_filter_blocklist, SQL_FILTER_BLOCKLIST),
+    "topk_per_segment": (q_topk_per_segment, SQL_TOPK_PER_SEGMENT),
+    "profile_customer": (q_profile_customer, SQL_PROFILE_CUSTOMER),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_ngram_capped": (q_dedup_ngram_capped, SQL_DEDUP_NGRAM_CAPPED),

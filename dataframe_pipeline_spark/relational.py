@@ -1,0 +1,172 @@
+"""Relational helpers for skew, small-set filtering, and per-group
+selection — the join-strategy tier of the engine.
+
+These are the patterns a 100 TB pipeline reaches for when the default
+shuffle-hash/sort-merge plan degrades:
+
+* :func:`salted_join` — key-skew mitigation: a handful of hot keys
+  would otherwise funnel a fact table's worth of rows into single
+  reducers; salting spreads each key over ``n_salts`` reducers at the
+  cost of replicating the (medium-sized, non-broadcastable) dim side
+  ``n_salts``×.
+* :func:`filter_blocklist` — anti-join against a (usually small)
+  blocked-key set, broadcast when Catalyst statistics prove it small.
+* :func:`topk_per_group` — bounded per-group selection with a
+  deterministic total order.
+
+The size-gated broadcast hint (:func:`maybe_broadcast`) lives here as
+the canonical implementation; query shapes and operators import it
+rather than hard-coding ``F.broadcast`` (an unconditional hint on a
+fact-derived frame is the classic 100 TB executor OOM).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Size gate for explicit dim-broadcast hints — the query-shape analog
+#: of label_encoder's BROADCAST_MAX_ROWS gate.  A dim under this bound
+#: is safely an executor-memory broadcast; above it the hint is
+#: withheld and AQE picks the strategy from the true runtime size (it
+#: will still broadcast when the materialized dim turns out small).
+#: 256 MB of *source-scan parquet* over-bounds the narrow pre-joined
+#: dim by the column-pruning factor, so the gate errs conservative in
+#: the OOM-safe direction.
+DIM_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def stats_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a frame (file-size-based for scans).
+    Pure planning metadata — launches no job, reads no data."""
+    return int(str(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+
+
+def maybe_broadcast(df: DataFrame, bound_df: DataFrame | None = None,
+                    max_bytes: int | None = None) -> DataFrame:
+    """Size-gated broadcast hint: hint only when Catalyst statistics
+    bound ``bound_df`` (default: ``df`` itself) under ``max_bytes``;
+    otherwise return the frame unhinted and let AQE choose.
+
+    Pass ``bound_df`` when ``df`` is a join whose estimated size
+    Catalyst over-states (join estimates multiply child sizes) but
+    whose true cardinality is bounded by one input — FK-join dims:
+    orders ⋈ customer ⋈ nation has at most one row per orders row, so
+    the accurate orders *scan* statistic is the sound bound.  A fact
+    table at 100× data blows past the gate and the hint disappears —
+    an unconditional ``F.broadcast`` there is the 100 TB executor OOM.
+    """
+    limit = DIM_BROADCAST_MAX_BYTES if max_bytes is None else max_bytes
+    src = df if bound_df is None else bound_df
+    return F.broadcast(df) if stats_bytes(src) <= limit else df
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, on: str | list[str],
+                how: str = "inner", n_salts: int = 16,
+                salt_src: str | list[str] | None = None) -> DataFrame:
+    """Skew-resistant equi-join: spread each join key over ``n_salts``
+    shuffle partitions.
+
+    The target shape: ``fact`` has a heavy-tailed key distribution (a
+    few keys own a large fraction of the rows) and ``dim`` is too big
+    for the broadcast gate, so the default plan shuffles both sides on
+    the key and the hot keys serialize on single reducers.  Salting
+    joins on ``(key, __salt)`` instead:
+
+    * fact side — ``__salt = xxhash64(salt_src) % n_salts``, a
+      deterministic map-only column (stable across retries and
+      partitioning, unlike ``rand()``/``monotonically_increasing_id``).
+      ``salt_src`` defaults to every fact column; pass a unique id
+      column to hash less.
+    * dim side — each row replicated once per salt value via an
+      ``explode(sequence(...))`` projection (map-only, ``n_salts``×
+      row growth on the *small* side only).
+
+    Result is row-identical to the unsalted join for ``how`` in
+    ``inner``/``left``/``left_semi``/``left_anti``: every fact row
+    carries exactly one salt and the dim side covers all salts.
+    Right/full joins would duplicate unmatched dim rows and are
+    rejected.
+
+    At 100 TB this trades ``n_salts``× dim replication (bounded,
+    chosen) for hot-key reducer parallelism (unbounded win on real
+    power-law keys).  AQE's ``skewJoin`` handles *detected* skew by
+    splitting oversized partitions at runtime; explicit salting remains
+    the deterministic tool when the skew is known a priori or the join
+    runs inside a single AQE stage it can't re-plan.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left", "leftouter", "left_outer",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti, not {how!r}: "
+            "replicating the dim side would duplicate unmatched dim rows")
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    src = ([salt_src] if isinstance(salt_src, str) else salt_src) or \
+        fact.columns
+    f = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in src]),
+                         F.lit(n_salts)).cast("int"))
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    cond = [f[k] == d[k] for k in keys] + [f["__salt"] == d["__salt"]]
+    out = f.join(d, cond, how)
+    if how.replace("_", "") in ("leftsemi", "leftanti"):
+        return out.drop("__salt")          # fact columns only
+    out = out.drop(f["__salt"]).drop(d["__salt"])
+    for k in keys:
+        out = out.drop(d[k])
+    return out
+
+
+def filter_blocklist(df: DataFrame, blocked: DataFrame, col: str,
+                     blocked_col: str | None = None) -> DataFrame:
+    """Drop rows whose ``col`` appears in ``blocked`` — URL/domain/user
+    blocklisting, the anti-join step of every web-corpus pipeline.
+
+    ``left_anti`` semantics (= SQL ``NOT EXISTS``): rows with NULL keys
+    are KEPT (a NULL never equals a blocked value) and NULLs in the
+    blocklist never match — unlike ``NOT IN``, which nulls out the
+    whole predicate.  The blocklist side takes the size-gated broadcast
+    hint: blocklists are usually small (broadcast anti-join = map-only,
+    zero shuffle of the corpus), but a blocklist that outgrows the gate
+    falls back to a keyed shuffle instead of an executor OOM.
+    """
+    bcol = blocked_col or col
+    b = blocked.select(F.col(bcol).alias("__blocked_key")).distinct()
+    return df.join(maybe_broadcast(b),
+                   df[col] == F.col("__blocked_key"), "left_anti")
+
+
+def topk_per_group(df: DataFrame, group_cols: str | list[str],
+                   order_col: str, k: int, descending: bool = True,
+                   tiebreak: str | list[str] | None = None,
+                   rank_col: str = "rk") -> DataFrame:
+    """Top-``k`` rows per group under a deterministic total order —
+    best-documents-per-domain, top-spenders-per-segment, most-recent-
+    per-key selection.
+
+    ``tiebreak`` columns extend the ordering to a total order; without
+    one, ties at the k-th place make the kept set partition-dependent,
+    so a unique tiebreak is required (pass the row's id column).
+
+    Plan: one hash shuffle on the group key, then a per-group sort +
+    ``row_number`` with the filter ``rk <= k`` pushed into Spark's
+    rank-limit window path (physical ``WindowGroupLimit``), which keeps
+    a bounded k-row heap per group on both the map and reduce side
+    instead of fully sorting each group — the window equivalent of
+    ``TakeOrderedAndProject``.  Skewed group sizes degrade gracefully:
+    the heap is O(k) regardless of group size.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    ties = ([tiebreak] if isinstance(tiebreak, str) else tiebreak) or []
+    if not ties:
+        raise ValueError("topk_per_group needs a unique tiebreak column "
+                         "for a deterministic kept set")
+    order = [F.col(order_col).desc() if descending else F.col(order_col).asc()
+             ] + [F.col(t).asc() for t in ties]
+    w = Window.partitionBy(*groups).orderBy(*order)
+    return (df.withColumn(rank_col, F.row_number().over(w))
+            .filter(F.col(rank_col) <= k))

@@ -109,7 +109,8 @@ def test_tpch_dim_broadcast_is_size_gated(spark, no_auto_broadcast,
     assert "BroadcastHashJoin" in _plan(xq.q_revenue_by_nation(spark, SF))
     assert "BroadcastHashJoin" in _plan(xq.q_top_revenue_orders(spark, SF))
     # above the gate: the hint disappears from both shapes
-    monkeypatch.setattr(xq, "DIM_BROADCAST_MAX_BYTES", 0)
+    import dataframe_pipeline_spark.relational as rel
+    monkeypatch.setattr(rel, "DIM_BROADCAST_MAX_BYTES", 0)
     assert "BroadcastHashJoin" not in _plan(xq.q_revenue_by_nation(spark, SF))
     assert "BroadcastHashJoin" not in _plan(
         xq.q_top_revenue_orders(spark, SF))

@@ -1,0 +1,174 @@
+"""relational.py: salted join, blocklist filter, top-k per group,
+profiling — value parity with the unsalted/naive equivalents plus the
+plan properties that carry the 100 TB claims."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataframe_pipeline_spark.profiling import profile
+from dataframe_pipeline_spark.relational import (
+    filter_blocklist, salted_join, topk_per_group)
+
+
+@pytest.fixture()
+def skewed(spark):
+    """Fact table with one hot key owning half the rows + a dim side."""
+    fact = spark.createDataFrame(
+        [(i, 7 if i % 2 == 0 else i % 50, float(i)) for i in range(400)],
+        "row_id long, k long, v double")
+    dim = spark.createDataFrame(
+        [(k, f"dim_{k}") for k in range(60)], "k long, name string")
+    return fact, dim
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_inner_equals_plain(spark, skewed):
+    fact, dim = skewed
+    plain = fact.join(dim, "k", "inner").select("row_id", "k", "v", "name")
+    salted = salted_join(fact, dim, "k", "inner", n_salts=8,
+                         salt_src="row_id").select("row_id", "k", "v", "name")
+    assert _rows(salted) == _rows(plain)
+
+
+def test_salted_left_keeps_unmatched_fact(spark, skewed):
+    fact, dim = skewed
+    small_dim = dim.filter(F.col("k") < 10)
+    plain = fact.join(small_dim, "k", "left").select("row_id", "k", "name")
+    salted = salted_join(fact, small_dim, "k", "left", n_salts=4,
+                         salt_src="row_id").select("row_id", "k", "name")
+    assert _rows(salted) == _rows(plain)
+
+
+def test_salted_semi_anti(spark, skewed):
+    fact, dim = skewed
+    some = dim.filter(F.col("k") % 3 == 0)
+    for how in ("left_semi", "left_anti"):
+        plain = fact.join(some, fact.k == some.k, how)
+        salted = salted_join(fact, some, "k", how, n_salts=4,
+                             salt_src="row_id")
+        assert salted.columns == fact.columns
+        assert _rows(salted.select("row_id")) == _rows(plain.select("row_id"))
+
+
+def test_salted_default_salt_src_and_null_keys(spark):
+    fact = spark.createDataFrame(
+        [(1, None, "a"), (2, 5, "b"), (3, 5, "c")],
+        "row_id long, k long, tag string")
+    dim = spark.createDataFrame([(5, "five")], "k long, name string")
+    plain = fact.join(dim, "k", "left").select("row_id", "name")
+    salted = salted_join(fact, dim, "k", "left").select("row_id", "name")
+    assert _rows(salted) == _rows(plain)          # NULL key row survives
+
+
+def test_salted_rejects_right_join(spark, skewed):
+    fact, dim = skewed
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(fact, dim, "k", "right")
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_join(fact, dim, "k", n_salts=0)
+
+
+def test_salted_join_plan_has_salt_key(spark, skewed):
+    """The shuffle/join key must include __salt — that IS the skew fix."""
+    fact, dim = skewed
+    out = salted_join(fact, dim, "k", "inner", n_salts=8, salt_src="row_id")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt" in plan
+    # and the salt never leaks into the result schema
+    assert "__salt" not in out.columns
+
+
+def test_filter_blocklist_semantics(spark):
+    ev = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, "y"), (3, None, "z"), (4, 30, "w")],
+        "id long, user long, tag string")
+    blocked = spark.createDataFrame([(20,), (None,)], "user long")
+    kept = filter_blocklist(ev, blocked, "user")
+    # 20 dropped; NULL key kept (anti-join / NOT EXISTS semantics);
+    # NULL in the blocklist matches nothing.
+    assert _rows(kept.select("id")) == [(1,), (3,), (4,)]
+    assert kept.columns == ev.columns
+
+
+def test_filter_blocklist_broadcasts_small_list(spark):
+    """Parquet-backed blocklist (real Catalyst size statistics) under
+    the gate → broadcast anti-join, zero shuffle of the corpus side.
+    In-memory frames without stats fail CLOSED (no hint — see
+    test_filter_blocklist_semantics, which plans a shuffle join)."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    blocked = spark.read.parquet(
+        "/root/testdata/sf0.001/customer.parquet").select("c_custkey")
+    kept = filter_blocklist(ev, blocked, "user_id", blocked_col="c_custkey")
+    phys = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys and "LeftAnti" in phys
+
+
+def test_topk_per_group_values(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 30.0), ("a", 4, 5.0),
+         ("b", 5, 1.0), ("b", 6, 2.0)],
+        "g string, id long, score double")
+    top = topk_per_group(df, "g", "score", k=2, tiebreak="id")
+    got = sorted((r.g, r.rk, r.id) for r in top.collect())
+    # tie at 30.0 broken by id asc: id=2 first, id=3 second
+    assert got == [("a", 1, 2), ("a", 2, 3), ("b", 1, 6), ("b", 2, 5)]
+
+
+def test_topk_requires_tiebreak(spark):
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="tiebreak"):
+        topk_per_group(df, "g", "v", k=1)
+
+
+def test_topk_plan_uses_group_limit(spark):
+    """rk<=k must reach Spark's rank-limit window path: bounded k-row
+    heaps per group (WindowGroupLimit), not a full per-group sort kept
+    in memory."""
+    df = spark.range(10000).select(
+        (F.col("id") % 7).alias("g"), F.col("id"),
+        F.rand(42).alias("score"))
+    top = topk_per_group(df, "g", "score", k=3, tiebreak="id")
+    phys = top._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in phys
+
+
+def test_profile_exact_matches_pandas(spark):
+    df = spark.createDataFrame(
+        [(1.0, "b"), (2.0, None), (2.0, "a"), (None, "a"), (4.0, "c")],
+        "x double, s string")
+    out = profile(df, exact=True).toPandas().set_index("col_name")
+    x = out.loc["x"]
+    assert (x.n_rows, x.n_nonnull, x.n_distinct) == (5, 4, 3)
+    assert (x.min_num, x.max_num) == (1.0, 4.0)
+    assert abs(x.mean_num - (1 + 2 + 2 + 4) / 4) < 1e-12
+    assert pd.isna(x.min_str) and pd.isna(x.max_str)
+    s = out.loc["s"]
+    assert (s.n_rows, s.n_nonnull, s.n_distinct) == (5, 4, 3)
+    assert (s.min_str, s.max_str) == ("a", "c")
+    assert pd.isna(s.min_num) and pd.isna(s.mean_num)
+
+
+def test_profile_single_job_approx(spark):
+    """Default (approx) profile of N columns plans ONE aggregate —
+    no per-column jobs, no EXPAND blowup."""
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 10).alias("m"),
+        F.concat(F.lit("u"), F.col("id") % 5).alias("s"))
+    out = profile(df)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in phys
+    got = {r.col_name: r for r in out.collect()}
+    assert got["id"].n_rows == 1000
+    # HLL++ within 5% on 1000 distincts
+    assert abs(got["id"].n_distinct - 1000) <= 50
+    assert got["m"].n_distinct == 10 and got["s"].n_distinct == 5
+
+
+def test_profile_unknown_column_raises(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile(df, ["nope"])
