@@ -1459,6 +1459,79 @@ WHERE rk <= 3
 """
 
 
+def q_clip_outliers(spark, sf_dir):
+    """Quantile winsorization (operators.OutlierClipper): clamp
+    l_extendedprice into its fitted [p05, p95].  exact=True so the
+    bounds match DuckDB's interpolated quantile_cont; the
+    approx_percentile sketch tier is the bounded-memory 100 TB default.
+    Fit is one agg job; transform is pure least/greatest codegen."""
+    from .operators.outlier_clipper import OutlierClipper
+    li = _t(spark, sf_dir, "lineitem")
+    op = OutlierClipper(inputs=["l_extendedprice"], outputs=["price_clipped"],
+                        strategy="quantile", lo_q=0.05, hi_q=0.95,
+                        exact=True)
+    out = op.fit_transform(li)
+    return out.select("l_orderkey", "l_linenumber", "price_clipped")
+
+
+SQL_CLIP_OUTLIERS = """
+SELECT l_orderkey, l_linenumber,
+       LEAST(GREATEST(l_extendedprice, b.lo), b.hi) AS price_clipped
+FROM lineitem,
+     (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem) b
+"""
+
+
+_LAYOUT_SCRATCH = None
+
+
+def _layout_scratch_dir() -> str:
+    """Process-scoped scratch dir for the clustered-layout round-trip
+    query (same lifecycle discipline as the IVF index scratch: one dir
+    per process, overwritten per invocation, removed at exit)."""
+    global _LAYOUT_SCRATCH
+    if _LAYOUT_SCRATCH is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _LAYOUT_SCRATCH = tempfile.mkdtemp(prefix="dfp_layout_")
+        atexit.register(shutil.rmtree, _LAYOUT_SCRATCH, ignore_errors=True)
+    return _LAYOUT_SCRATCH
+
+
+def q_layout_pruned_scan(spark, sf_dir):
+    """Clustered-layout round-trip (sources.write_clustered): events →
+    hive-partitioned by event_type + in-file sorted by user_id → read
+    back with a filter on both levels.  The re-read plan must show
+    PartitionFilters (directory pruning) and a PushedFilters range on
+    user_id that parquet min/max row-group stats can act on — asserted
+    in test_plans.py.  The oracle computes the same aggregate off the
+    original table: layout changes must never change answers."""
+    from .sources import write_clustered
+    import os
+
+    ev = _events(spark, sf_dir)
+    path = os.path.join(_layout_scratch_dir(), "events_clustered")
+    write_clustered(ev, path, partition_by=["event_type"],
+                    cluster_by=["user_id"])
+    back = spark.read.parquet(path)
+    return (back.filter((F.col("event_type") == "click")
+                        & (F.col("user_id") < 1000))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_clicks"),
+                 F.sum("value").cast("double").alias("total_value")))
+
+
+SQL_LAYOUT_PRUNED_SCAN = """
+SELECT user_id, count(*) AS n_clicks, CAST(sum(value) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type = 'click' AND user_id < 1000
+GROUP BY user_id
+"""
+
+
 def q_profile_customer(spark, sf_dir):
     """Single-pass column profiler (profiling.profile): every statistic
     for every column in ONE aggregate over ONE scan, unpivoted from the
@@ -1495,6 +1568,8 @@ EXT_QUERIES = {
     "filter_blocklist": (q_filter_blocklist, SQL_FILTER_BLOCKLIST),
     "topk_per_segment": (q_topk_per_segment, SQL_TOPK_PER_SEGMENT),
     "profile_customer": (q_profile_customer, SQL_PROFILE_CUSTOMER),
+    "clip_outliers": (q_clip_outliers, SQL_CLIP_OUTLIERS),
+    "layout_pruned_scan": (q_layout_pruned_scan, SQL_LAYOUT_PRUNED_SCAN),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_ngram_capped": (q_dedup_ngram_capped, SQL_DEDUP_NGRAM_CAPPED),

@@ -171,30 +171,13 @@ def cap_per_group(df: DataFrame, group_col: str, key: str,
 def salted_join(fact: DataFrame, dim: DataFrame, on: str,
                 how: str = "inner", salt: int = 8,
                 seed: int = 42) -> DataFrame:
-    """Skew-resistant equi-join: a hot key's rows spread over ``salt``
-    shuffle partitions instead of one straggler task.
-
-    Fact rows get a random salt in [0, salt); the dim side is replicated
-    ``salt`` times (dim rows are the small side — replication is cheap,
-    the point is splitting the *fact* side's hot keys).  Join keys become
-    (key, salt).  Result is identical to the unsalted join for the
-    fact-preserving join types (``inner``/``left``/``left_semi``/
-    ``left_anti``) only — a right/full join would emit every unmatched
-    dim row once *per salt replica*, so those types are rejected.
-    AQE's skew-join handles moderate skew automatically; this is the
-    explicit tool for extreme keys (a null-heavy FK, a celebrity user).
-    """
-    if how not in ("inner", "left", "leftouter", "left_outer",
-                   "left_semi", "leftsemi", "left_anti", "leftanti"):
-        raise ValueError(
-            f"salted_join supports fact-preserving join types only, got "
-            f"{how!r}: replicated dim rows would duplicate unmatched "
-            "right/full output rows once per salt value")
-    fact_s = fact.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
-    dim_s = dim.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
-    out = fact_s.join(dim_s, [on, "__salt"], how)
-    return out.drop("__salt")
+    """Skew-resistant equi-join — delegates to the canonical
+    :func:`dataframe_pipeline_spark.relational.salted_join`, which salts
+    with a deterministic content-addressed hash (``seed`` is accepted
+    for backward compatibility and ignored: a ``rand(seed)`` salt is
+    partitioning-dependent and so not stable across retries)."""
+    from ..relational import salted_join as _sj
+    return _sj(fact, dim, on, how=how, n_salts=salt)
 
 
 def write_partitioned(df: DataFrame, path: str, partition_by: list[str],
@@ -202,6 +185,32 @@ def write_partitioned(df: DataFrame, path: str, partition_by: list[str],
     """Hive-partitioned parquet sink: readers filtering on the partition
     columns scan only matching directories (partition pruning)."""
     df.write.partitionBy(*partition_by).mode(mode).parquet(path)
+
+
+def write_clustered(df: DataFrame, path: str, partition_by: list[str],
+                    cluster_by: list[str],
+                    mode: str = "overwrite") -> None:
+    """Layout-optimized parquet sink: hive-partition directories on
+    ``partition_by`` AND sort rows inside each file on ``cluster_by``,
+    so readers get BOTH pruning levels:
+
+    1. directory pruning — a ``partition_by`` filter never opens
+       non-matching directories (``PartitionFilters`` in the scan);
+    2. row-group skipping — a ``cluster_by`` range filter eliminates
+       whole row groups via parquet min/max footers, because sorting
+       makes each column chunk's [min,max] interval narrow instead of
+       spanning the full value range.
+
+    The pre-write shuffle hashes on ``partition_by`` so each output
+    directory is written by as few tasks as possible — without it,
+    EVERY task holds rows of every partition value and a P-partition ×
+    T-task write emits P×T small files, the classic 100 TB small-files
+    failure.  ``sortWithinPartitions`` (not a global ``orderBy``) keeps
+    the sort task-local: one shuffle total.
+    """
+    (df.repartition(*[F.col(c) for c in partition_by])
+       .sortWithinPartitions(*(list(partition_by) + list(cluster_by)))
+       .write.partitionBy(*partition_by).mode(mode).parquet(path))
 
 
 def write_bucketed(df: DataFrame, table: str, path: str, bucket_by: str,
