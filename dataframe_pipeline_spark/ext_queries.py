@@ -1532,6 +1532,53 @@ GROUP BY user_id
 """
 
 
+def q_pivot_event_counts(spark, sf_dir):
+    """Long→wide pivot (reshape.pivot_agg): per-user event-type counts
+    as columns.  The value list is explicit and the cells are
+    conditional aggregates — ONE hash aggregate over one scan, no
+    hidden distinct-discovery job and no stacked pivotfirst aggregate
+    (the 100 TB pivot contract; count(when(cond,1)) == SQL FILTER
+    semantics, absent combos are 0)."""
+    from .reshape import pivot_agg
+    ev = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return pivot_agg(ev, "user_id", "event_type", types,
+                     lambda cond: F.count(F.when(cond, 1)), prefix="n_")
+
+
+SQL_PIVOT_EVENT_COUNTS = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_melt_measures(spark, sf_dir):
+    """Wide→long melt (reshape.melt — map-only stack, zero shuffle)
+    feeding a per-variable aggregate."""
+    from .reshape import melt
+    li = _t(spark, sf_dir, "lineitem")
+    long = melt(li, ["l_orderkey"],
+                ["l_quantity", "l_extendedprice", "l_discount"])
+    return (long.groupBy("variable")
+            .agg(F.avg("value").alias("avg_value"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+SQL_MELT_MEASURES = """
+SELECT 'l_quantity' AS variable, avg(l_quantity) AS avg_value, count(*) AS n
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', avg(l_extendedprice), count(*) FROM lineitem
+UNION ALL
+SELECT 'l_discount', avg(l_discount), count(*) FROM lineitem
+"""
+
+
 def q_profile_customer(spark, sf_dir):
     """Single-pass column profiler (profiling.profile): every statistic
     for every column in ONE aggregate over ONE scan, unpivoted from the
@@ -1570,6 +1617,8 @@ EXT_QUERIES = {
     "profile_customer": (q_profile_customer, SQL_PROFILE_CUSTOMER),
     "clip_outliers": (q_clip_outliers, SQL_CLIP_OUTLIERS),
     "layout_pruned_scan": (q_layout_pruned_scan, SQL_LAYOUT_PRUNED_SCAN),
+    "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENT_COUNTS),
+    "melt_measures": (q_melt_measures, SQL_MELT_MEASURES),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_ngram_capped": (q_dedup_ngram_capped, SQL_DEDUP_NGRAM_CAPPED),
