@@ -1579,6 +1579,68 @@ SELECT 'l_discount', avg(l_discount), count(*) FROM lineitem
 """
 
 
+def q_merge_latest(spark, sf_dir):
+    """CDC latest-wins snapshot merge (sources.merge_latest): base
+    snapshot (version 0) + a synthetic change batch touching every
+    10th order (version 1, doubled price).  One keyed shuffle, winner
+    per key via the rank-limit window.  The oracle replays the same
+    merge as a CASE over the base table."""
+    from .sources import merge_latest
+    od = _t(spark, sf_dir, "orders")
+    base = od.withColumn("__v", F.lit(0))
+    updates = (od.filter(F.col("o_orderkey") % 10 == 0)
+               .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+               .withColumn("__v", F.lit(1)))
+    merged = merge_latest(base, updates, "o_orderkey", "__v")
+    return merged.select("o_orderkey", "o_totalprice").drop("__v")
+
+
+SQL_MERGE_LATEST = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+"""
+
+
+def q_embed_label_centroid(spark, sf_dir):
+    """Per-label embedding centroids (similarity.label_centroids):
+    posexplode + ONE partial-aggregatable hash agg — the 64x explode
+    collapses to n_labels x dim partials map-side, so the shuffle is
+    O(labels x dim), not O(rows x dim)."""
+    from .similarity import label_centroids
+    emb = _t(spark, sf_dir, "embeddings")
+    out = label_centroids(emb)
+    return out.select("label", (F.col("pos") + 1).alias("pos"),
+                      F.round(F.col("centroid"), 6).alias("centroid"))
+
+
+SQL_EMBED_LABEL_CENTROID = """
+SELECT label, i AS pos,
+       ROUND(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+GROUP BY label, i
+"""
+
+
+def q_kfold_counts(spark, sf_dir):
+    """Deterministic k-fold assignment (sources.kfold_assign,
+    content-addressed md5 % k — leakage-safe on a group key, map-only)
+    summarized as per-fold counts."""
+    from .sources import kfold_assign
+    od = _t(spark, sf_dir, "orders")
+    return (kfold_assign(od, "o_custkey", k=5)
+            .groupBy("fold").agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("fold").cast("long").alias("fold"), "n"))
+
+
+SQL_KFOLD_COUNTS = """
+SELECT (('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT) % 5 AS fold,
+       count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
 def q_profile_customer(spark, sf_dir):
     """Single-pass column profiler (profiling.profile): every statistic
     for every column in ONE aggregate over ONE scan, unpivoted from the
@@ -1619,6 +1681,9 @@ EXT_QUERIES = {
     "layout_pruned_scan": (q_layout_pruned_scan, SQL_LAYOUT_PRUNED_SCAN),
     "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENT_COUNTS),
     "melt_measures": (q_melt_measures, SQL_MELT_MEASURES),
+    "merge_latest": (q_merge_latest, SQL_MERGE_LATEST),
+    "embed_label_centroid": (q_embed_label_centroid, SQL_EMBED_LABEL_CENTROID),
+    "kfold_counts": (q_kfold_counts, SQL_KFOLD_COUNTS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_ngram_capped": (q_dedup_ngram_capped, SQL_DEDUP_NGRAM_CAPPED),

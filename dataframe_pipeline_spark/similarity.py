@@ -431,3 +431,23 @@ class HyperplaneLSHIndex:
             .orderBy(F.desc("cosine"), F.asc(id_col))
             .limit(self.k)
         )
+
+
+def label_centroids(df: DataFrame, vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Per-label mean vector in long form: (label, pos, centroid) —
+    the class-centroid step of prototype classifiers, cluster summaries,
+    and IVF-style coarse quantizer refreshes.
+
+    Plan: ``posexplode`` the vector then ONE hash aggregate on
+    (label, pos).  The explode is a 64x row expansion, but partial
+    (map-side) aggregation collapses each partition to at most
+    n_labels x dim partial sums before the exchange, so the shuffle
+    carries ~n_labels x dim x n_partitions rows regardless of input
+    size — the explode never crosses the wire.  Long form keeps the
+    aggregate partial-friendly; reassemble with ``array_agg`` sorted
+    by pos only where a wide array is actually needed."""
+    ex = df.select(F.col(label_col).alias("label"),
+                   F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    return (ex.groupBy("label", "pos")
+            .agg(F.avg("val").alias("centroid")))

@@ -224,3 +224,51 @@ def write_bucketed(df: DataFrame, table: str, path: str, bucket_by: str,
     if sort_by:
         w = w.sortBy(sort_by)
     w.format("parquet").saveAsTable(table)
+
+
+def kfold_assign(df: DataFrame, key: str, k: int,
+                 fold_col: str = "fold") -> DataFrame:
+    """Deterministic k-fold assignment for cross-validation:
+    ``fold = md5_int(key) % k``, content-addressed like every sampler
+    in this repo — a pure function of the key, independent of
+    partitioning/ordering/retries, leakage-safe when ``key`` is a group
+    id (all rows of a group share a fold).  Map-only: one hash
+    expression, no shuffle, no RNG state."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8),
+               16, 10).cast("bigint")
+    return df.withColumn(fold_col, F.pmod(h, F.lit(k)).cast("int"))
+
+
+def merge_latest(base: DataFrame, updates: DataFrame, key: str | list[str],
+                 version_col: str,
+                 delete_col: str | None = None) -> DataFrame:
+    """Latest-wins snapshot merge (CDC upsert without a table format):
+    union the current snapshot with a change batch, keep per key the
+    row with the highest ``version_col`` — ties go to the *update* side
+    (so re-applying a batch at the same version is idempotent) — and
+    optionally drop rows whose winning version has ``delete_col`` true
+    (tombstones).
+
+    This is the compaction step of an incremental corpus/feature-store
+    pipeline: ``merged = merge_latest(snapshot, changes, ...)`` then
+    rewrite the snapshot.  One hash shuffle on the key; the per-key
+    state is a single winner row (rank-limit window, bounded heap —
+    same WindowGroupLimit path as topk_per_group), so hot keys with
+    many updates don't accumulate memory.  Schemas must match by name
+    (``unionByName``); missing columns on either side raise rather
+    than silently nulling — schema drift in a merge is a bug upstream.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    b = base.withColumn("__src", F.lit(0))
+    u = updates.withColumn("__src", F.lit(1))
+    w = (Window.partitionBy(*keys)
+         .orderBy(F.col(version_col).desc(), F.col("__src").desc()))
+    merged = (b.unionByName(u)
+              .withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn", "__src"))
+    if delete_col is not None:
+        merged = merged.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
+    return merged
