@@ -1641,6 +1641,63 @@ FROM orders GROUP BY 1
 """
 
 
+def q_funnel_signup_purchase(spark, sf_dir):
+    """Funnel conversion in ONE grouped aggregate: per user, the first
+    signup and the last purchase land in the same hash-agg pass
+    (conditional min/max — no self-join, no second scan); a purchase
+    after the first signup marks conversion, then a single global
+    reduce emits the funnel row.  Both aggregates are
+    partial-aggregatable, so the plan is scan → partial agg → one
+    shuffle on user_id → tiny final reduce."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+        .alias("first_signup"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("last_purchase"))
+    return per_user.agg(
+        F.count("first_signup").alias("n_signed_up"),
+        F.count(F.when(F.col("last_purchase") > F.col("first_signup"), 1))
+        .alias("n_converted"))
+
+
+SQL_FUNNEL = """
+SELECT count(first_signup) AS n_signed_up,
+       count(*) FILTER (WHERE last_purchase > first_signup) AS n_converted
+FROM (SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'signup')   AS first_signup,
+             max(ts) FILTER (WHERE event_type = 'purchase') AS last_purchase
+      FROM events GROUP BY user_id)
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by first-seen week,
+    counted per (cohort_week, active_week).  The per-user cohort dim is
+    a grouped aggregate of the fact itself, joined back size-gated
+    (bounded by distinct users — it broadcasts at bench scale, falls
+    back to a keyed shuffle at 100x); the final distinct-count is one
+    hash aggregate."""
+    ev = _events(spark, sf_dir)
+    cohort = (ev.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    enriched = ev.join(maybe_broadcast(cohort, bound_df=ev), "user_id")
+    return (enriched
+            .groupBy("cohort_week",
+                     F.date_trunc("week", F.col("ts")).alias("active_week"))
+            .agg(F.count_distinct("user_id").alias("n_users")))
+
+
+SQL_COHORT_RETENTION = """
+SELECT c.cohort_week, date_trunc('week', e.ts) AS active_week,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e
+JOIN (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id) c USING (user_id)
+GROUP BY c.cohort_week, active_week
+"""
+
+
 def q_profile_customer(spark, sf_dir):
     """Single-pass column profiler (profiling.profile): every statistic
     for every column in ONE aggregate over ONE scan, unpivoted from the
@@ -1684,6 +1741,8 @@ EXT_QUERIES = {
     "merge_latest": (q_merge_latest, SQL_MERGE_LATEST),
     "embed_label_centroid": (q_embed_label_centroid, SQL_EMBED_LABEL_CENTROID),
     "kfold_counts": (q_kfold_counts, SQL_KFOLD_COUNTS),
+    "funnel_signup_purchase": (q_funnel_signup_purchase, SQL_FUNNEL),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_ngram_capped": (q_dedup_ngram_capped, SQL_DEDUP_NGRAM_CAPPED),

@@ -288,3 +288,13 @@ def test_incremental_dedup_shuffles_digests_not_bodies(spark, qs):
     for line in p.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_funnel_single_shuffle(spark, qs):
+    """Funnel must be one pass: scan → partial agg → ONE exchange on
+    user_id → final reduce (the single-row global agg adds its own
+    1-partition exchange; no join, no second scan of events)."""
+    df = qs["funnel_signup_purchase"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
