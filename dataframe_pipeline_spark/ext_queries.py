@@ -1698,6 +1698,59 @@ GROUP BY c.cohort_week, active_week
 """
 
 
+def q_hist_order_price(spark, sf_dir):
+    """Fixed-width histogram (profiling.histogram): fitted min/max (one
+    2-double agg) then a single hash aggregate on the bin id; empty
+    bins materialized so the output is always n_bins rows."""
+    from .profiling import histogram
+    od = _t(spark, sf_dir, "orders")
+    out = histogram(od, "o_totalprice", n_bins=10)
+    return out.select(F.col("bin").cast("long").alias("bin"),
+                      F.round("bin_lo", 6).alias("bin_lo"),
+                      F.round("bin_hi", 6).alias("bin_hi"), "n")
+
+
+SQL_HIST_ORDER_PRICE = """
+WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+                  (max(o_totalprice) - min(o_totalprice)) / 10 AS w
+           FROM orders),
+bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+counts AS (SELECT LEAST(CAST(floor((o_totalprice - b.lo) / b.w) AS BIGINT), 9)
+               AS bin, count(*) AS n
+           FROM orders, b GROUP BY 1)
+SELECT bins.bin,
+       ROUND(b.lo + bins.bin * b.w, 6) AS bin_lo,
+       ROUND(b.lo + (bins.bin + 1) * b.w, 6) AS bin_hi,
+       COALESCE(counts.n, 0) AS n
+FROM bins CROSS JOIN b LEFT JOIN counts ON bins.bin = counts.bin
+"""
+
+
+def q_corr_lineitem(spark, sf_dir):
+    """Pairwise Pearson correlations (profiling.correlation_matrix):
+    all pairs in ONE aggregate over ONE scan — constant sufficient
+    statistics per pair, partial-aggregatable."""
+    from .profiling import correlation_matrix
+    li = _t(spark, sf_dir, "lineitem")
+    out = correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return out.select("col_a", "col_b", F.round("corr", 6).alias("corr"))
+
+
+def _sql_corr_lineitem() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    parts = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            parts.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"ROUND(corr({a}, {b}), 6) AS corr FROM lineitem")
+    return " UNION ALL ".join(parts)
+
+
+SQL_CORR_LINEITEM = _sql_corr_lineitem()
+
+
 def q_profile_customer(spark, sf_dir):
     """Single-pass column profiler (profiling.profile): every statistic
     for every column in ONE aggregate over ONE scan, unpivoted from the
@@ -1743,6 +1796,8 @@ EXT_QUERIES = {
     "kfold_counts": (q_kfold_counts, SQL_KFOLD_COUNTS),
     "funnel_signup_purchase": (q_funnel_signup_purchase, SQL_FUNNEL),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "hist_order_price": (q_hist_order_price, SQL_HIST_ORDER_PRICE),
+    "corr_lineitem": (q_corr_lineitem, SQL_CORR_LINEITEM),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_ngram_capped": (q_dedup_ngram_capped, SQL_DEDUP_NGRAM_CAPPED),

@@ -85,3 +85,70 @@ def profile(df: DataFrame, cols: list[str] | None = None,
         ))
     return (wide.select(F.explode(F.array(*rows)).alias("p"))
             .select("p.*"))
+
+
+def histogram(df: DataFrame, col: str, n_bins: int = 10,
+              lo: float | None = None,
+              hi: float | None = None) -> DataFrame:
+    """Fixed-width histogram of a numeric column: (bin, lo, hi, n).
+
+    If ``lo``/``hi`` are omitted they are fitted with one min/max agg
+    (a driver round-trip of two doubles); the binning itself is a
+    single hash aggregate on the computed bin id — one shuffle of at
+    most ``n_bins`` partial rows per partition.  Values exactly at
+    ``hi`` land in the last bin (right-closed top bin, numpy
+    convention); NULL/NaN rows are excluded.  Empty bins are emitted
+    with n=0 via a range join against a literal bin frame, so the
+    output is always exactly ``n_bins`` rows — a histogram whose empty
+    bins silently vanish misleads every consumer downstream.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    v = F.col(col).cast("double")
+    v = F.when(F.isnan(v), None).otherwise(v)
+    if lo is None or hi is None:
+        row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
+        lo = row["lo"] if lo is None else lo
+        hi = row["hi"] if hi is None else hi
+    if lo is None or hi is None or not (hi > lo):
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    w = (hi - lo) / n_bins
+    bin_id = F.least(F.floor((v - F.lit(lo)) / F.lit(w)),
+                     F.lit(n_bins - 1)).cast("int")
+    counts = (df.filter(v.isNotNull()
+                        & (v >= F.lit(lo)) & (v <= F.lit(hi)))
+              .groupBy(bin_id.alias("bin"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    spark = df.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    return (bins.join(counts, "bin", "left")
+            .select("bin",
+                    (F.lit(lo) + F.col("bin") * F.lit(w)).alias("bin_lo"),
+                    (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("bin_hi"),
+                    F.coalesce(F.col("n"), F.lit(0)).alias("n")))
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations in long form (col_a, col_b, corr),
+    upper triangle including the diagonal.
+
+    All C(n,2)+n correlations are computed in ONE aggregate over ONE
+    scan (each ``corr`` is partial-aggregatable sufficient statistics:
+    sums, squares, cross-products — constant state per pair), then the
+    1-row wide result unpivots driver-side like :func:`profile`.  Row
+    pairs with a NULL/NaN in either column are excluded per pair
+    (pairwise deletion — SQL ``corr`` semantics in both engines)."""
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    types = dict(df.dtypes)
+    bad = [c for c in cols if types.get(c) not in NUMERIC]
+    if bad:
+        raise ValueError(f"non-numeric columns: {bad}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+    aggs = [F.corr(a, b).alias(f"__c_{i}") for i, (a, b) in enumerate(pairs)]
+    wide = df.agg(*aggs)
+    rows = [F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                     F.col(f"__c_{i}").alias("corr"))
+            for i, (a, b) in enumerate(pairs)]
+    return (wide.select(F.explode(F.array(*rows)).alias("p"))
+            .select("p.*"))

@@ -172,3 +172,47 @@ def test_profile_unknown_column_raises(spark):
     df = spark.range(3)
     with pytest.raises(ValueError, match="unknown columns"):
         profile(df, ["nope"])
+
+
+def test_histogram_values_and_empty_bins(spark):
+    from dataframe_pipeline_spark.profiling import histogram
+    df = spark.createDataFrame(
+        [(float(v),) for v in [0, 1, 2, 9, 10]] + [(None,)], "x double")
+    out = histogram(df, "x", n_bins=5)   # fitted [0,10], w=2
+    got = {r.bin: (r.bin_lo, r.bin_hi, r.n) for r in out.collect()}
+    assert len(got) == 5                                   # empty bins emitted
+    assert got[0] == (0.0, 2.0, 2)                         # 0,1 → bin0
+    assert got[1][2] == 1                                  # 2 → bin1
+    assert got[4][2] == 2                                  # 9,10: hi lands last
+    assert sum(v[2] for v in got.values()) == 5            # NULL excluded
+    with pytest.raises(ValueError, match="n_bins"):
+        histogram(df, "x", 0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        histogram(spark.createDataFrame([(1.0,)], "x double"), "x", 3)
+
+
+def test_histogram_explicit_bounds_clip(spark):
+    from dataframe_pipeline_spark.profiling import histogram
+    df = spark.createDataFrame([(float(v),) for v in range(100)], "x double")
+    out = histogram(df, "x", n_bins=4, lo=10.0, hi=50.0)
+    got = {r.bin: r.n for r in out.collect()}
+    assert sum(got.values()) == 41        # 10..50 inclusive; outside excluded
+
+
+def test_correlation_matrix(spark):
+    import math
+    from dataframe_pipeline_spark.profiling import correlation_matrix
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i, float(-i), float(i % 3)) for i in range(50)],
+        "a double, b double, c double, d double")
+    out = correlation_matrix(df, ["a", "b", "c"])
+    got = {(r.col_a, r.col_b): r.corr for r in out.collect()}
+    assert len(got) == 6
+    assert math.isclose(got[("a", "a")], 1.0)
+    assert math.isclose(got[("a", "b")], 1.0)      # perfectly linear
+    assert math.isclose(got[("a", "c")], -1.0)
+    # one scan, one aggregate
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("aggregate") == 1
+    with pytest.raises(ValueError, match="two columns"):
+        correlation_matrix(df, ["a"])
