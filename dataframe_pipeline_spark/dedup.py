@@ -477,7 +477,8 @@ class SimHasher:
 
     def pairs(self, df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text", bands: int = 4,
-              max_hamming: int = 3) -> DataFrame:
+              max_hamming: int = 3,
+              max_band_freq: int | None = None) -> DataFrame:
         """Near-dup pairs by banded hamming search over the fingerprint.
 
         Pigeonhole: two fingerprints within ``max_hamming`` (< bands)
@@ -485,6 +486,19 @@ class SimHasher:
         (band_index, band_value) finds every such pair while shuffling
         only (id, 2 small ints) rows — then ``bit_count(xor)`` verifies
         the exact distance.  The standard SimHash index layout.
+
+        ``max_band_freq`` is the hot-band skew guard (the analog of the
+        n-gram deduplicator's ``max_doc_freq`` stop-shingle cap): a
+        (band, value) key shared by more than this many docs is dropped
+        from the candidate join.  Without it a templated/low-entropy
+        corpus collides thousands of fingerprints into the same bands
+        and the pair set is quadratic — measured at sf1 (50k docs of a
+        31-word vocabulary): 27.7M pairs.  A band that hot means those
+        docs form a trivially dense near-dup cluster better handled by
+        the exact-dup or cluster path; pruning it bounds per-band work
+        at ``max_band_freq²`` deterministically.  Recall loss is
+        exactly the pruned bands (deterministic, data-visible), same
+        contract as the n-gram cap.
         """
         assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
         width = self.bits // bands
@@ -500,6 +514,11 @@ class SimHasher:
                 f"i -> (simhash >> (i * {width})) & {mask})"
             )).alias("__band", "__val"),
         )
+        if max_band_freq is not None:
+            keep = (bnd.groupBy("__band", "__val").count()
+                    .filter(F.col("count") <= max_band_freq)
+                    .select("__band", "__val"))
+            bnd = bnd.join(keep, ["__band", "__val"], "left_semi")
         a, b = bnd.alias("a"), bnd.alias("b")
         return (
             a.join(b, (F.col("a.__band") == F.col("b.__band"))

@@ -303,6 +303,48 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {maxh}
 """
 
 
+def q_dedup_simhash_capped(spark, sf_dir):
+    """Banded SimHash pairs with the hot-band skew guard
+    (max_band_freq=25): bands shared by more than 25 docs are pruned
+    before the self-join, bounding per-band work at 25² regardless of
+    corpus degeneracy — the guard that keeps this query checkable at
+    sf1 where the uncapped pair set is 27.7M rows (SCALE.md)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.SimHasher().pairs(docs, bands=4, max_hamming=3,
+                                max_band_freq=25)
+
+
+def _sql_simhash_capped(bands: int = 4, width: int = 15, maxh: int = 3,
+                        cap: int = 25) -> str:
+    mask = (1 << width) - 1
+    return f"""
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(text, ' ')),
+                        t -> {_h60_duck('t')}) AS h
+  FROM documents),
+fp AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(0, 59), b ->
+           CASE WHEN list_sum(list_transform(h, x ->
+                  CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+  FROM hs),
+bnd0 AS (
+  SELECT doc_id, simhash, i AS band, (simhash >> (i * {width})) & {mask} AS val
+  FROM fp, unnest(generate_series(0, {bands - 1})) AS t(i)),
+keep AS (
+  SELECT band, val FROM bnd0 GROUP BY band, val HAVING count(*) <= {cap}),
+bnd AS (
+  SELECT bnd0.* FROM bnd0 JOIN keep USING (band, val))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bnd a JOIN bnd b
+  ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {maxh}
+"""
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     d = dd.QuantizedCosineDeduplicator(threshold=0.45, n_planes=4)
@@ -1808,6 +1850,7 @@ EXT_QUERIES = {
                              _sql_dedup_keep_canonical()),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
+    "dedup_simhash_capped": (q_dedup_simhash_capped, _sql_simhash_capped()),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, _sql_embedding_cosine()),
     "sim_topk_cosine": (q_sim_topk_cosine, SQL_SIM_TOPK),
     "sim_ann_lsh": (q_sim_ann_lsh, _sql_sim_ann()),

@@ -229,3 +229,26 @@ def test_incremental_dedup_digest_index_roundtrip(spark, tmp_path):
     from_frame = inc.transform(batch, inc.digests(snap))
     assert sorted(r.doc_id for r in from_idx.collect()) \
         == sorted(r.doc_id for r in from_frame.collect())
+
+
+def test_simhash_max_band_freq_guard(spark):
+    """The hot-band cap prunes degenerate bands deterministically:
+    capped pairs ⊆ uncapped pairs, and a corpus whose docs all share a
+    band collapses to zero candidates under a tight cap while true
+    near-dups in small bands survive."""
+    from dataframe_pipeline_spark.dedup import SimHasher
+
+    rows = [(i, "alpha beta gamma delta epsilon")
+            for i in range(20)]                 # 20 identical template docs
+    rows += [(100, "totally different words entirely here"),
+             (101, "totally different words entirely here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = SimHasher()
+    full = {(r.id_a, r.id_b) for r in sh.pairs(df).collect()}
+    capped = {(r.id_a, r.id_b)
+              for r in sh.pairs(df, max_band_freq=5).collect()}
+    assert capped <= full
+    assert len(full) == 190 + 1        # C(20,2) template pairs + the dup
+    # identical fingerprints flood every template band past the cap:
+    # the quadratic cluster is pruned, the small-band dup survives
+    assert capped == {(100, 101)}
