@@ -17,16 +17,20 @@ from .operators import (
     DateTransformer,
     FrequencyEncoder,
     FunctionTransformer,
+    HashingEncoder,
     Imputer,
     MapTransformer,
     MinorityTransformer,
     OneHotEncoder,
+    OutlierClipper,
+    QuantileBinner,
     RangeTransformer,
     RowTransformer,
     Scaler,
     SetTransformer,
     StringConcatenator,
     StringSplitter,
+    TargetEncoder,
     TypeConverter,
     WrapTransformer,
 )

@@ -1793,6 +1793,74 @@ def _sql_corr_lineitem() -> str:
 SQL_CORR_LINEITEM = _sql_corr_lineitem()
 
 
+def q_target_encode(spark, sf_dir):
+    """Smoothed mean-target encoding (operators.TargetEncoder): fit is
+    one grouped agg + one global agg; the code table applies by
+    broadcast-gated join; unseen/NULL get the global mean."""
+    from .operators import TargetEncoder
+    cu = _t(spark, sf_dir, "customer")
+    enc = TargetEncoder(inputs=["c_mktsegment"], outputs=["seg_code"],
+                        target="c_acctbal", smoothing=20.0)
+    out = enc.fit_transform(cu)
+    return out.select("c_custkey", F.round("seg_code", 6).alias("seg_code"))
+
+
+SQL_TARGET_ENCODE = """
+WITH g AS (SELECT avg(c_acctbal) AS gm FROM customer),
+lk AS (SELECT c_mktsegment AS cat, count(c_acctbal) AS n,
+              avg(c_acctbal) AS mean
+       FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1)
+SELECT c.c_custkey,
+       ROUND(COALESCE((lk.n * lk.mean + 20.0 * g.gm) / (lk.n + 20.0),
+                      g.gm), 6) AS seg_code
+FROM customer c CROSS JOIN g LEFT JOIN lk ON c.c_mktsegment = lk.cat
+"""
+
+
+def q_hash_encode(spark, sf_dir):
+    """Feature hashing (operators.HashingEncoder): stateless
+    md5 % n_buckets — no vocabulary pass, no unseen problem, map-only;
+    md5 keeps buckets engine-portable for the oracle."""
+    from .operators import HashingEncoder
+    docs = _t(spark, sf_dir, "documents")
+    enc = HashingEncoder(inputs=["source"], outputs=["src_bucket"],
+                         n_buckets=16)
+    return (enc.transform(docs)
+            .select("doc_id", F.col("src_bucket").cast("long")
+                    .alias("src_bucket")))
+
+
+SQL_HASH_ENCODE = """
+SELECT doc_id,
+       (('0x' || substr(md5(source), 1, 8))::BIGINT) % 16 AS src_bucket
+FROM documents
+"""
+
+
+def q_scaler_robust(spark, sf_dir):
+    """RobustScaler parity: (x - median) / IQR with exact interpolated
+    quartiles (the bounded-memory approx_percentile tier is the 100 TB
+    path, same trade as agg_group_median)."""
+    from .operators import Scaler
+    li = _t(spark, sf_dir, "lineitem")
+    sc = Scaler(inputs=["l_extendedprice"], outputs=["price_r"],
+                strategy="robust")
+    out = sc.fit_transform(li)
+    return out.select("l_orderkey", "l_linenumber",
+                      F.round("price_r", 6).alias("price_r"))
+
+
+SQL_SCALER_ROBUST = """
+WITH s AS (SELECT quantile_cont(l_extendedprice, 0.5) AS md,
+                  quantile_cont(l_extendedprice, 0.75)
+                  - quantile_cont(l_extendedprice, 0.25) AS iqr
+           FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       ROUND((l_extendedprice - s.md) / s.iqr, 6) AS price_r
+FROM lineitem CROSS JOIN s
+"""
+
+
 def q_profile_customer(spark, sf_dir):
     """Single-pass column profiler (profiling.profile): every statistic
     for every column in ONE aggregate over ONE scan, unpivoted from the
@@ -1840,6 +1908,9 @@ EXT_QUERIES = {
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "hist_order_price": (q_hist_order_price, SQL_HIST_ORDER_PRICE),
     "corr_lineitem": (q_corr_lineitem, SQL_CORR_LINEITEM),
+    "target_encode": (q_target_encode, SQL_TARGET_ENCODE),
+    "hash_encode": (q_hash_encode, SQL_HASH_ENCODE),
+    "scaler_robust": (q_scaler_robust, SQL_SCALER_ROBUST),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_ngram_capped": (q_dedup_ngram_capped, SQL_DEDUP_NGRAM_CAPPED),

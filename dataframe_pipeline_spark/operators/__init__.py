@@ -8,7 +8,9 @@ from .label_encoder import ComplementLabelEncoder
 from .map_transformer import MapTransformer
 from .minority_transformer import MinorityTransformer
 from .onehot_encoder import OneHotEncoder
+from .outlier_clipper import OutlierClipper
 from .quantile_binner import QuantileBinner
+from .target_encoder import HashingEncoder, TargetEncoder
 from .range_transformer import RangeTransformer
 from .row_transformer import RowTransformer
 from .scaler import Scaler
@@ -28,7 +30,10 @@ __all__ = [
     "MapTransformer",
     "MinorityTransformer",
     "OneHotEncoder",
+    "OutlierClipper",
     "QuantileBinner",
+    "HashingEncoder",
+    "TargetEncoder",
     "RangeTransformer",
     "RowTransformer",
     "Scaler",

@@ -9,6 +9,11 @@ Parity notes (what the sklearn scalers actually compute):
 - standard:  (x - mean) / std_pop with **population** std (ddof=0); zero
   std → divisor 1.
 - min:       x - min.
+- robust:    (x - median) / IQR with interpolated quartiles (sklearn
+  RobustScaler defaults: centering on the median, scaling by
+  Q3 - Q1); zero IQR → divisor 1.  Fit uses exact ``percentile``
+  (sort-based) for sklearn/oracle parity — at 100 TB swap in the
+  bounded-memory ``approx_percentile`` sketch as OutlierClipper does.
 - NaN is ignored when fitting and propagates through transform (our
   arithmetic over NULL-normalized values does the same).
 
@@ -30,7 +35,7 @@ class Scaler(SparkDFPBase):
         self.inputs = list(inputs or [])
         self.outputs = list(outputs or [])
         self.strategy = strategy
-        if strategy not in ("minmax", "standard", "min"):
+        if strategy not in ("minmax", "standard", "min", "robust"):
             raise ValueError(f"Not implemented strategy: {strategy!r}")
         self.offsets = []  # per input: offset subtracted
         self.scales = []   # per input: multiplier  (1/denominator)
@@ -44,6 +49,10 @@ class Scaler(SparkDFPBase):
                 aggs += [F.min(v).alias(f"lo{i}"), F.max(v).alias(f"hi{i}")]
             elif self.strategy == "standard":
                 aggs += [F.mean(v).alias(f"mu{i}"), F.stddev_pop(v).alias(f"sd{i}")]
+            elif self.strategy == "robust":
+                aggs += [F.percentile(v, F.lit(0.5)).alias(f"md{i}"),
+                         (F.percentile(v, F.lit(0.75))
+                          - F.percentile(v, F.lit(0.25))).alias(f"iqr{i}")]
             else:  # min
                 aggs += [F.min(v).alias(f"lo{i}")]
         row = df.agg(*aggs).collect()[0]
@@ -58,6 +67,11 @@ class Scaler(SparkDFPBase):
                 mu, sd = row[f"mu{i}"], row[f"sd{i}"]
                 scale = 1.0 / sd if sd not in (None, 0, 0.0) else 1.0
                 self.offsets.append(mu)
+                self.scales.append(scale)
+            elif self.strategy == "robust":
+                md, iqr = row[f"md{i}"], row[f"iqr{i}"]
+                scale = 1.0 / iqr if iqr not in (None, 0, 0.0) else 1.0
+                self.offsets.append(md)
                 self.scales.append(scale)
             else:
                 self.offsets.append(row[f"lo{i}"])

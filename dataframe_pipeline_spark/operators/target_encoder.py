@@ -1,0 +1,103 @@
+"""TargetEncoder — smoothed mean-target encoding; HashingEncoder —
+the feature-hashing trick.  The two high-cardinality categorical
+encoders the reference's label/frequency/one-hot family lacks.
+
+TargetEncoder (sklearn ``TargetEncoder`` / CatBoost-style smoothing):
+``code(c) = (n_c * mean_c + m * global_mean) / (n_c + m)`` — categories
+with few observations shrink toward the global mean (``m`` is the
+smoothing pseudo-count).  Fit is ONE grouped aggregate (count + mean
+per category, both partial-aggregatable) plus a global 1-row agg;
+fitted state is a lookup DataFrame applied by broadcast-gated join —
+at 100 TB a hundred-million-row category table stays a join, never a
+driver literal.  Unseen categories and NULL get the global mean
+(sklearn's unseen behavior).
+
+HashingEncoder: ``bucket(c) = md5_int(c) % n_buckets`` — stateless
+(nothing to fit, nothing to ship), collision-accepting, map-only.
+The standard trick when the category space is unbounded (URLs, user
+agents): no vocabulary pass, no unseen-category problem, bounded
+output dimensionality.  md5 (not xxhash) so the bucket ids are
+engine-portable and oracle-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..base import SparkDFPBase
+
+#: Same bound the label encoder uses: lookup tables under this are
+#: safely broadcast; above it AQE picks the join strategy.
+BROADCAST_MAX_ROWS = 2_000_000
+
+
+class TargetEncoder(SparkDFPBase):
+    def __init__(self, inputs=None, outputs=None, target: str = None,
+                 smoothing: float = 20.0):
+        if not target:
+            raise ValueError("target column is required")
+        if smoothing < 0:
+            raise ValueError("smoothing must be >= 0")
+        self.inputs = list(inputs or [])
+        self.outputs = list(outputs or [])
+        self.target = target
+        self.smoothing = float(smoothing)
+        self.global_mean_ = None
+        self.lookups_ = []          # per input: DataFrame(__cat, __code)
+
+    def fit(self, df: DataFrame, **params):
+        t = F.col(self.target).cast("double")
+        self.global_mean_ = df.agg(F.avg(t)).collect()[0][0]
+        m = F.lit(self.smoothing)
+        g = F.lit(self.global_mean_)
+        self.lookups_ = []
+        for c in self.inputs:
+            lk = (df.filter(F.col(c).isNotNull())
+                  .groupBy(F.col(c).alias("__cat"))
+                  .agg(F.count(t).alias("__n"), F.avg(t).alias("__mean"))
+                  .select("__cat",
+                          ((F.col("__n") * F.col("__mean") + m * g)
+                           / (F.col("__n") + m)).alias("__code")))
+            self.lookups_.append(lk)
+        return self
+
+    def _maybe_broadcast(self, lk: DataFrame) -> DataFrame:
+        n = lk.count()
+        return F.broadcast(lk) if n <= BROADCAST_MAX_ROWS else lk
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if self.global_mean_ is None:
+            raise RuntimeError("TargetEncoder.transform before fit")
+        out = df
+        for c, o, lk in zip(self.inputs, self.outputs, self.lookups_):
+            lkb = self._maybe_broadcast(
+                lk.withColumnRenamed("__cat", f"__cat_{o}")
+                  .withColumnRenamed("__code", f"__code_{o}"))
+            out = (out.join(lkb, out[c] == F.col(f"__cat_{o}"), "left")
+                   .withColumn(o, F.coalesce(F.col(f"__code_{o}"),
+                                             F.lit(self.global_mean_)))
+                   .drop(f"__cat_{o}", f"__code_{o}"))
+        return out
+
+
+class HashingEncoder(SparkDFPBase):
+    """Stateless feature hashing: ``md5_int(value) % n_buckets``.
+    NULL maps to bucket NULL (missing stays missing)."""
+
+    def __init__(self, inputs=None, outputs=None, n_buckets: int = 1024):
+        if n_buckets < 2:
+            raise ValueError("n_buckets must be >= 2")
+        self.inputs = list(inputs or [])
+        self.outputs = list(outputs or [])
+        self.n_buckets = int(n_buckets)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        updates = {}
+        for c, o in zip(self.inputs, self.outputs):
+            h = F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 8),
+                       16, 10).cast("bigint")
+            updates[o] = F.when(
+                F.col(c).isNull(), None).otherwise(
+                F.pmod(h, F.lit(self.n_buckets)).cast("int"))
+        return df.withColumns(updates)

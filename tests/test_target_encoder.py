@@ -1,0 +1,94 @@
+"""TargetEncoder (smoothed mean encoding), HashingEncoder, and the
+robust Scaler strategy."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframe_pipeline_spark.operators import (
+    HashingEncoder, Scaler, TargetEncoder)
+
+
+@pytest.fixture()
+def labeled(spark):
+    # cat a: 3 rows target mean 10; cat b: 1 row target 100; global 32.5
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 10.0), (3, "a", 10.0), (4, "b", 100.0)],
+        "id long, cat string, y double")
+
+
+def test_target_encode_smoothing(spark, labeled):
+    enc = TargetEncoder(inputs=["cat"], outputs=["code"], target="y",
+                        smoothing=2.0)
+    out = enc.fit_transform(labeled)
+    got = {r.id: r.code for r in out.collect()}
+    g = 32.5
+    code_a = (3 * 10.0 + 2.0 * g) / (3 + 2.0)
+    code_b = (1 * 100.0 + 2.0 * g) / (1 + 2.0)
+    assert math.isclose(got[1], code_a) and math.isclose(got[4], code_b)
+    # small category shrinks harder toward the global mean
+    assert abs(code_b - g) / abs(100.0 - g) < 1.0
+    assert abs(got[1] - 10.0) < abs(got[4] - 100.0)
+
+
+def test_target_encode_unseen_and_null_get_global(spark, labeled):
+    enc = TargetEncoder(inputs=["cat"], outputs=["code"], target="y",
+                        smoothing=2.0).fit(labeled)
+    new = spark.createDataFrame(
+        [(9, "zzz", 0.0), (10, None, 0.0)], "id long, cat string, y double")
+    got = {r.id: r.code for r in enc.transform(new).collect()}
+    assert math.isclose(got[9], 32.5) and math.isclose(got[10], 32.5)
+
+
+def test_target_encode_zero_smoothing_is_plain_mean(spark, labeled):
+    enc = TargetEncoder(inputs=["cat"], outputs=["code"], target="y",
+                        smoothing=0.0)
+    got = {r.id: r.code for r in enc.fit_transform(labeled).collect()}
+    assert math.isclose(got[1], 10.0) and math.isclose(got[4], 100.0)
+
+
+def test_target_encode_validation(spark, labeled):
+    with pytest.raises(ValueError, match="target"):
+        TargetEncoder(inputs=["cat"], outputs=["c"])
+    with pytest.raises(ValueError, match="smoothing"):
+        TargetEncoder(inputs=["cat"], outputs=["c"], target="y",
+                      smoothing=-1)
+    with pytest.raises(RuntimeError, match="before fit"):
+        TargetEncoder(inputs=["cat"], outputs=["c"],
+                      target="y").transform(labeled)
+
+
+def test_hashing_encoder(spark):
+    df = spark.createDataFrame(
+        [(1, "url-a"), (2, "url-b"), (3, "url-a"), (4, None)],
+        "id long, u string")
+    enc = HashingEncoder(inputs=["u"], outputs=["b"], n_buckets=8)
+    got = {r.id: r.b for r in enc.transform(df).collect()}
+    assert got[1] == got[3]                      # same value, same bucket
+    assert 0 <= got[1] < 8 and 0 <= got[2] < 8
+    assert got[4] is None                        # NULL stays NULL
+    # stateless + map-only
+    plan = enc.transform(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="n_buckets"):
+        HashingEncoder(inputs=["u"], outputs=["b"], n_buckets=1)
+
+
+def test_scaler_robust_zero_iqr(spark):
+    df = spark.createDataFrame([(5.0,)] * 4, "x double")
+    out = Scaler(inputs=["x"], outputs=["y"],
+                 strategy="robust").fit_transform(df)
+    assert all(r.y == 0.0 for r in out.collect())   # divisor 1, x - median
+
+
+def test_scaler_robust_matches_sklearn_formula(spark):
+    import numpy as np
+    vals = [float(v) for v in range(1, 51)] + [500.0]   # one outlier
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    sc = Scaler(inputs=["x"], outputs=["y"], strategy="robust").fit(df)
+    md = np.percentile(vals, 50)
+    iqr = np.percentile(vals, 75) - np.percentile(vals, 25)
+    assert math.isclose(sc.offsets[0], md)
+    assert math.isclose(1.0 / sc.scales[0], iqr)
