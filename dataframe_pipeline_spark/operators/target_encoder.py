@@ -45,13 +45,14 @@ class TargetEncoder(SparkDFPBase):
         self.smoothing = float(smoothing)
         self.global_mean_ = None
         self.lookups_ = []          # per input: DataFrame(__cat, __code)
+        self.cards_ = []            # per input: fitted category count
 
     def fit(self, df: DataFrame, **params):
         t = F.col(self.target).cast("double")
         self.global_mean_ = df.agg(F.avg(t)).collect()[0][0]
         m = F.lit(self.smoothing)
         g = F.lit(self.global_mean_)
-        self.lookups_ = []
+        self.lookups_, self.cards_ = [], []
         for c in self.inputs:
             lk = (df.filter(F.col(c).isNotNull())
                   .groupBy(F.col(c).alias("__cat"))
@@ -60,20 +61,21 @@ class TargetEncoder(SparkDFPBase):
                           ((F.col("__n") * F.col("__mean") + m * g)
                            / (F.col("__n") + m)).alias("__code")))
             self.lookups_.append(lk)
+            # cardinality resolved AT FIT (fit runs jobs; transform must
+            # stay job-free — a count() per transform call would add one
+            # Spark job per column per application at serving time)
+            self.cards_.append(lk.count())
         return self
-
-    def _maybe_broadcast(self, lk: DataFrame) -> DataFrame:
-        n = lk.count()
-        return F.broadcast(lk) if n <= BROADCAST_MAX_ROWS else lk
 
     def transform(self, df: DataFrame) -> DataFrame:
         if self.global_mean_ is None:
             raise RuntimeError("TargetEncoder.transform before fit")
         out = df
-        for c, o, lk in zip(self.inputs, self.outputs, self.lookups_):
-            lkb = self._maybe_broadcast(
-                lk.withColumnRenamed("__cat", f"__cat_{o}")
-                  .withColumnRenamed("__code", f"__code_{o}"))
+        for c, o, lk, n in zip(self.inputs, self.outputs, self.lookups_,
+                               self.cards_):
+            lkr = (lk.withColumnRenamed("__cat", f"__cat_{o}")
+                     .withColumnRenamed("__code", f"__code_{o}"))
+            lkb = F.broadcast(lkr) if n <= BROADCAST_MAX_ROWS else lkr
             out = (out.join(lkb, out[c] == F.col(f"__cat_{o}"), "left")
                    .withColumn(o, F.coalesce(F.col(f"__code_{o}"),
                                              F.lit(self.global_mean_)))

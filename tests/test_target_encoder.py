@@ -92,3 +92,16 @@ def test_scaler_robust_matches_sklearn_formula(spark):
     iqr = np.percentile(vals, 75) - np.percentile(vals, 25)
     assert math.isclose(sc.offsets[0], md)
     assert math.isclose(1.0 / sc.scales[0], iqr)
+
+
+def test_target_encode_transform_is_job_free(spark, labeled):
+    """Cardinality is resolved at fit: building the transform plan must
+    launch zero Spark jobs (serving-path contract)."""
+    enc = TargetEncoder(inputs=["cat"], outputs=["code"], target="y",
+                        smoothing=2.0).fit(labeled)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    _ = enc.transform(labeled)            # plan construction only
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
