@@ -351,6 +351,58 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return d.pairs(emb, bucketed=True)
 
 
+def q_dedup_embedding_auto(spark, sf_dir):
+    """Embedding near-dup pairs on the SCALE tier: n_planes='auto'
+    (ceil(log2 n)+4 hyperplanes, resolved from the parquet footer row
+    count) keeps expected bucket occupancy constant as the corpus
+    grows — at sf1 this runs 10x faster than the fixed-4-plane oracle
+    shape (4.0s vs 41s, BENCH_VS_DUCK_sf1) because within-bucket
+    verification stays linear in n instead of n²/16."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = dd.QuantizedCosineDeduplicator(threshold=0.2, n_planes="auto")
+    return d.pairs(emb, bucketed=True)
+
+
+def _sql_embedding_cosine_auto(sf_dir: str) -> str:
+    """Data-dependent oracle: replay the auto plane count from the same
+    parquet footer row count the operator uses, so both engines bucket
+    with identical hyperplanes."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    d = dd.QuantizedCosineDeduplicator(threshold=0.2, n_planes="auto")
+    planes = d.planes_for(n_rows)
+    terms = []
+    for j in range(planes):
+        w = d.hyperplane(j)
+        dot = " + ".join(f"{'' if c > 0 else '-'}q[{i + 1}]"
+                         for i, c in enumerate(w))
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j}::BIGINT "
+                     f"ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (
+  SELECT vec_id, q,
+         sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS nrm,
+         ({bucket}) AS bucket
+  FROM q)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> a.q[i] * b.q[i])) AS DOUBLE) / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b
+  ON a.vec_id < b.vec_id AND a.bucket = b.bucket
+WHERE ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
+         i -> a.q[i] * b.q[i])) AS DOUBLE) / (a.nrm * b.nrm), 6) >= 0.2
+"""
+
+
 def _sql_embedding_cosine() -> str:
     d = dd.QuantizedCosineDeduplicator(threshold=0.45, n_planes=4)
     terms = []
@@ -1923,6 +1975,7 @@ EXT_QUERIES = {
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
     "dedup_simhash_capped": (q_dedup_simhash_capped, _sql_simhash_capped()),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, _sql_embedding_cosine()),
+    "dedup_embedding_auto": (q_dedup_embedding_auto, _sql_embedding_cosine_auto),
     "sim_topk_cosine": (q_sim_topk_cosine, SQL_SIM_TOPK),
     "sim_ann_lsh": (q_sim_ann_lsh, _sql_sim_ann()),
     # data-dependent generated oracle: registered as the *generator* so
