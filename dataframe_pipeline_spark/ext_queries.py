@@ -1211,17 +1211,16 @@ def q_top_revenue_orders(spark, sf_dir):
     od = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    # Size-gated broadcast (maybe_broadcast): at bench scale the
-    # semi-joined orders dim is a few MB and the hint keeps the
-    # 600k-row lineitem side shuffle-free; orders is a *fact* table
-    # though, so at 100x the gate withholds the hint and AQE picks the
-    # strategy — never an unconditional executor-memory broadcast.
-    # The semi-join output is bounded by the orders scan (bound_df=od).
-    od_b = maybe_broadcast(
-        od.join(maybe_broadcast(cu), od.o_custkey == cu.c_custkey,
-                "left_semi")
-        .select("o_orderkey", "o_orderdate"),
-        bound_df=od)
+    # The customer filter dim is size-gate broadcast (true small dim);
+    # the orders-derived semi-join result is left to AQE — measured
+    # A/B at sf1 (scale_tail_analysis round): forcing the fact-derived
+    # dim broadcast costs more than AQE's runtime-size plan once the
+    # materialized dim reaches ~10^6 rows, and the sf0.1 benefit of
+    # the hint is a fixed ~0.2s.  AQE still broadcasts it at small
+    # scale from actual runtime sizes; at 100x it never OOMs.
+    od_b = (od.join(maybe_broadcast(cu), od.o_custkey == cu.c_custkey,
+                    "left_semi")
+            .select("o_orderkey", "o_orderdate"))
     return (
         li.join(od_b, li.l_orderkey == od_b.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
@@ -1248,18 +1247,17 @@ def q_revenue_by_nation(spark, sf_dir):
     od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem")
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    # Pre-join the dim chain (orders -> customer -> nation; FK joins, so
-    # at most one output row per orders row) and size-gate the broadcast
-    # on the orders *scan* statistic: under the gate the fact scan
-    # streams through one broadcast hash join straight into partial
-    # aggregation (zero fact-side shuffle before the 25-row final agg);
-    # above it — orders at 100x is no longer broadcastable — the hint
-    # disappears and AQE plans from runtime sizes.
-    dim = maybe_broadcast(
-        od.join(maybe_broadcast(cu), od.o_custkey == cu.c_custkey)
-        .join(maybe_broadcast(na), cu.c_nationkey == na.n_nationkey)
-        .select("o_orderkey", "n_name"),
-        bound_df=od)
+    # Pre-join the dim chain (orders -> customer -> nation; FK joins,
+    # so at most one output row per orders row).  The small dims
+    # (customer, nation) keep their size-gated hints; the fact-derived
+    # chain result is left to AQE — A/B-measured at sf1: the forced
+    # dim broadcast ran 2.96s vs 1.66s for AQE's runtime-size plan
+    # (a ~1.5M-row build side is past broadcast's efficiency point),
+    # while the sf0.1 delta is a fixed ~0.2s in the hint's favor.
+    # AQE still broadcasts at small scale; at 100x it never OOMs.
+    dim = (od.join(maybe_broadcast(cu), od.o_custkey == cu.c_custkey)
+           .join(maybe_broadcast(na), cu.c_nationkey == na.n_nationkey)
+           .select("o_orderkey", "n_name"))
     return (
         li.join(dim, li.l_orderkey == dim.o_orderkey)
         .groupBy("n_name")

@@ -97,18 +97,19 @@ def test_topk_uses_heap_not_global_sort(spark, qs):
 
 def test_tpch_dim_broadcast_is_size_gated(spark, no_auto_broadcast,
                                           monkeypatch):
-    """The orders-derived dims in the TPC-H shapes carry a broadcast
-    hint only under the size gate (Catalyst scan statistics): below it
-    the hint is present (shuffle-free fact side at bench scale); above
-    it — the 100x case, simulated by zeroing the gate — no hint is
-    emitted and the plan falls back to AQE's choice, never a forced
-    executor-memory broadcast of a fact-derived table."""
+    """TPC-H shape broadcast policy: TRUE small dims (customer,
+    nation) carry the size-gated hint; the fact-derived pre-joined dim
+    carries NO explicit hint — AQE plans it from runtime sizes
+    (A/B-measured at sf1: forcing it was 1.8x slower; at 100x it would
+    be an OOM).  With planner auto-broadcast off, the surviving
+    BroadcastHashJoins are exactly the gated small-dim hints; zeroing
+    the gate removes every hint from both shapes."""
     import dataframe_pipeline_spark.ext_queries as xq
 
-    # under the gate: explicit hint survives even with auto-broadcast off
+    # under the gate: small-dim hints survive even with auto-broadcast off
     assert "BroadcastHashJoin" in _plan(xq.q_revenue_by_nation(spark, SF))
     assert "BroadcastHashJoin" in _plan(xq.q_top_revenue_orders(spark, SF))
-    # above the gate: the hint disappears from both shapes
+    # above the gate: every explicit hint disappears from both shapes
     import dataframe_pipeline_spark.relational as rel
     monkeypatch.setattr(rel, "DIM_BROADCAST_MAX_BYTES", 0)
     assert "BroadcastHashJoin" not in _plan(xq.q_revenue_by_nation(spark, SF))
