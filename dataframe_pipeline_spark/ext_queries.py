@@ -1911,6 +1911,33 @@ FROM lineitem CROSS JOIN s
 """
 
 
+def q_events_value_zscore(spark, sf_dir):
+    """Per-group standardization (anomaly scoring): z = (x - mu_g)/sd_g
+    with population std per event_type.  Plan note: a WINDOW over
+    event_type would funnel the whole table through 5 partitions (one
+    per group — the classic low-cardinality window skew); the
+    scale-correct shape is a 5-row grouped aggregate broadcast-joined
+    back — fact side stays map-only."""
+    ev = _events(spark, sf_dir)
+    stats = (ev.groupBy("event_type")
+             .agg(F.avg("value").alias("__mu"),
+                  F.stddev_pop("value").alias("__sd")))
+    joined = ev.join(maybe_broadcast(stats, bound_df=ev), "event_type")
+    return (joined.select(
+        "event_id",
+        F.round((F.col("value") - F.col("__mu")) / F.col("__sd"), 6)
+        .alias("zscore")))
+
+
+SQL_EVENTS_VALUE_ZSCORE = """
+SELECT e.event_id,
+       ROUND((e.value - s.mu) / s.sd, 6) AS zscore
+FROM events e
+JOIN (SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+      FROM events GROUP BY event_type) s USING (event_type)
+"""
+
+
 def q_profile_customer(spark, sf_dir):
     """Single-pass column profiler (profiling.profile): every statistic
     for every column in ONE aggregate over ONE scan, unpivoted from the
@@ -1959,6 +1986,7 @@ EXT_QUERIES = {
     "hist_order_price": (q_hist_order_price, SQL_HIST_ORDER_PRICE),
     "corr_lineitem": (q_corr_lineitem, SQL_CORR_LINEITEM),
     "target_encode": (q_target_encode, SQL_TARGET_ENCODE),
+    "events_value_zscore": (q_events_value_zscore, SQL_EVENTS_VALUE_ZSCORE),
     "hash_encode": (q_hash_encode, SQL_HASH_ENCODE),
     "scaler_robust": (q_scaler_robust, SQL_SCALER_ROBUST),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

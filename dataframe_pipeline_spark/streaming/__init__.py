@@ -197,6 +197,26 @@ def score_stream(pipeline, events: DataFrame) -> DataFrame:
     return pipeline.transform(events)
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame,
+                  on: str | list[str], how: str = "left") -> DataFrame:
+    """Stream-static dim enrichment: join a streaming frame against a
+    batch dimension table (user profile, device registry, geo lookup).
+
+    Stream-static joins need no watermark and keep no state — each
+    micro-batch hash-joins against the static side, which Spark
+    re-plans per batch (a broadcast under AQE when the dim is small,
+    so the streaming side is map-only).  Inner and left-outer are the
+    spec-supported types for a static right side; right/full would
+    need the unmatched STATIC rows emitted once per trigger, which is
+    undefined — rejected here with the same contract as salted_join.
+    """
+    if how not in ("inner", "left", "leftouter", "left_outer",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"stream-static join supports inner/left/semi/anti, not {how!r}")
+    return events.join(dim, on=on, how=how)
+
+
 def write_idempotent_partitions(sdf: DataFrame, path: str,
                                 partition_col: str,
                                 checkpoint: str) -> "object":

@@ -230,3 +230,27 @@ def test_idempotent_partition_sink_no_dups_on_replay(spark, events_batch,
     kinds = {r.etype for r in again.select("etype").distinct().collect()}
     assert kinds == {r.event_type for r in
                      events_batch.select("event_type").distinct().collect()}
+
+
+def test_enrich_stream_static_join(spark, events_batch, tmp_path):
+    """Stream-static dim enrichment executed as a real stream equals
+    the batch join; unmatched stream rows survive (left join); no
+    watermark or state required."""
+    dim = spark.createDataFrame(
+        [(1, "gold"), (3, "bronze")], "user_id long, tier string")
+    src = str(tmp_path / "events_enrich")
+    events_batch.write.parquet(src)
+    sdf = spark.readStream.schema(events_batch.schema).parquet(src)
+    enriched = st.enrich_stream(sdf, dim, on="user_id")
+    assert enriched.isStreaming
+    st.run_to_memory(enriched.select("event_id", "tier"),
+                     name="enrich_t", mode="append")
+    got = {r.event_id: r.tier
+           for r in spark.sql("SELECT * FROM enrich_t").collect()}
+    exp = {r.event_id: r.tier
+           for r in st.enrich_stream(events_batch, dim, "user_id").collect()}
+    assert got == exp
+    assert got[3] is None          # user 2 not in dim -> left join keeps row
+    assert got[0] == "gold"
+    with pytest.raises(ValueError, match="stream-static"):
+        st.enrich_stream(sdf, dim, "user_id", how="right")
