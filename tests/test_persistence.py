@@ -119,3 +119,39 @@ def test_lsh_index_roundtrip(spark, tmp_path):
 
     loaded = HyperplaneLSHIndex.read(spark, path)
     assert loaded.search_vec(qvec).collect() == before
+
+
+def test_target_encoder_roundtrip(spark, tmp_path):
+    """TargetEncoder's lookup DataFrames persist as parquet and reload
+    as lazy scans; codes identical after reload."""
+    from dataframe_pipeline_spark import TargetEncoder
+    from dataframe_pipeline_spark.persistence import (load_operator,
+                                                      save_operator)
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 99.0)],
+        "id long, cat string, y double")
+    enc = TargetEncoder(inputs=["cat"], outputs=["code"], target="y",
+                        smoothing=1.0).fit(df)
+    p = str(tmp_path / "te")
+    save_operator(enc, p)
+    enc2 = load_operator(spark, p)
+    a = sorted((r.id, round(r.code, 9)) for r in enc.transform(df).collect())
+    b = sorted((r.id, round(r.code, 9)) for r in enc2.transform(df).collect())
+    assert a == b
+    assert enc2.cards_ == enc.cards_      # broadcast gate state survives
+
+
+def test_outlier_clipper_roundtrip(spark, tmp_path):
+    from dataframe_pipeline_spark import OutlierClipper
+    from dataframe_pipeline_spark.persistence import (load_operator,
+                                                      save_operator)
+    df = spark.createDataFrame([(float(v),) for v in range(100)], "x double")
+    op = OutlierClipper(inputs=["x"], outputs=["y"], strategy="quantile",
+                        lo_q=0.1, hi_q=0.9, exact=True).fit(df)
+    p = str(tmp_path / "oc")
+    save_operator(op, p)
+    op2 = load_operator(spark, p)
+    assert op2.bounds_ == op.bounds_
+    a = [r.y for r in op.transform(df).orderBy("x").collect()]
+    b = [r.y for r in op2.transform(df).orderBy("x").collect()]
+    assert a == b
