@@ -1938,6 +1938,28 @@ JOIN (SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
 """
 
 
+def q_text_stopwords(spark, sf_dir):
+    """Stopword removal (text.StopwordRemover): literal-array filter
+    HOF, map-only, duplicate-preserving (NOT a set op)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.StopwordRemover(out_col="cleaned").transform(docs)
+    return out.select("doc_id", "cleaned")
+
+
+def _sql_text_stopwords() -> str:
+    sw = ", ".join(f"'{s}'" for s in tx.STOPWORDS)
+    return f"""
+SELECT doc_id,
+       array_to_string(list_filter(string_split(text, ' '),
+                                   t -> NOT list_contains([{sw}], t)),
+                       ' ') AS cleaned
+FROM documents
+"""
+
+
+SQL_TEXT_STOPWORDS = _sql_text_stopwords()
+
+
 def q_profile_customer(spark, sf_dir):
     """Single-pass column profiler (profiling.profile): every statistic
     for every column in ONE aggregate over ONE scan, unpivoted from the
@@ -1987,6 +2009,7 @@ EXT_QUERIES = {
     "corr_lineitem": (q_corr_lineitem, SQL_CORR_LINEITEM),
     "target_encode": (q_target_encode, SQL_TARGET_ENCODE),
     "events_value_zscore": (q_events_value_zscore, SQL_EVENTS_VALUE_ZSCORE),
+    "text_stopwords": (q_text_stopwords, SQL_TEXT_STOPWORDS),
     "hash_encode": (q_hash_encode, SQL_HASH_ENCODE),
     "scaler_robust": (q_scaler_robust, SQL_SCALER_ROBUST),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

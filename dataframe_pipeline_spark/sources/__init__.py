@@ -272,3 +272,32 @@ def merge_latest(base: DataFrame, updates: DataFrame, key: str | list[str],
         merged = merged.filter(
             ~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
     return merged
+
+
+def read_orc(spark: SparkSession, path: str,
+             columns: list[str] | None = None) -> DataFrame:
+    """ORC reader with column-subset pruning — same contract as
+    read_parquet (ORC carries the same predicate-pushdown + column
+    statistics machinery in Spark's native reader)."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_parquet_evolved(spark: SparkSession, path: str | list[str],
+                         columns: list[str] | None = None) -> DataFrame:
+    """Read parquet written across SCHEMA VERSIONS (columns added over
+    time) as one frame: ``mergeSchema`` unions the footers' schemas and
+    older files yield NULL for columns they predate.
+
+    Schema merging reads every file footer up front — a metadata pass,
+    not a data pass, but at 100 TB with millions of files it is not
+    free either; snapshots with a settled schema should read with the
+    default single-footer inference and only evolution boundaries pay
+    the merge."""
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *([path] if isinstance(path, str) else path))
+    return df.select(*columns) if columns else df

@@ -459,3 +459,34 @@ class SequencePacker:
                      F.sum(self.token_col).cast("long").alias("pack_tokens"))
                 .withColumn("fill_ratio",
                             F.round(F.col("pack_tokens") / self.budget, 6)))
+
+
+class StopwordRemover:
+    """Remove stopwords from the token stream of a text column —
+    the vocabulary-shrinking step before TF-IDF / shingling when the
+    connective tissue carries no signal.
+
+    Map-only codegen: split → ``array_except`` against the stopword
+    literal array → re-join.  The stopword list is a plan LITERAL (a
+    few hundred strings at most), not a broadcast table — it folds
+    into whole-stage codegen with zero distribution cost.  Matching is
+    exact-token (the split convention of the rest of this module);
+    case-insensitive matching composes by lowercasing upstream.
+    """
+
+    def __init__(self, stopwords=STOPWORDS, text_col: str = "text",
+                 out_col: str | None = None):
+        self.stopwords = list(stopwords)
+        if not self.stopwords:
+            raise ValueError("stopwords must be non-empty")
+        self.text_col = text_col
+        self.out_col = out_col or text_col
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        toks = F.split(F.col(self.text_col), " ")
+        sw = F.array(*[F.lit(s) for s in self.stopwords])
+        # filter HOF, NOT array_except: except is a SET op that would
+        # also dedupe the surviving tokens — repetition must be
+        # preserved (RepetitionScorer etc. depend on it downstream)
+        kept = F.filter(toks, lambda t: ~F.array_contains(sw, t))
+        return df.withColumn(self.out_col, F.array_join(kept, " "))

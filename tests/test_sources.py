@@ -204,3 +204,43 @@ def test_cap_per_group_quota_and_determinism(spark):
 
     with pytest.raises(ValueError):
         cap_per_group(docs, "source", "doc_id", 0)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from dataframe_pipeline_spark.sources import read_orc, write_orc
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    p = str(tmp_path / "orc")
+    write_orc(df, p)
+    back = read_orc(spark, p, columns=["v"])
+    assert back.columns == ["v"]
+    assert sorted(r.v for r in back.collect()) == [2 * i for i in range(100)]
+
+
+def test_parquet_schema_evolution(spark, tmp_path):
+    from dataframe_pipeline_spark.sources import read_parquet_evolved
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame([(1, "a")], "id long, name string") \
+        .write.parquet(v1)
+    spark.createDataFrame([(2, "b", 9.5)],
+                          "id long, name string, score double") \
+        .write.parquet(v2)
+    df = read_parquet_evolved(spark, [v1, v2])
+    assert set(df.columns) == {"id", "name", "score"}
+    got = {r.id: r.score for r in df.collect()}
+    assert got[1] is None and got[2] == 9.5   # old files NULL new column
+
+
+def test_stopword_remover(spark):
+    from dataframe_pipeline_spark.text import StopwordRemover
+    df = spark.createDataFrame(
+        [(1, "the cat the cat sat"), (2, "dogs run")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.text
+           for r in StopwordRemover(["the"]).transform(df).collect()}
+    # duplicates among surviving tokens preserved (not a set op)
+    assert out[1] == "cat cat sat"
+    assert out[2] == "dogs run"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        StopwordRemover([])
