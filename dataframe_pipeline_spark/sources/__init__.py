@@ -301,3 +301,21 @@ def read_parquet_evolved(spark: SparkSession, path: str | list[str],
     df = spark.read.option("mergeSchema", "true").parquet(
         *([path] if isinstance(path, str) else path))
     return df.select(*columns) if columns else df
+
+
+def write_range_sorted(df: DataFrame, path: str, order_by: str | list[str],
+                       n_files: int = 8, mode: str = "overwrite") -> None:
+    """Globally-ordered parquet export: range-partition on ``order_by``
+    (sampled split points → contiguous, non-overlapping key ranges per
+    task) then sort within each task — the output is totally ordered
+    ACROSS files without ever funnelling data through one partition
+    (a bare ``orderBy().write`` followed by coalesce(1) is the
+    single-task anti-pattern; ``repartitionByRange`` keeps the sort
+    n-way parallel).  The range exchange samples the key distribution,
+    so skewed keys still yield balanced files.  Readers get both file-
+    level min/max elimination and row-group skipping on the sort key.
+    """
+    cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    (df.repartitionByRange(n_files, *[F.col(c) for c in cols])
+       .sortWithinPartitions(*cols)
+       .write.mode(mode).parquet(path))

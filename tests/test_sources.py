@@ -244,3 +244,30 @@ def test_stopword_remover(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="non-empty"):
         StopwordRemover([])
+
+
+def test_write_range_sorted_global_order(spark, tmp_path):
+    """Files carry contiguous, non-overlapping ranges and each file is
+    internally sorted -> total order across the dataset, no
+    single-partition sort."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dataframe_pipeline_spark.sources import write_range_sorted
+    df = spark.range(10000).selectExpr("id", "id % 97 AS v") \
+        .orderBy(F.rand(7))                      # destroy input order
+    p = str(tmp_path / "ranged")
+    write_range_sorted(df, p, "id", n_files=4)
+    files = sorted(glob.glob(f"{p}/part-*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["id"]).column("id").to_pylist()
+        assert t == sorted(t)                    # sorted within file
+        ranges.append((t[0], t[-1]))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo                       # non-overlapping ranges
+    total = sorted(x for lo_hi in ranges for x in lo_hi)
+    assert total[0] == 0 and total[-1] == 9999
