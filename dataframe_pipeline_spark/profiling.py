@@ -152,3 +152,24 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
             for i, (a, b) in enumerate(pairs)]
     return (wide.select(F.explode(F.array(*rows)).alias("p"))
             .select("p.*"))
+
+
+def key_skew(df: DataFrame, col: str, top: int = 10) -> DataFrame:
+    """Heavy-hitter diagnosis for a join/group key: the ``top`` most
+    frequent values with their absolute count and share of all rows —
+    the measurement that decides between a plain join, AQE skew
+    handling, and an explicit ``salted_join``.
+
+    One grouped count (partial-aggregatable) + a TakeOrderedAndProject
+    heap for the top slice; the total row count rides along as a
+    grouped sum instead of a second scan.  NULL keys are reported as a
+    value like any other — a null-heavy FK is the single most common
+    real-world skew source."""
+    counts = df.groupBy(F.col(col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__t"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("key", "n",
+                    F.round(F.col("n") / F.col("__t"), 6).alias("share"))
+            .orderBy(F.desc("n"), F.asc_nulls_last("key"))
+            .limit(top))

@@ -451,3 +451,41 @@ def label_centroids(df: DataFrame, vec_col: str = "embedding",
                    F.posexplode(F.col(vec_col)).alias("pos", "val"))
     return (ex.groupBy("label", "pos")
             .agg(F.avg("val").alias("centroid")))
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame,
+                id_col: str = "vec_id") -> float:
+    """Recall@k of an ANN result against the exact top-k: the fraction
+    of ground-truth neighbors the index retrieved.  The operational
+    acceptance gate for every ANN deployment — an index without a
+    measured recall is an unvalidated approximation.
+
+    Both frames are small top-k results (k rows), so this is a
+    driver-side set compare, not a distributed job.
+    """
+    truth = {r[id_col] for r in exact.select(id_col).collect()}
+    if not truth:
+        return 1.0
+    got = {r[id_col] for r in approx.select(id_col).collect()}
+    return len(got & truth) / len(truth)
+
+
+def ann_recall_report(df: DataFrame, query_ids: list, k: int = 5,
+                      index=None, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> list[tuple]:
+    """Measure an ANN index's recall@k against brute force over a probe
+    set of query ids: returns [(query_id, recall), ...].  Cost is one
+    exact scan plus one index probe per query — run it on a SAMPLE of
+    queries (the standard acceptance protocol), never the full corpus.
+    """
+    exact = CosineTopK(k=k)
+    out = []
+    for qid in query_ids:
+        ex = exact.search(df, qid, id_col=id_col, vec_col=vec_col)
+        try:                                    # fitted IVF: data bound at fit
+            ap = index.search(query_id=qid, id_col=id_col)
+        except TypeError:                       # LSH: frame passed per search
+            ap = index.search(df, query_id=qid, id_col=id_col,
+                              vec_col=vec_col)
+        out.append((qid, recall_at_k(ap.limit(k), ex.limit(k), id_col)))
+    return out

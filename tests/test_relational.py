@@ -216,3 +216,15 @@ def test_correlation_matrix(spark):
     assert plan.lower().count("aggregate") == 1
     with pytest.raises(ValueError, match="two columns"):
         correlation_matrix(df, ["a"])
+
+
+def test_key_skew_diagnosis(spark):
+    from dataframe_pipeline_spark.profiling import key_skew
+    rows = [(7,)] * 50 + [(None,)] * 30 + [(i,) for i in range(20)]
+    df = spark.createDataFrame(rows, "k long")
+    out = key_skew(df, "k", top=3).collect()
+    assert (out[0].key, out[0].n) == (7, 51)           # hot key first
+    assert out[1].key is None and out[1].n == 30       # NULL reported
+    assert abs(out[0].share - 0.51) < 1e-9
+    plan = key_skew(df, "k", 3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan             # heap, no global sort

@@ -137,3 +137,37 @@ def test_random_projector_preserves_similarities(spark):
     assert c8 > 0.15, c8
     assert c32 > 0.5, c32
     assert c32 > c8
+
+
+def test_ann_recall_report(spark):
+    """IVF recall measured against brute force on a clustered corpus:
+    near-duplicate vectors must be recalled; the report machinery
+    dispatches over both index types."""
+    import numpy as np
+
+    from dataframe_pipeline_spark.similarity import (CosineTopK,
+                                                     HyperplaneLSHIndex,
+                                                     IVFIndex,
+                                                     ann_recall_report,
+                                                     recall_at_k)
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(4, 16))
+    rows = []
+    for i in range(40):
+        v = base[i % 4] + rng.normal(scale=0.05, size=16)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    ivf = IVFIndex(k=5, n_lists=4, n_probe=2).fit(df)
+    rep = ann_recall_report(df, [0, 1, 2], k=5, index=ivf)
+    assert len(rep) == 3
+    assert all(0.0 <= r <= 1.0 for _, r in rep)
+    assert sum(r for _, r in rep) / 3 >= 0.6      # clustered: high recall
+
+    lsh = HyperplaneLSHIndex(k=5, n_planes=2, dim=16)
+    rep2 = ann_recall_report(df, [0], k=5, index=lsh)
+    assert 0.0 <= rep2[0][1] <= 1.0
+
+    # identical result sets -> recall 1.0; disjoint -> 0.0
+    ex = CosineTopK(k=3).search(df, 0)
+    assert recall_at_k(ex, ex) == 1.0
