@@ -16,6 +16,7 @@ from .operators import (
     ComplementLabelEncoder,
     DateTransformer,
     FrequencyEncoder,
+    CVTargetEncoder,
     FunctionTransformer,
     HashingEncoder,
     Imputer,

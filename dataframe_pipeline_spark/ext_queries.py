@@ -1867,6 +1867,44 @@ FROM customer c CROSS JOIN g LEFT JOIN lk ON c.c_mktsegment = lk.cat
 """
 
 
+def q_target_encode_cv(spark, sf_dir):
+    """Leakage-free out-of-fold target encoding
+    (operators.CVTargetEncoder): each row's code uses every fold but
+    its own, via complement arithmetic off ONE grouped aggregate (one
+    scan regardless of K).  Folds are md5-content-addressed so the
+    oracle replays them exactly."""
+    from .operators import CVTargetEncoder
+    cu = _t(spark, sf_dir, "customer")
+    enc = CVTargetEncoder(inputs=["c_mktsegment"], outputs=["seg_code"],
+                          target="c_acctbal", fold_key="c_custkey",
+                          cv_folds=4, smoothing=20.0)
+    out = enc.fit_transform(cu)
+    return out.select("c_custkey", F.round("seg_code", 6).alias("seg_code"))
+
+
+SQL_TARGET_ENCODE_CV = """
+WITH g AS (SELECT avg(c_acctbal) AS gm FROM customer),
+f AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+             (('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))::BIGINT) % 4
+             AS fold
+      FROM customer),
+pf AS (SELECT c_mktsegment AS cat, fold,
+              count(c_acctbal) AS nf, sum(c_acctbal) AS sf
+       FROM f WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT cat, sum(nf) AS n, sum(sf) AS s FROM pf GROUP BY cat),
+lk AS (SELECT pf.cat, pf.fold,
+              CASE WHEN tot.n - pf.nf > 0
+                   THEN ((tot.n - pf.nf) * ((tot.s - pf.sf) / (tot.n - pf.nf))
+                         + 20.0 * g.gm) / (tot.n - pf.nf + 20.0)
+                   ELSE g.gm END AS code
+       FROM pf JOIN tot USING (cat) CROSS JOIN g)
+SELECT f.c_custkey,
+       ROUND(COALESCE(lk.code, g.gm), 6) AS seg_code
+FROM f CROSS JOIN g
+LEFT JOIN lk ON f.c_mktsegment = lk.cat AND f.fold = lk.fold
+"""
+
+
 def q_hash_encode(spark, sf_dir):
     """Feature hashing (operators.HashingEncoder): stateless
     md5 % n_buckets — no vocabulary pass, no unseen problem, map-only;
@@ -2008,6 +2046,7 @@ EXT_QUERIES = {
     "hist_order_price": (q_hist_order_price, SQL_HIST_ORDER_PRICE),
     "corr_lineitem": (q_corr_lineitem, SQL_CORR_LINEITEM),
     "target_encode": (q_target_encode, SQL_TARGET_ENCODE),
+    "target_encode_cv": (q_target_encode_cv, SQL_TARGET_ENCODE_CV),
     "events_value_zscore": (q_events_value_zscore, SQL_EVENTS_VALUE_ZSCORE),
     "text_stopwords": (q_text_stopwords, SQL_TEXT_STOPWORDS),
     "hash_encode": (q_hash_encode, SQL_HASH_ENCODE),

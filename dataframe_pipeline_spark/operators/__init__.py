@@ -10,7 +10,8 @@ from .minority_transformer import MinorityTransformer
 from .onehot_encoder import OneHotEncoder
 from .outlier_clipper import OutlierClipper
 from .quantile_binner import QuantileBinner
-from .target_encoder import HashingEncoder, TargetEncoder
+from .target_encoder import (CVTargetEncoder, HashingEncoder,
+                             TargetEncoder)
 from .range_transformer import RangeTransformer
 from .row_transformer import RowTransformer
 from .scaler import Scaler
@@ -32,6 +33,7 @@ __all__ = [
     "OneHotEncoder",
     "OutlierClipper",
     "QuantileBinner",
+    "CVTargetEncoder",
     "HashingEncoder",
     "TargetEncoder",
     "RangeTransformer",

@@ -83,6 +83,102 @@ class TargetEncoder(SparkDFPBase):
         return out
 
 
+class CVTargetEncoder(SparkDFPBase):
+    """Leakage-free (out-of-fold) target encoding for TRAINING frames.
+
+    Plain target encoding leaks: a row's own target contributes to the
+    code it is trained on, and the model memorizes the leak.  The
+    standard fix is K-fold out-of-fold encoding — each row receives
+    the smoothed mean computed from every fold EXCEPT its own.
+
+    Spark-first shape: folds are content-addressed (``md5(fold_key) %
+    cv_folds`` — deterministic, partition-independent, same construct
+    as :func:`sources.kfold_assign`), and the out-of-fold statistics
+    come from complement arithmetic, NOT K separate fits: one grouped
+    aggregate produces per-(category, fold) (count, sum), a
+    re-aggregation of that tiny frame gives per-category totals, and
+    ``oof = (total - fold) / (n_total - n_fold)`` — one scan of the
+    data regardless of K.  The code table keyed by (category, fold)
+    applies by broadcast-gated join on the same key pair.
+
+    A category seen ONLY in a row's own fold has no out-of-fold
+    evidence → global mean (the unseen-category rule applied at fold
+    granularity).  Serving/inference frames have no fold and no
+    target: encode them with the plain :class:`TargetEncoder` fitted
+    on the full training set — the pair (CV for train, plain for
+    serve) is the standard deployment.
+    """
+
+    def __init__(self, inputs=None, outputs=None, target: str = None,
+                 fold_key: str = None, cv_folds: int = 5,
+                 smoothing: float = 20.0):
+        if not target:
+            raise ValueError("target column is required")
+        if not fold_key:
+            raise ValueError("fold_key column is required "
+                             "(use a stable row/group id)")
+        if cv_folds < 2:
+            raise ValueError("cv_folds must be >= 2")
+        if smoothing < 0:
+            raise ValueError("smoothing must be >= 0")
+        self.inputs = list(inputs or [])
+        self.outputs = list(outputs or [])
+        self.target = target
+        self.fold_key = fold_key
+        self.cv_folds = int(cv_folds)
+        self.smoothing = float(smoothing)
+        self.global_mean_ = None
+        self.lookups_ = []          # per input: DataFrame(__cat, __fold, __code)
+        self.cards_ = []
+
+    def _fold_col(self):
+        h = F.conv(F.substring(F.md5(F.col(self.fold_key).cast("string")),
+                               1, 8), 16, 10).cast("bigint")
+        return F.pmod(h, F.lit(self.cv_folds)).cast("int")
+
+    def fit(self, df: DataFrame, **params):
+        t = F.col(self.target).cast("double")
+        self.global_mean_ = df.agg(F.avg(t)).collect()[0][0]
+        m = F.lit(self.smoothing)
+        g = F.lit(self.global_mean_)
+        self.lookups_, self.cards_ = [], []
+        for c in self.inputs:
+            pf = (df.filter(F.col(c).isNotNull())
+                  .groupBy(F.col(c).alias("__cat"),
+                           self._fold_col().alias("__fold"))
+                  .agg(F.count(t).alias("__nf"), F.sum(t).alias("__sf")))
+            tot = (pf.groupBy("__cat")
+                   .agg(F.sum("__nf").alias("__n"), F.sum("__sf").alias("__s")))
+            oof_n = F.col("__n") - F.col("__nf")
+            oof_mean = (F.col("__s") - F.col("__sf")) / oof_n
+            code = F.when(oof_n > 0,
+                          (oof_n * oof_mean + m * g) / (oof_n + m)
+                          ).otherwise(g)
+            lk = (pf.join(tot, "__cat")
+                  .select("__cat", "__fold", code.alias("__code")))
+            self.lookups_.append(lk)
+            self.cards_.append(lk.count())
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if self.global_mean_ is None:
+            raise RuntimeError("CVTargetEncoder.transform before fit")
+        out = df.withColumn("__dfp_fold", self._fold_col())
+        for c, o, lk, n in zip(self.inputs, self.outputs, self.lookups_,
+                               self.cards_):
+            lkr = (lk.withColumnRenamed("__cat", f"__cat_{o}")
+                     .withColumnRenamed("__fold", f"__fold_{o}")
+                     .withColumnRenamed("__code", f"__code_{o}"))
+            lkb = F.broadcast(lkr) if n <= BROADCAST_MAX_ROWS else lkr
+            out = (out.join(lkb, (out[c] == F.col(f"__cat_{o}"))
+                            & (out["__dfp_fold"] == F.col(f"__fold_{o}")),
+                            "left")
+                   .withColumn(o, F.coalesce(F.col(f"__code_{o}"),
+                                             F.lit(self.global_mean_)))
+                   .drop(f"__cat_{o}", f"__fold_{o}", f"__code_{o}"))
+        return out.drop("__dfp_fold")
+
+
 class HashingEncoder(SparkDFPBase):
     """Stateless feature hashing: ``md5_int(value) % n_buckets``.
     NULL maps to bucket NULL (missing stays missing)."""

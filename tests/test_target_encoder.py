@@ -105,3 +105,70 @@ def test_target_encode_transform_is_job_free(spark, labeled):
     _ = enc.transform(labeled)            # plan construction only
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
+
+
+def test_cv_target_encode_is_leakage_free(spark):
+    """The defining property: a row's own target must NOT move its own
+    code.  Perturb one row's target; only rows in the SAME fold and
+    category may change — the perturbed row's own code stays fixed."""
+    from dataframe_pipeline_spark.operators import CVTargetEncoder
+
+    rows = [(i, "a", 10.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    enc = lambda d: CVTargetEncoder(
+        inputs=["cat"], outputs=["code"], target="y", fold_key="id",
+        cv_folds=3, smoothing=0.0).fit_transform(d)
+    base = {r.id: r.code for r in enc(df).collect()}
+    # perturb row 0's target hugely
+    df2 = spark.createDataFrame(
+        [(0, "a", 1e6)] + rows[1:], "id long, cat string, y double")
+    pert = {r.id: r.code for r in enc(df2).collect()}
+    assert abs(pert[0] - base[0]) < 1e-9        # own code untouched
+    # rows in OTHER folds see the perturbation (it is in their OOF set)
+    moved = [i for i in base if abs(pert[i] - base[i]) > 1.0]
+    assert moved and 0 not in moved
+
+
+def test_cv_target_encode_oof_arithmetic(spark):
+    """3 folds, smoothing 0: each row's code == mean of the other
+    folds' targets for its category."""
+    from dataframe_pipeline_spark.operators import CVTargetEncoder
+
+    # construct ids whose md5-fold is known by computing it in python
+    import hashlib
+
+    def fold(i, k=3):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % k
+
+    rows = [(i, "a", float(100 + fold(i))) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    out = {r.id: r.code for r in CVTargetEncoder(
+        inputs=["cat"], outputs=["code"], target="y", fold_key="id",
+        cv_folds=3, smoothing=0.0).fit_transform(df).collect()}
+    import statistics
+    for i, _, _ in rows[:10]:
+        others = [y for j, _, y in rows if fold(j) != fold(i)]
+        assert abs(out[i] - statistics.mean(others)) < 1e-9
+
+
+def test_cv_target_encode_single_fold_category_gets_global(spark):
+    from dataframe_pipeline_spark.operators import CVTargetEncoder
+
+    # category 'solo' appears once -> no OOF evidence -> global mean
+    df = spark.createDataFrame(
+        [(i, "a", 10.0) for i in range(20)] + [(99, "solo", 500.0)],
+        "id long, cat string, y double")
+    out = {r.id: r.code for r in CVTargetEncoder(
+        inputs=["cat"], outputs=["code"], target="y", fold_key="id",
+        cv_folds=4, smoothing=0.0).fit_transform(df).collect()}
+    gm = (10.0 * 20 + 500.0) / 21
+    assert abs(out[99] - gm) < 1e-9
+
+
+def test_cv_target_encode_validation(spark):
+    from dataframe_pipeline_spark.operators import CVTargetEncoder
+    with pytest.raises(ValueError, match="fold_key"):
+        CVTargetEncoder(inputs=["c"], outputs=["o"], target="y")
+    with pytest.raises(ValueError, match="cv_folds"):
+        CVTargetEncoder(inputs=["c"], outputs=["o"], target="y",
+                        fold_key="id", cv_folds=1)
