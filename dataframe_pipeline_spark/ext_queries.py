@@ -1905,6 +1905,60 @@ LEFT JOIN lk ON f.c_mktsegment = lk.cat AND f.fold = lk.fold
 """
 
 
+def q_event_transitions(spark, sf_dir):
+    """Per-user event-type transition counts (Markov matrix): lag
+    window over (user, time) then one hash aggregate.  The window
+    partitions by user_id (high cardinality — no low-cardinality
+    window skew), ordered by (ts, event_id) for a total order under
+    equal timestamps."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("__prev", F.lag("event_type").over(w))
+            .filter(F.col("__prev").isNotNull())
+            .groupBy(F.col("__prev").alias("from_type"),
+                     F.col("event_type").alias("to_type"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+SQL_EVENT_TRANSITIONS = """
+SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+FROM (SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events)
+WHERE prev IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_quality_by_source(spark, sf_dir):
+    """Per-source document-quality quantiles: QualityScorer (pure
+    codegen) feeding grouped exact percentiles — the corpus-curation
+    dashboard row (which sources are junk).  Exact interpolated
+    percentile for oracle parity; the approx_percentile sketch is the
+    100 TB tier."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = tx.QualityScorer().transform(docs)
+    return (scored.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.percentile("quality_score", F.lit(0.5)), 6)
+                 .alias("p50"),
+                 F.round(F.percentile("quality_score", F.lit(0.9)), 6)
+                 .alias("p90")))
+
+
+def _sql_quality_by_source() -> str:
+    q = _sql_text_quality()
+    return f"""
+WITH scored AS ({q})
+SELECT d.source, count(*) AS n_docs,
+       ROUND(quantile_cont(s.quality_score, 0.5), 6) AS p50,
+       ROUND(quantile_cont(s.quality_score, 0.9), 6) AS p90
+FROM scored s JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
 def q_hash_encode(spark, sf_dir):
     """Feature hashing (operators.HashingEncoder): stateless
     md5 % n_buckets — no vocabulary pass, no unseen problem, map-only;
@@ -2047,6 +2101,8 @@ EXT_QUERIES = {
     "corr_lineitem": (q_corr_lineitem, SQL_CORR_LINEITEM),
     "target_encode": (q_target_encode, SQL_TARGET_ENCODE),
     "target_encode_cv": (q_target_encode_cv, SQL_TARGET_ENCODE_CV),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "quality_by_source": (q_quality_by_source, _sql_quality_by_source()),
     "events_value_zscore": (q_events_value_zscore, SQL_EVENTS_VALUE_ZSCORE),
     "text_stopwords": (q_text_stopwords, SQL_TEXT_STOPWORDS),
     "hash_encode": (q_hash_encode, SQL_HASH_ENCODE),
