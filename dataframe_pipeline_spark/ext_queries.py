@@ -1959,6 +1959,39 @@ GROUP BY d.source
 """
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot-version diff (sources.snapshot_diff): classify every
+    key across two corpus versions as added/removed/changed/unchanged
+    via one NULL-safe full outer join, then count per class.  The new
+    version drops every 97th-residue order, doubles every 10th's
+    price, and appends shifted-key rows — all four classes exercised."""
+    from .sources import snapshot_diff
+    od = _t(spark, sf_dir, "orders")
+    new = (od.filter(F.col("o_orderkey") % 97 != 3)
+           .withColumn("o_totalprice",
+                       F.when(F.col("o_orderkey") % 10 == 0,
+                              F.col("o_totalprice") * 2)
+                       .otherwise(F.col("o_totalprice"))))
+    added = (od.filter(F.col("o_orderkey") % 211 == 0)
+             .withColumn("o_orderkey", F.col("o_orderkey") + 20_000_000))
+    diff = snapshot_diff(od, new.unionByName(added), "o_orderkey",
+                         compare=["o_totalprice"])
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_SNAPSHOT_DIFF = """
+SELECT 'removed' AS status, count(*) AS n FROM orders WHERE o_orderkey % 97 = 3
+UNION ALL
+SELECT 'changed', count(*) FROM orders
+WHERE o_orderkey % 97 != 3 AND o_orderkey % 10 = 0 AND o_totalprice != 0
+UNION ALL
+SELECT 'unchanged', count(*) FROM orders
+WHERE o_orderkey % 97 != 3 AND NOT (o_orderkey % 10 = 0 AND o_totalprice != 0)
+UNION ALL
+SELECT 'added', count(*) FROM orders WHERE o_orderkey % 211 = 0
+"""
+
+
 def q_hash_encode(spark, sf_dir):
     """Feature hashing (operators.HashingEncoder): stateless
     md5 % n_buckets — no vocabulary pass, no unseen problem, map-only;
@@ -2102,6 +2135,7 @@ EXT_QUERIES = {
     "target_encode": (q_target_encode, SQL_TARGET_ENCODE),
     "target_encode_cv": (q_target_encode_cv, SQL_TARGET_ENCODE_CV),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "quality_by_source": (q_quality_by_source, _sql_quality_by_source()),
     "events_value_zscore": (q_events_value_zscore, SQL_EVENTS_VALUE_ZSCORE),
     "text_stopwords": (q_text_stopwords, SQL_TEXT_STOPWORDS),

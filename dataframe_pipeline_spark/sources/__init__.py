@@ -319,3 +319,49 @@ def write_range_sorted(df: DataFrame, path: str, order_by: str | list[str],
     (df.repartitionByRange(n_files, *[F.col(c) for c in cols])
        .sortWithinPartitions(*cols)
        .write.mode(mode).parquet(path))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str | list[str],
+                  compare: list[str] | None = None) -> DataFrame:
+    """Classify rows between two snapshot versions: one row per key
+    present in either side, labeled ``added`` / ``removed`` /
+    ``changed`` / ``unchanged`` — the audit step before applying a
+    CDC batch (:func:`merge_latest`) and the regression gate after
+    rewriting a corpus.
+
+    One full outer join on the key (single co-partitioned shuffle
+    pair); change detection compares ``compare`` columns (default:
+    every shared non-key column) with NULL-safe equality (``<=>`` —
+    NULL==NULL is *unchanged*, NULL vs value is *changed*).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if compare is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare = [c for c in shared if c not in keys]
+    # String-qualified refs (F.col("o.k")), not frame attributes: both
+    # sides routinely derive from the SAME scan (snapshot vs mutated
+    # snapshot) and attribute references would be ambiguous self-join
+    # lineage.
+    o = old.select(*keys, *compare,
+                   F.lit(True).alias("__in_old")).alias("__dfp_o")
+    n = new.select(*keys, *compare,
+                   F.lit(True).alias("__in_new")).alias("__dfp_n")
+    oc = lambda c: F.col(f"__dfp_o.{c}")
+    nc = lambda c: F.col(f"__dfp_n.{c}")
+    cond = [oc(k).eqNullSafe(nc(k)) for k in keys]
+    for c in cond[1:]:
+        cond[0] = cond[0] & c
+    j = o.join(n, cond[0], "full_outer")
+    # presence markers, not key-NULL tests: a genuinely NULL key on
+    # either side must not read as "absent"
+    in_old = oc("__in_old").isNotNull()
+    in_new = nc("__in_new").isNotNull()
+    same = F.lit(True)
+    for c in compare:
+        same = same & oc(c).eqNullSafe(nc(c))
+    status = (F.when(~in_old, F.lit("added"))
+              .when(~in_new, F.lit("removed"))
+              .when(same, F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    key_cols = [F.coalesce(oc(k), nc(k)).alias(k) for k in keys]
+    return j.select(*key_cols, status.alias("status"))

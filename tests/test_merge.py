@@ -98,3 +98,29 @@ def test_label_centroids_partial_agg(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     ex = plan.index("Exchange")
     assert "partial_avg" in plan[ex:]        # partial agg below the shuffle
+
+
+def test_snapshot_diff_classification(spark):
+    from dataframe_pipeline_spark.sources import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "id long, s string, v double")
+    new = spark.createDataFrame(
+        [(2, "b", 2.0),          # unchanged
+         (3, "c", 3.0),          # NULL -> value = changed
+         (4, "D", 4.0),          # string changed
+         (5, "e", 5.0)],         # added
+        "id long, s string, v double")
+    got = {r.id: r.status
+           for r in snapshot_diff(old, new, "id").collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "changed", 5: "added"}
+
+
+def test_snapshot_diff_null_keys_and_subset(spark):
+    from dataframe_pipeline_spark.sources import snapshot_diff
+    old = spark.createDataFrame([(1, "x", 10.0)], "id long, s string, v double")
+    new = spark.createDataFrame([(1, "y", 10.0)], "id long, s string, v double")
+    # compare only v -> unchanged despite s differing
+    got = snapshot_diff(old, new, "id", compare=["v"]).collect()
+    assert got[0].status == "unchanged"
