@@ -1992,6 +1992,48 @@ SELECT 'added', count(*) FROM orders WHERE o_orderkey % 211 = 0
 """
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (graph.pagerank) over the bipartite
+    order→part graph, top-20 by rank: each iteration is an edge join +
+    partial-aggregatable sum shuffling (id, double) pairs, lineage cut
+    by localCheckpoint.  3 iterations so the DuckDB oracle can replay
+    the exact unrolled computation; TakeOrderedAndProject for the
+    top slice."""
+    from .graph import pagerank
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(F.col("l_orderkey").alias("src"),
+                      (F.col("l_partkey") + 100_000_000).alias("dst"))
+    pr = pagerank(edges, iters=3)
+    return (pr.select("id", F.round("pr", 6).alias("pr"))
+            .orderBy(F.desc("pr"), F.asc("id")).limit(20))
+
+
+SQL_GRAPH_PAGERANK = """
+WITH e AS (SELECT DISTINCT l_orderkey AS s, l_partkey + 100000000 AS d
+           FROM lineitem),
+nodes AS (SELECT s AS id FROM e UNION SELECT d FROM e),
+deg AS (SELECT s, count(*) AS dg FROM e GROUP BY s),
+pr0 AS (SELECT id, 1.0 AS pr FROM nodes),
+pr1 AS (SELECT n.id, 0.15 + 0.85 * COALESCE(c.c, 0) AS pr
+        FROM nodes n LEFT JOIN (
+          SELECT e.d AS id, sum(p.pr / deg.dg) AS c
+          FROM e JOIN pr0 p ON e.s = p.id JOIN deg ON e.s = deg.s
+          GROUP BY e.d) c ON n.id = c.id),
+pr2 AS (SELECT n.id, 0.15 + 0.85 * COALESCE(c.c, 0) AS pr
+        FROM nodes n LEFT JOIN (
+          SELECT e.d AS id, sum(p.pr / deg.dg) AS c
+          FROM e JOIN pr1 p ON e.s = p.id JOIN deg ON e.s = deg.s
+          GROUP BY e.d) c ON n.id = c.id),
+pr3 AS (SELECT n.id, 0.15 + 0.85 * COALESCE(c.c, 0) AS pr
+        FROM nodes n LEFT JOIN (
+          SELECT e.d AS id, sum(p.pr / deg.dg) AS c
+          FROM e JOIN pr2 p ON e.s = p.id JOIN deg ON e.s = deg.s
+          GROUP BY e.d) c ON n.id = c.id)
+SELECT id, ROUND(pr, 6) AS pr FROM pr3
+ORDER BY pr DESC, id ASC LIMIT 20
+"""
+
+
 def q_hash_encode(spark, sf_dir):
     """Feature hashing (operators.HashingEncoder): stateless
     md5 % n_buckets — no vocabulary pass, no unseen problem, map-only;
@@ -2136,6 +2178,7 @@ EXT_QUERIES = {
     "target_encode_cv": (q_target_encode_cv, SQL_TARGET_ENCODE_CV),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "quality_by_source": (q_quality_by_source, _sql_quality_by_source()),
     "events_value_zscore": (q_events_value_zscore, SQL_EVENTS_VALUE_ZSCORE),
     "text_stopwords": (q_text_stopwords, SQL_TEXT_STOPWORDS),
