@@ -365,3 +365,24 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str | list[str],
               .otherwise(F.lit("changed")))
     key_cols = [F.coalesce(oc(k), nc(k)).alias(k) for k in keys]
     return j.select(*key_cols, status.alias("status"))
+
+
+def split_temporal(df: DataFrame, ts_col: str, cutoff,
+                   embargo: str | None = None
+                   ) -> tuple[DataFrame, DataFrame]:
+    """Time-based train/test split with an optional embargo gap:
+    train = rows strictly before ``cutoff - embargo``, test = rows at
+    or after ``cutoff``.  The embargo drops the boundary window from
+    TRAIN (test stays complete), so features with lookback windows
+    (rolling counts, session stats) computed on train never overlap
+    test time — the purged split of financial-ML practice.
+
+    Map-only: two filters over one scan, no shuffle; with the data
+    laid out by date (write_clustered / hive partitions) both sides
+    partition-prune their scans.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    train_hi = cut - F.expr(f"INTERVAL {embargo}") if embargo else cut
+    ts = F.col(ts_col)
+    return (df.filter(ts < train_hi),
+            df.filter(ts >= cut))

@@ -271,3 +271,18 @@ def test_write_range_sorted_global_order(spark, tmp_path):
         assert a_hi < b_lo                       # non-overlapping ranges
     total = sorted(x for lo_hi in ranges for x in lo_hi)
     assert total[0] == 0 and total[-1] == 9999
+
+
+def test_split_temporal_embargo(spark):
+    from dataframe_pipeline_spark.sources import split_temporal
+    rows = [(i, f"2024-01-{d:02d} 00:00:00") for i, d in
+            enumerate([1, 5, 9, 10, 11, 15], 1)]
+    df = spark.createDataFrame(rows, "id long, ts string") \
+        .selectExpr("id", "cast(ts as timestamp) ts")
+    train, test = split_temporal(df, "ts", "2024-01-10", embargo="2 days")
+    assert sorted(r.id for r in train.collect()) == [1, 2]   # < Jan 8
+    assert sorted(r.id for r in test.collect()) == [4, 5, 6]  # >= Jan 10
+    # id 3 (Jan 9) embargoed: in NEITHER side
+    tr2, te2 = split_temporal(df, "ts", "2024-01-10")
+    assert sorted(r.id for r in tr2.collect()) == [1, 2, 3]   # no embargo
+    assert sorted(r.id for r in te2.collect()) == [4, 5, 6]
