@@ -2034,6 +2034,35 @@ ORDER BY pr DESC, id ASC LIMIT 20
 """
 
 
+def q_range_join_bands(spark, sf_dir):
+    """Keyless point-in-interval join (relational.range_join): part
+    prices assigned to price bands with NO equality column — the shape
+    Spark's planner would otherwise execute as BroadcastNestedLoopJoin
+    (O(points × intervals) comparisons).  The binning trick restores a
+    hash equi-join on the bucket id; plan-asserted in
+    test_relational.py."""
+    from .relational import range_join
+    part = _t(spark, sf_dir, "part")
+    bands = spark.range(10).select(
+        F.col("id").alias("band_id"),
+        (900.0 + F.col("id") * 10).alias("lo"),
+        (900.0 + F.col("id") * 10 + 9.99).alias("hi"))
+    j = range_join(part, bands, "p_retailprice", "lo", "hi", bin_width=10.0)
+    return (j.groupBy("band_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("p_retailprice"), 6).alias("avg_price")))
+
+
+SQL_RANGE_JOIN_BANDS = """
+WITH bands AS (
+  SELECT k AS band_id, 900.0 + k * 10 AS lo, 900.0 + k * 10 + 9.99 AS hi
+  FROM (SELECT unnest(generate_series(0, 9)) AS k))
+SELECT band_id, count(*) AS n, ROUND(avg(p_retailprice), 6) AS avg_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice <= hi
+GROUP BY band_id
+"""
+
+
 def q_hash_encode(spark, sf_dir):
     """Feature hashing (operators.HashingEncoder): stateless
     md5 % n_buckets — no vocabulary pass, no unseen problem, map-only;
@@ -2179,6 +2208,7 @@ EXT_QUERIES = {
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
+    "range_join_bands": (q_range_join_bands, SQL_RANGE_JOIN_BANDS),
     "quality_by_source": (q_quality_by_source, _sql_quality_by_source()),
     "events_value_zscore": (q_events_value_zscore, SQL_EVENTS_VALUE_ZSCORE),
     "text_stopwords": (q_text_stopwords, SQL_TEXT_STOPWORDS),

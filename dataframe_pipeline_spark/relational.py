@@ -170,3 +170,62 @@ def topk_per_group(df: DataFrame, group_cols: str | list[str],
     w = Window.partitionBy(*groups).orderBy(*order)
     return (df.withColumn(rank_col, F.row_number().over(w))
             .filter(F.col(rank_col) <= k))
+
+
+def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
+               start_col: str, end_col: str, bin_width: float,
+               how: str = "inner") -> DataFrame:
+    """Scale-correct point-in-interval join with NO equality key —
+    IP→CIDR-range lookup, value→band assignment, timestamp→calendar
+    window.  Spark's planner turns a bare inequality join into
+    BroadcastNestedLoopJoin (O(points × intervals) compared row pairs);
+    this helper restores an equi-join via the standard binning trick:
+
+    * intervals explode to every ``bin_width`` bucket they overlap
+      (``sequence(floor(start/w), floor(end/w))`` — map-only, growth
+      factor ≈ interval_length / bin_width on the SMALL side);
+    * points compute their single bucket;
+    * equi-join on the bucket (hash/sort-merge — shuffles, AQE, skew
+      handling all apply), then the exact ``start <= p <= end`` filter.
+
+    A point has exactly ONE bucket, so each matching (point, interval)
+    pair meets exactly once — no distinct pass.  Choose ``bin_width``
+    near the typical interval length: smaller wastes interval
+    replication, larger degrades bucket selectivity toward the
+    nested-loop it replaces.  Inclusive bounds on both ends.  Numeric
+    or timestamp columns (timestamps compare natively; binning uses
+    their epoch value).
+
+    ``how``: ``inner`` (matched pairs) or ``left`` (points without any
+    interval survive with NULL interval columns).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports inner/left, not {how!r}")
+    if bin_width <= 0:
+        raise ValueError("bin_width must be > 0")
+
+    def as_num(c):
+        return F.col(c).cast("double")
+
+    w = F.lit(float(bin_width))
+    p = points.withColumn(
+        "__bin", F.floor(as_num(point_col) / w).cast("long"))
+    iv = intervals.withColumn(
+        "__bin", F.explode(F.sequence(
+            F.floor(as_num(start_col) / w).cast("long"),
+            F.floor(as_num(end_col) / w).cast("long"))))
+    in_range = ((F.col(point_col) >= F.col(start_col))
+                & (F.col(point_col) <= F.col(end_col)))
+    if how == "inner":
+        return (p.join(iv, "__bin").filter(in_range).drop("__bin"))
+    # left: match first, then recover unmatched points
+    matched = p.join(iv, "__bin").filter(in_range)
+    iv_cols = [c for c in intervals.columns if c not in points.columns]
+    unmatched = p.join(
+        matched.select("__bin", *[F.col(c) for c in points.columns]),
+        points.columns, "left_anti")
+    for c in iv_cols:
+        unmatched = unmatched.withColumn(
+            c, F.lit(None).cast(dict(intervals.dtypes)[c]))
+    return matched.drop("__bin").unionByName(
+        unmatched.drop("__bin").select(matched.drop("__bin").columns))

@@ -228,3 +228,48 @@ def test_key_skew_diagnosis(spark):
     assert abs(out[0].share - 0.51) < 1e-9
     plan = key_skew(df, "k", 3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan             # heap, no global sort
+
+
+def test_range_join_inner_and_left(spark):
+    from dataframe_pipeline_spark.relational import range_join
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (3, 25.0), (4, 999.0)],
+        "pid long, x double")
+    iv = spark.createDataFrame(
+        [(10, 0.0, 9.0), (20, 10.0, 19.0), (21, 12.0, 30.0)],
+        "iid long, lo double, hi double")
+    inner = range_join(pts, iv, "x", "lo", "hi", bin_width=10.0)
+    got = sorted((r.pid, r.iid) for r in inner.collect())
+    # x=15 falls in two overlapping intervals; x=999 matches none
+    assert got == [(1, 10), (2, 20), (2, 21), (3, 21)]
+    left = range_join(pts, iv, "x", "lo", "hi", 10.0, how="left")
+    lgot = sorted((r.pid, r.iid) for r in left.collect())
+    assert lgot == [(1, 10), (2, 20), (2, 21), (3, 21), (4, None)]
+
+
+def test_range_join_boundary_inclusive_and_validation(spark):
+    from dataframe_pipeline_spark.relational import range_join
+    pts = spark.createDataFrame([(1, 10.0), (2, 19.0)], "pid long, x double")
+    iv = spark.createDataFrame([(7, 10.0, 19.0)], "iid long, lo double, hi double")
+    got = range_join(pts, iv, "x", "lo", "hi", 5.0).count()
+    assert got == 2                                  # both ends inclusive
+    with pytest.raises(ValueError, match="bin_width"):
+        range_join(pts, iv, "x", "lo", "hi", 0)
+    with pytest.raises(ValueError, match="inner/left"):
+        range_join(pts, iv, "x", "lo", "hi", 1.0, how="full")
+
+
+def test_range_join_plans_equi_join_not_nested_loop(spark):
+    from dataframe_pipeline_spark.relational import range_join
+    pts = spark.range(1000).select(F.col("id").alias("pid"),
+                                   (F.col("id") % 100).cast("double").alias("x"))
+    iv = spark.range(10).select(F.col("id").alias("iid"),
+                                (F.col("id") * 10).cast("double").alias("lo"),
+                                (F.col("id") * 10 + 9).cast("double").alias("hi"))
+    j = range_join(pts, iv, "x", "lo", "hi", 10.0)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # the bare inequality join DOES nested-loop — the thing we avoid
+    bare = pts.join(iv, (F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+    bplan = bare._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" in bplan or "CartesianProduct" in bplan
