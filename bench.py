@@ -45,6 +45,20 @@ HEADLINE = [
     "row_filter",
 ]
 
+#: Round-4 tier, timed and reported under "queries_r4" but NOT summed
+#: into "value"/"median_total" — those stay comparable across rounds.
+R4_EXTRAS = [
+    "join_salted",
+    "pivot_event_counts",
+    "clip_outliers",
+    "merge_latest",
+    "profile_customer",
+    "target_encode_cv",
+    "dedup_embedding_auto",
+    "graph_pagerank",
+    "range_join_bands",
+]
+
 EXT_HEADLINE = [
     "dedup_exact",
     "dedup_minhash_pairs",
@@ -172,6 +186,18 @@ def main():
         times[name] = round(runs[0], 3)
         medians[name] = round(runs[len(runs) // 2], 3)
 
+    extras, extras_median = {}, {}
+    for name in [n for n in R4_EXTRAS if n in qs]:
+        runs = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        extras[name] = round(runs[0], 3)
+        extras_median[name] = round(runs[len(runs) // 2], 3)
+
     canary_after = _canary(spark)
     try:
         online_ms = _online_p50_ms(spark)
@@ -186,6 +212,9 @@ def main():
         "queries": times,
         "queries_median": medians,
         "median_total": round(sum(medians.values()), 3),
+        "queries_r4": extras,
+        "queries_r4_median": extras_median,
+        "r4_total": round(sum(extras.values()), 3),
         "canary_sec": [canary_before, canary_after],
         "online_p50_ms": online_ms,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
