@@ -638,3 +638,76 @@ class QuantizedCosineDeduplicator:
                     self._cos().alias("cosine"))
             .filter(F.col("cosine") >= self.threshold)
         )
+
+
+class RecordLinker:
+    """Entity resolution over STRUCTURED records — the record-linkage
+    counterpart of this module's document deduplicators: find pairs of
+    rows that likely describe the same real-world entity (customers
+    from two CRMs, suppliers across regions) by exact **blocking** +
+    fuzzy **field comparison**.
+
+    * ``block_on`` — columns that must match exactly; candidate pairs
+      exist only within a block, so block design IS the scale knob:
+      candidate work is Σ n_b² (self-linkage) or Σ n_b·m_b (two-table)
+      over block sizes.  Diagnose block sizes with
+      ``profiling.key_skew`` before running at scale; a country-sized
+      block is the quadratic failure the blocking exists to prevent.
+    * ``compare`` — ``{column: weight}`` scored with normalized
+      Levenshtein similarity ``1 - lev(a,b)/max(len(a),len(b))``
+      (JVM built-in, pure codegen — no Python in the pair loop);
+      weights are normalized to sum 1, NULL fields score 0.
+    * ``threshold`` — keep pairs with weighted score ≥ threshold.
+
+    Plan: one shuffle keyed by the block columns, per-pair codegen
+    scoring, no driver collection.  Everything deterministic —
+    oracle-replayable in any engine with ``levenshtein``.
+    """
+
+    def __init__(self, block_on: list[str], compare: dict[str, float],
+                 threshold: float = 0.9):
+        if not block_on:
+            raise ValueError("block_on must be non-empty — unblocked "
+                             "linkage is an all-pairs cartesian")
+        if not compare:
+            raise ValueError("compare must map at least one column")
+        if not 0.0 < threshold <= 1.0:
+            raise ValueError("threshold must be in (0, 1]")
+        self.block_on = list(block_on)
+        self.compare = dict(compare)
+        self.threshold = float(threshold)
+
+    def _score(self, a: str, b: str) -> Column:
+        total = sum(self.compare.values())
+        score = F.lit(0.0)
+        for c, wt in self.compare.items():
+            ca, cb = F.col(f"{a}.{c}"), F.col(f"{b}.{c}")
+            sim = (F.lit(1.0)
+                   - F.levenshtein(ca, cb)
+                   / F.greatest(F.length(ca), F.length(cb), F.lit(1)))
+            score = score + F.lit(wt / total) * F.coalesce(sim, F.lit(0.0))
+        return score
+
+    def pairs(self, df: DataFrame, id_col: str,
+              right: DataFrame | None = None,
+              right_id_col: str | None = None) -> DataFrame:
+        """Self-linkage (``right=None``: pairs within ``df``, id_a <
+        id_b) or two-table linkage → (id_a, id_b, score)."""
+        a = df.alias("__la")
+        if right is None:
+            b = df.alias("__lb")
+            rid = id_col
+            dedup_cond = F.col(f"__la.{id_col}") < F.col(f"__lb.{rid}")
+        else:
+            b = right.alias("__lb")
+            rid = right_id_col or id_col
+            dedup_cond = F.lit(True)
+        cond = dedup_cond
+        for k in self.block_on:
+            cond = cond & (F.col(f"__la.{k}") == F.col(f"__lb.{k}"))
+        score = self._score("__la", "__lb")
+        return (a.join(b, cond)
+                .select(F.col(f"__la.{id_col}").alias("id_a"),
+                        F.col(f"__lb.{rid}").alias("id_b"),
+                        F.round(score, 6).alias("score"))
+                .filter(F.col("score") >= self.threshold))

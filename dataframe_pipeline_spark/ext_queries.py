@@ -2063,6 +2063,36 @@ GROUP BY band_id
 """
 
 
+def q_record_linkage(spark, sf_dir):
+    """Structured entity resolution (dedup.RecordLinker): customer
+    pairs blocked on (nation, segment, name-prefix) and scored by
+    normalized Levenshtein name similarity — codegen scoring inside
+    the block join, no Python in the pair loop.  The name prefix keeps
+    block sizes bounded as the corpus grows (block design is the
+    scale knob; key_skew is the diagnostic)."""
+    cu = (_t(spark, sf_dir, "customer")
+          .withColumn("__prefix", F.substring("c_name", 1, 14)))
+    linker = dd.RecordLinker(
+        block_on=["c_nationkey", "c_mktsegment", "__prefix"],
+        compare={"c_name": 1.0}, threshold=0.93)
+    return linker.pairs(cu, "c_custkey")
+
+
+SQL_RECORD_LINKAGE = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       ROUND(1.0 - levenshtein(a.c_name, b.c_name)
+                   / GREATEST(length(a.c_name), length(b.c_name), 1),
+             6) AS score
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND substr(a.c_name, 1, 14) = substr(b.c_name, 1, 14)
+WHERE 1.0 - levenshtein(a.c_name, b.c_name)
+            / GREATEST(length(a.c_name), length(b.c_name), 1) >= 0.93
+"""
+
+
 def q_hash_encode(spark, sf_dir):
     """Feature hashing (operators.HashingEncoder): stateless
     md5 % n_buckets — no vocabulary pass, no unseen problem, map-only;
@@ -2209,6 +2239,7 @@ EXT_QUERIES = {
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "range_join_bands": (q_range_join_bands, SQL_RANGE_JOIN_BANDS),
+    "record_linkage": (q_record_linkage, SQL_RECORD_LINKAGE),
     "quality_by_source": (q_quality_by_source, _sql_quality_by_source()),
     "events_value_zscore": (q_events_value_zscore, SQL_EVENTS_VALUE_ZSCORE),
     "text_stopwords": (q_text_stopwords, SQL_TEXT_STOPWORDS),

@@ -252,3 +252,55 @@ def test_simhash_max_band_freq_guard(spark):
     # identical fingerprints flood every template band past the cap:
     # the quadratic cluster is pruned, the small-band dup survives
     assert capped == {(100, 101)}
+
+
+def test_record_linker_self_and_cross(spark):
+    """Blocking bounds candidates; normalized-levenshtein scoring finds
+    near-identical names; weights blend multiple fields."""
+    from dataframe_pipeline_spark.dedup import RecordLinker
+
+    rows = [(1, "US", "Acme Corp", "100 Main St"),
+            (2, "US", "Acme Corp.", "100 Main St"),    # near-dup of 1
+            (3, "US", "Zenith Ltd", "9 Elm Rd"),
+            (4, "DE", "Acme Corp", "100 Main St")]     # other block
+    df = spark.createDataFrame(rows, "id long, country string, "
+                                     "name string, addr string")
+    linker = RecordLinker(block_on=["country"],
+                          compare={"name": 2.0, "addr": 1.0},
+                          threshold=0.9)
+    got = {(r.id_a, r.id_b): r.score for r in linker.pairs(df, "id").collect()}
+    # name sim 0.9 (lev 1/len 10) w=2, addr sim 1.0 w=1 -> 0.9333
+    assert (1, 2) in got and got[(1, 2)] == pytest.approx(0.933333, abs=1e-6)
+    assert all(a < b for a, b in got)                  # self-pairs ordered
+    assert not any(4 in p for p in got)                # blocking respected
+    # two-table linkage keeps all cross pairs above threshold
+    left = df.filter("id in (1, 3)")
+    right = df.filter("id in (2, 4)")
+    cross = {(r.id_a, r.id_b)
+             for r in linker.pairs(left, "id", right=right).collect()}
+    assert cross == {(1, 2)}
+
+
+def test_record_linker_null_fields_and_validation(spark):
+    from dataframe_pipeline_spark.dedup import RecordLinker
+
+    df = spark.createDataFrame(
+        [(1, "US", None), (2, "US", None)], "id long, c string, name string")
+    out = RecordLinker(["c"], {"name": 1.0}, threshold=0.5).pairs(df, "id")
+    assert out.count() == 0                            # NULL scores 0
+    import pytest as _p
+    with _p.raises(ValueError, match="block_on"):
+        RecordLinker([], {"name": 1.0})
+    with _p.raises(ValueError, match="compare"):
+        RecordLinker(["c"], {})
+    with _p.raises(ValueError, match="threshold"):
+        RecordLinker(["c"], {"name": 1.0}, threshold=0.0)
+
+
+def test_record_linker_no_python_in_pair_loop(spark):
+    from dataframe_pipeline_spark.dedup import RecordLinker
+
+    df = spark.createDataFrame([(1, "US", "x")], "id long, c string, name string")
+    out = RecordLinker(["c"], {"name": 1.0}).pairs(df, "id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
