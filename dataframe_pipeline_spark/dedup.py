@@ -711,3 +711,53 @@ class RecordLinker:
                         F.col(f"__lb.{rid}").alias("id_b"),
                         F.round(score, 6).alias("score"))
                 .filter(F.col("score") >= self.threshold))
+
+
+class IncrementalMinHashIndex:
+    """Persisted MinHash band index for incremental NEAR-dup screening —
+    the fuzzy counterpart of :class:`IncrementalDeduplicator`'s digest
+    index: every arriving batch is checked against the corpus WITHOUT
+    rescanning corpus text.
+
+    The index is the banded signature table ``(corpus_id, band, sig)``
+    — a few short strings per document (k MinHash values folded into
+    ``bands`` signatures), ~100 B/doc regardless of document size; the
+    thing you persist as parquet next to the corpus snapshot.
+    ``candidates(batch, index)`` computes the batch's signatures
+    (per-row codegen) and equi-joins on (band, sig): the shuffle
+    carries signature strings, never text.
+
+    Output is CANDIDATE pairs (recall-oriented, per LSH banding
+    guarantees); exact-Jaccard verification is a downstream join that
+    fetches text for candidate ids only — at 100 TB that is a semi-join
+    touching a vanishing fraction of the corpus, not a rescan.
+    """
+
+    def __init__(self, k: int = 16, bands: int = 2, n: int = 3):
+        self.lsh = MinHashLSHDeduplicator(k=k, bands=bands, n=n)
+
+    def build(self, df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+        """The persistable band table of a corpus snapshot."""
+        sigs = self.lsh._signatures(spread(df), id_col, text_col)
+        return sigs.select(
+            F.col("__id").alias("corpus_id"),
+            F.posexplode("__sigs").alias("__band", "__sig"))
+
+    @staticmethod
+    def write(bands_df: DataFrame, path: str) -> None:
+        bands_df.write.mode("overwrite").parquet(path)
+
+    @staticmethod
+    def read(spark, path: str) -> DataFrame:
+        return spark.read.parquet(path)
+
+    def candidates(self, batch: DataFrame, index_bands: DataFrame,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+        """(batch_id, corpus_id) candidate near-dup pairs."""
+        b = (self.lsh._signatures(spread(batch), id_col, text_col)
+             .select(F.col("__id").alias("batch_id"),
+                     F.posexplode("__sigs").alias("__band", "__sig")))
+        return (b.join(index_bands, ["__band", "__sig"])
+                .select("batch_id", "corpus_id").distinct())

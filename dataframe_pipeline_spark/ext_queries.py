@@ -195,6 +195,41 @@ FROM scored WHERE ROUND(i / (za + zb - i), 6) >= 0.9
 """
 
 
+def q_dedup_minhash_incremental(spark, sf_dir):
+    """Incremental NEAR-dup screening (dedup.IncrementalMinHashIndex):
+    odd-id docs (the arriving batch) checked against the even-id corpus
+    via the persisted-shape band index — the shuffle carries band
+    signature strings, never text; corpus text is never rescanned."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = dd.IncrementalMinHashIndex(k=16, bands=2)
+    return idx.candidates(batch, idx.build(corpus))
+
+
+def _sql_minhash_incremental() -> str:
+    k, bands, p = 16, 2, dd.MINHASH_P
+    r = k // bands
+    coeffs = dd.minhash_coeffs(k)
+    mh = [f"list_min(list_transform(h, x -> ({a}*x + {b}) % {p}))"
+          for a, b in coeffs]
+    sigs = [" || ':' || ".join(f"({m})::VARCHAR" for m in mh[bi * r:(bi + 1) * r])
+            for bi in range(bands)]
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, {sigs[bi]} AS sig FROM hs"
+        for bi in range(bands))
+    return f"""
+WITH sh AS (SELECT doc_id, {_shingles_duck()} AS s FROM documents),
+hs AS (SELECT doc_id, s,
+              list_transform(s, t -> {_h32_duck('t')}) AS h FROM sh),
+bands AS ({band_rows})
+SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+FROM bands b JOIN bands c
+  ON b.band = c.band AND b.sig = c.sig
+WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """MinHash near-dup pairs → transitive clusters (connected
     components), the pairs→survivor step of a full dedup pipeline."""
@@ -2240,6 +2275,8 @@ EXT_QUERIES = {
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "range_join_bands": (q_range_join_bands, SQL_RANGE_JOIN_BANDS),
     "record_linkage": (q_record_linkage, SQL_RECORD_LINKAGE),
+    "dedup_minhash_incremental": (q_dedup_minhash_incremental,
+                                  _sql_minhash_incremental()),
     "quality_by_source": (q_quality_by_source, _sql_quality_by_source()),
     "events_value_zscore": (q_events_value_zscore, SQL_EVENTS_VALUE_ZSCORE),
     "text_stopwords": (q_text_stopwords, SQL_TEXT_STOPWORDS),

@@ -304,3 +304,25 @@ def test_record_linker_no_python_in_pair_loop(spark):
     out = RecordLinker(["c"], {"name": 1.0}).pairs(df, "id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_incremental_minhash_index_roundtrip(spark, docs, tmp_path):
+    """Build index on a corpus half, persist, reload, screen the other
+    half: exact dups across the split are flagged; disjoint text is
+    not; the reloaded index flags identically to the in-session one."""
+    from dataframe_pipeline_spark.dedup import IncrementalMinHashIndex
+
+    corpus = docs.filter("doc_id in (0, 2)")      # doc 0 text == docs 1,4
+    batch = docs.filter("doc_id in (1, 3, 4)")
+    idx = IncrementalMinHashIndex(k=16, bands=2)
+    bands = idx.build(corpus)
+    live = {(r.batch_id, r.corpus_id)
+            for r in idx.candidates(batch, bands).collect()}
+    assert (1, 0) in live and (4, 0) in live      # exact dups flagged
+    assert not any(b == 3 for b, _ in live)       # disjoint text not
+    p = str(tmp_path / "mh_idx")
+    idx.write(bands, p)
+    reloaded = {(r.batch_id, r.corpus_id)
+                for r in idx.candidates(
+                    batch, IncrementalMinHashIndex.read(spark, p)).collect()}
+    assert reloaded == live
