@@ -386,3 +386,28 @@ def split_temporal(df: DataFrame, ts_col: str, cutoff,
     ts = F.col(ts_col)
     return (df.filter(ts < train_hi),
             df.filter(ts >= cut))
+
+
+def compact_parquet(spark: SparkSession, src_path: str, out_path: str,
+                    target_mb: int = 128) -> int:
+    """Small-files compaction: rewrite a parquet dataset into files of
+    roughly ``target_mb`` each; returns the output file count.
+
+    Streaming sinks, per-trigger appends, and over-parallel writes
+    leave datasets as thousands of KB-sized files; every subsequent
+    scan then pays per-file open/footer/scheduling overhead that can
+    dwarf the read itself (the canonical 100 TB operational debt).
+    The target size comes from Catalyst's scan statistics (sum of file
+    sizes — planning metadata, no data pass), the rewrite is ONE
+    shuffle to ``ceil(size/target)`` partitions.  Sizes are estimates
+    (re-compression shifts them); the point is order-of-magnitude file
+    count, not exact file bytes.  Writes to a NEW path — atomically
+    swapping it for the source is the caller's (filesystem-specific)
+    move.
+    """
+    from ..relational import stats_bytes
+
+    df = spark.read.parquet(src_path)
+    n = max(1, -(-stats_bytes(df) // (target_mb << 20)))    # ceil
+    df.repartition(n).write.mode("overwrite").parquet(out_path)
+    return n

@@ -286,3 +286,18 @@ def test_split_temporal_embargo(spark):
     tr2, te2 = split_temporal(df, "ts", "2024-01-10")
     assert sorted(r.id for r in tr2.collect()) == [1, 2, 3]   # no embargo
     assert sorted(r.id for r in te2.collect()) == [4, 5, 6]
+
+
+def test_compact_parquet(spark, tmp_path):
+    import glob
+
+    from dataframe_pipeline_spark.sources import compact_parquet
+    src = str(tmp_path / "fragmented")
+    # 64 tiny files
+    spark.range(10000).repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, out, target_mb=128)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert n == 1 and len(files) == 1              # KBs -> one file
+    assert spark.read.parquet(out).count() == 10000
