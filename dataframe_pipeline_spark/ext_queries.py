@@ -2199,6 +2199,25 @@ JOIN (SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
 """
 
 
+def q_text_normalize(spark, sf_dir):
+    """Canonical text normalization (text.TextNormalizer): lowercase →
+    strip punctuation → collapse whitespace, all portable regex codegen
+    — the step that upgrades exact dedup from byte-identity to
+    normalized identity."""
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.TextNormalizer(out_col="norm").transform(docs)
+    return out.select("doc_id", "norm")
+
+
+SQL_TEXT_NORMALIZE = r"""
+SELECT doc_id,
+       trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+           '\s+', ' ', 'g')) AS norm
+FROM documents
+"""
+
+
 def q_text_stopwords(spark, sf_dir):
     """Stopword removal (text.StopwordRemover): literal-array filter
     HOF, map-only, duplicate-preserving (NOT a set op)."""
@@ -2280,6 +2299,7 @@ EXT_QUERIES = {
     "quality_by_source": (q_quality_by_source, _sql_quality_by_source()),
     "events_value_zscore": (q_events_value_zscore, SQL_EVENTS_VALUE_ZSCORE),
     "text_stopwords": (q_text_stopwords, SQL_TEXT_STOPWORDS),
+    "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "hash_encode": (q_hash_encode, SQL_HASH_ENCODE),
     "scaler_robust": (q_scaler_robust, SQL_SCALER_ROBUST),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

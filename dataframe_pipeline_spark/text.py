@@ -490,3 +490,38 @@ class StopwordRemover:
         # preserved (RepetitionScorer etc. depend on it downstream)
         kept = F.filter(toks, lambda t: ~F.array_contains(sw, t))
         return df.withColumn(self.out_col, F.array_join(kept, " "))
+
+
+class TextNormalizer:
+    """Canonical text normalization — the pre-dedup cleanup that makes
+    near-identical documents hash-identical: lowercase, strip
+    punctuation, collapse whitespace runs, trim.  Composing this before
+    ExactDeduplicator/MinHash upgrades them from byte-identity to
+    normalized-identity matching.
+
+    Map-only codegen (three regex/casing expressions, zero shuffle).
+    Each step is optional; operations restrict to engine-portable
+    primitives (lower / regexp_replace / trim) so the oracle replays
+    them byte-for-byte — unicode NFKC folding would need an ICU UDF
+    and is deliberately out of this portable tier.
+    """
+
+    def __init__(self, text_col: str = "text", out_col: str | None = None,
+                 lowercase: bool = True, strip_punct: bool = True,
+                 collapse_ws: bool = True):
+        self.text_col = text_col
+        self.out_col = out_col or text_col
+        self.lowercase = lowercase
+        self.strip_punct = strip_punct
+        self.collapse_ws = collapse_ws
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        c = F.col(self.text_col)
+        if self.lowercase:
+            c = F.lower(c)
+        if self.strip_punct:
+            c = F.regexp_replace(c, r"[^a-z0-9\s]" if self.lowercase
+                                 else r"[^A-Za-z0-9\s]", "")
+        if self.collapse_ws:
+            c = F.trim(F.regexp_replace(c, r"\s+", " "))
+        return df.withColumn(self.out_col, c)

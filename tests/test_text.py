@@ -269,3 +269,22 @@ def test_tfidf_min_df_prunes_rare_terms(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     terms = {r.term for r in tx.TfIdf(min_df=2).transform(df).collect()}
     assert terms == {"cat"}
+
+
+def test_text_normalizer(spark):
+    from dataframe_pipeline_spark.text import TextNormalizer
+
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! (x=1) "), (2, "already clean")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.text
+           for r in TextNormalizer().transform(df).collect()}
+    assert out[1] == "hello world x1"
+    assert out[2] == "already clean"
+    # steps are independently switchable
+    keep_case = TextNormalizer(lowercase=False, out_col="n").transform(df)
+    assert {r.doc_id: r.n for r in keep_case.collect()}[1] == "Hello WORLD x1"
+    # map-only
+    plan = TextNormalizer().transform(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
