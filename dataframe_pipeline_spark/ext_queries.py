@@ -2027,6 +2027,35 @@ SELECT 'added', count(*) FROM orders WHERE o_orderkey % 211 = 0
 """
 
 
+def q_events_trending(spark, sf_dir):
+    """Trending analysis: top-2 event types per 6-hour tumbling window
+    — event-time window aggregate into the rank-limit window
+    (WindowGroupLimit bounded heaps via relational.topk_per_group)."""
+    from .relational import topk_per_group
+    ev = _events(spark, sf_dir)
+    counts = (ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(F.col("w.start").alias("window_start"),
+                      "event_type", "n"))
+    top = topk_per_group(counts, "window_start", "n", k=2,
+                         tiebreak="event_type")
+    return top.select("window_start", F.col("rk").cast("long").alias("rk"),
+                      "event_type", "n")
+
+
+SQL_EVENTS_TRENDING = """
+WITH c AS (
+  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT window_start, rk, event_type, n
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, event_type ASC) AS rk
+      FROM c) t
+WHERE rk <= 2
+"""
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank (graph.pagerank) over the bipartite
     order→part graph, top-20 by rank: each iteration is an edge join +
@@ -2292,6 +2321,7 @@ EXT_QUERIES = {
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
+    "events_trending": (q_events_trending, SQL_EVENTS_TRENDING),
     "range_join_bands": (q_range_join_bands, SQL_RANGE_JOIN_BANDS),
     "record_linkage": (q_record_linkage, SQL_RECORD_LINKAGE),
     "dedup_minhash_incremental": (q_dedup_minhash_incremental,
