@@ -57,6 +57,9 @@ R4_EXTRAS = [
     "dedup_embedding_auto",
     "graph_pagerank",
     "range_join_bands",
+    "record_linkage",
+    "dedup_minhash_incremental",
+    "events_trending",
 ]
 
 EXT_HEADLINE = [
