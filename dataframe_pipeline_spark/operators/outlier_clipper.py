@@ -52,10 +52,15 @@ class OutlierClipper(SparkDFPBase):
         self.accuracy = int(accuracy)
         self.bounds_ = []          # per input: (lo, hi) driver literals
 
-    def _pctl(self, col, q: float):
+    def _pctl_pair(self, col, q0: float, q1: float):
+        """BOTH quantiles from ONE aggregation state (a single
+        value-count map / sketch over the data) — two separate
+        percentile aggregates each build their own, doubling the
+        dominant fit cost at scale."""
+        qq = F.array(F.lit(q0), F.lit(q1))
         if self.exact:
-            return F.percentile(col, F.lit(q))
-        return F.percentile_approx(col, F.lit(q), F.lit(self.accuracy))
+            return F.percentile(col, qq)
+        return F.percentile_approx(col, qq, F.lit(self.accuracy))
 
     def fit(self, df: DataFrame, **params):
         qs = ((self.lo_q, self.hi_q) if self.strategy == "quantile"
@@ -63,12 +68,15 @@ class OutlierClipper(SparkDFPBase):
         aggs = []
         for i, c in enumerate(self.inputs):
             v = nan_to_null(df, c)
-            aggs += [self._pctl(v, qs[0]).cast("double").alias(f"a{i}"),
-                     self._pctl(v, qs[1]).cast("double").alias(f"b{i}")]
+            aggs += [self._pctl_pair(v, qs[0], qs[1]).alias(f"p{i}")]
         row = df.agg(*aggs).collect()[0]
         self.bounds_ = []
         for i in range(len(self.inputs)):
-            a, b = row[f"a{i}"], row[f"b{i}"]
+            pair = row[f"p{i}"]
+            a = float(pair[0]) if pair is not None and pair[0] is not None \
+                else None
+            b = float(pair[1]) if pair is not None and pair[1] is not None \
+                else None
             if a is None or b is None:          # all-NULL column
                 self.bounds_.append((None, None))
             elif self.strategy == "iqr":
