@@ -136,15 +136,25 @@ class RandomProjector:
 
     def transform(self, df: DataFrame, vec_col: str = "embedding",
                   prefix: str = "proj_") -> DataFrame:
+        # LET-bind the quantized vector so it is computed ONCE per row:
+        # writing `q` textually into each of the out_dim dot products
+        # re-quantizes the input per output column (no common-
+        # subexpression elimination across separate column
+        # expressions) — measured 3x slower at sf1.  All dots evaluate
+        # inside one bound lambda producing an array, then project out.
         q = (f"transform({vec_col}, x -> "
              f"cast(round(cast(x as double) * {self.scale}) as bigint))")
-        cols = {}
-        for j, w in enumerate(self.planes):
-            lits = ", ".join(f"{c}L" for c in w)
-            cols[f"{prefix}{j}"] = F.expr(
-                f"aggregate(zip_with({q}, array({lits}), "
-                f"(x, y) -> x * y), 0L, (acc, v) -> acc + v)")
-        return df.withColumns(cols)
+        dots = ", ".join(
+            f"aggregate(zip_with(q, array("
+            + ", ".join(f"{c}L" for c in w)
+            + "), (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+            for w in self.planes)
+        bound = F.expr(f"transform(array({q}), q -> array({dots}))[0]")
+        out = df.withColumn("__dfp_proj", bound)
+        out = out.withColumns({
+            f"{prefix}{j}": F.col("__dfp_proj")[j]
+            for j in range(self.out_dim)})
+        return out.drop("__dfp_proj")
 
 
 def train_centroids(vectors, n_lists: int, iters: int = 10,
