@@ -13,6 +13,8 @@ shuffle-hash/sort-merge plan degrades:
   blocked-key set, broadcast when Catalyst statistics prove it small.
 * :func:`topk_per_group` — bounded per-group selection with a
   deterministic total order.
+* :func:`range_join` — keyless point-in-interval join via the binning
+  trick (equi-join on bucket id, never BroadcastNestedLoopJoin).
 
 The size-gated broadcast hint (:func:`maybe_broadcast`) lives here as
 the canonical implementation; query shapes and operators import it
