@@ -745,13 +745,29 @@ class IncrementalMinHashIndex:
     def __init__(self, k: int = 16, bands: int = 2, n: int = 3):
         self.lsh = MinHashLSHDeduplicator(k=k, bands=bands, n=n)
 
+    def _bands(self, df: DataFrame, id_col: str, text_col: str,
+               out_id: str) -> DataFrame:
+        """(id, __band, __sig) rows — a UNION of per-band element
+        accesses, not ``posexplode``: exploding the signature array
+        routes the whole (collapsed-in) signature kernel through the
+        interpreted Generate path, re-evaluating it per output row —
+        measured 57s vs 4s at sf1.  The union evaluates the kernel
+        once per band per row inside codegen projections (bands is
+        2-4, a bounded constant)."""
+        sigs = self.lsh._signatures(spread(df), id_col, text_col)
+        parts = [sigs.select(F.col("__id").alias(out_id),
+                             F.lit(bi).alias("__band"),
+                             F.col("__sigs")[bi].alias("__sig"))
+                 for bi in range(self.lsh.bands)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def build(self, df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
         """The persistable band table of a corpus snapshot."""
-        sigs = self.lsh._signatures(spread(df), id_col, text_col)
-        return sigs.select(
-            F.col("__id").alias("corpus_id"),
-            F.posexplode("__sigs").alias("__band", "__sig"))
+        return self._bands(df, id_col, text_col, "corpus_id")
 
     @staticmethod
     def write(bands_df: DataFrame, path: str) -> None:
@@ -764,9 +780,18 @@ class IncrementalMinHashIndex:
     def candidates(self, batch: DataFrame, index_bands: DataFrame,
                    id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
-        """(batch_id, corpus_id) candidate near-dup pairs."""
-        b = (self.lsh._signatures(spread(batch), id_col, text_col)
-             .select(F.col("__id").alias("batch_id"),
-                     F.posexplode("__sigs").alias("__band", "__sig")))
+        """(batch_id, corpus_id) candidate near-dup pairs.
+
+        The batch's band frame is persisted before the join — the join
+        references the signature column in null-filters, shuffle keys,
+        and output, and each reference re-evaluates the (collapsed-in)
+        kernel otherwise (the pairs() persist discipline; measured 40s
+        vs 6s at sf1).  The index side should be the PERSISTED parquet
+        table in production (read it with :meth:`read`) — an in-session
+        ``build()`` result joins correctly but recomputes its kernel
+        once per reference too."""
+        b = self._bands(batch, id_col, text_col, "batch_id").persist(
+            StorageLevel.MEMORY_AND_DISK)
+        b.count()
         return (b.join(index_bands, ["__band", "__sig"])
                 .select("batch_id", "corpus_id").distinct())

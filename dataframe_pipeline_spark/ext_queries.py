@@ -200,11 +200,19 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     odd-id docs (the arriving batch) checked against the even-id corpus
     via the persisted-shape band index — the shuffle carries band
     signature strings, never text; corpus text is never rescanned."""
+    import os
+
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     idx = dd.IncrementalMinHashIndex(k=16, bands=2)
-    return idx.candidates(batch, idx.build(corpus))
+    # production shape: the index is a PERSISTED parquet table (built
+    # once per snapshot), the batch probes it — also what keeps the
+    # in-session query honest about cost (an unpersisted build()
+    # result re-evaluates its kernel once per join reference)
+    path = os.path.join(_layout_scratch_dir(), "mh_bands")
+    idx.write(idx.build(corpus), path)
+    return idx.candidates(batch, dd.IncrementalMinHashIndex.read(spark, path))
 
 
 def _sql_minhash_incremental() -> str:
