@@ -1,0 +1,746 @@
+"""Extended TPC-H query tier — the classic decision-support shapes the
+round-3 registry did not yet cover, adapted to the driver's reduced
+TPC-H-ish schema (no ``partsupp``, no ``l_commitdate``/``l_receiptdate``/
+``l_shipmode``; dates span 1995-2001, nations are ``NATION_0..24``).
+
+Shape coverage this module adds on top of ``ext_queries``'s Q1/Q3/Q5/
+ROLLUP: EXISTS / NOT-EXISTS semi- and anti-joins (Q4, Q21, Q22),
+pure-scan aggregate with full pushdown (Q6), multi-fact snowflake joins
+(Q7, Q8, Q9), group-then-join top-k (Q10, Q15, Q18), two-level
+aggregation over an outer join (Q13), conditional-share aggregates
+(Q8, Q14), correlated scalar-subquery-per-group (Q17), and OR-of-ANDs
+join predicates (Q19).  Q2/Q11/Q16/Q20 depend on ``partsupp``, which the
+driver's generator does not ship — their shapes (min-per-group join,
+HAVING over a scalar subquery, NOT-IN distinct count, nested semi-join
+chain) are covered by Q15/Q17/Q21/Q22 here and the profiling tier.
+
+Scale notes (the 100 TB plan, not the sf0.01 one):
+
+* Every sum that feeds a value hash is an exact DECIMAL sum cast to
+  double at the end — reduction order can never flip a hash.
+* True dims (nation/region/supplier/part subsets, per-part or per-order
+  aggregates bounded by a dim) get the size-gated ``maybe_broadcast``
+  hint; anything fact-derived is left to AQE, per the sf1 A/B in
+  SCALE.md.
+* No correlated per-row subqueries survive into the plan: Q17's inner
+  average and Q15/Q22's scalars become one tiny aggregate joined back;
+  Q21's double EXISTS becomes two hash aggregates on the same key.
+
+Reference parity: the reference engine ships no decision-support query
+suite (it is an ML-preprocessing pipeline; see SURVEY.md §2) — this tier
+is part of the driver's "same query capabilities, Spark-first" ask, and
+each query doubles as a physical-plan probe for the join strategies the
+package's operators rely on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .ext_queries import _REV, _dec
+from .queries import _t
+from .relational import maybe_broadcast
+
+# Exact-decimal revenue expression (Spark side).  The SQL twin is
+# ext_queries._REV.
+def _rev():
+    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+
+
+def _dbl(c):
+    return F.col(c).cast("double")
+
+
+# ==========================================================================
+# Q4 — order-priority checking (EXISTS → left-semi with a cross-table
+# inequality).  Adapted "late" predicate: shipped >30 days after order.
+# ==========================================================================
+
+def q_tpch_q4_priority(spark, sf_dir):
+    """TPC-H Q4 shape: quarter-filtered orders, EXISTS(lineitem late).
+
+    The EXISTS compiles to a left-semi hash join on l_orderkey with the
+    date inequality as a join-side filter; the quarter filter on orders
+    is pushed to the parquet scan, so the semi join's build side is the
+    pruned quarter, not the full fact table."""
+    od = (_t(spark, sf_dir, "orders")
+          .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = od.join(
+        li,
+        (od.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > od.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# ==========================================================================
+# Q6 — forecasting revenue change (pure scan aggregate, full pushdown)
+# ==========================================================================
+
+def q_tpch_q6_revenue(spark, sf_dir):
+    """TPC-H Q6: single-table filtered scan → one global aggregate.
+
+    Every predicate reaches the parquet reader as a PushedFilter and
+    only 4 of 11 columns are read; at 100 TB this is the I/O-bound
+    floor the format allows."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(F.sum(_dec("l_extendedprice") * _dec("l_discount")).alias("_r")))
+    return out.select(F.col("_r").cast("double").alias("revenue"))
+
+
+SQL_TPCH_Q6 = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ==========================================================================
+# Q7 — volume shipping between two nations (double snowflake)
+# ==========================================================================
+
+_Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
+
+
+def q_tpch_q7_volume(spark, sf_dir):
+    """TPC-H Q7 shape: lineitem → supplier-nation AND order-customer-
+    nation, nation-pair filter, group by pair × year.
+
+    Both nation dims are pre-filtered to the two named nations before
+    any fact touch — the supplier side collapses to a handful of rows
+    (broadcast), and the customer side prunes orders via the FK chain.
+    The fact-derived orders×customer dim is left to AQE (SCALE.md A/B)."""
+    na = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(_Q7_N1, _Q7_N2))
+    su = (_t(spark, sf_dir, "supplier")
+          .join(maybe_broadcast(na.select("n_nationkey",
+                                          F.col("n_name").alias("supp_nation"))),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", "supp_nation"))
+    cu = (_t(spark, sf_dir, "customer")
+          .join(maybe_broadcast(na.select(F.col("n_nationkey").alias("nk2"),
+                                          F.col("n_name").alias("cust_nation"))),
+                F.col("c_nationkey") == F.col("nk2"))
+          .select("c_custkey", "cust_nation"))
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    dim = (od.join(maybe_broadcast(cu), od.o_custkey == cu.c_custkey)
+           .select("o_orderkey", "cust_nation"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))))
+    return (
+        li.join(maybe_broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(dim, li.l_orderkey == dim.o_orderkey)
+        .filter(((F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2))
+                | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1)))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+SQL_TPCH_Q7 = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year, {_REV} AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+      OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+) GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# ==========================================================================
+# Q8 — national market share (conditional-share aggregate)
+# ==========================================================================
+
+_Q8_NATION, _Q8_REGION, _Q8_TYPE = "NATION_3", "ASIA", "PROMO"
+
+
+def q_tpch_q8_share(spark, sf_dir):
+    """TPC-H Q8 shape: per-year share of revenue delivered by one
+    supplier nation, within one customer region and part type.
+
+    Share = sum(CASE)/sum — one aggregate, no self-join.  Exact decimal
+    sums on both numerator and denominator; the double division happens
+    once per output row."""
+    re_ = _t(spark, sf_dir, "region").filter(F.col("r_name") == _Q8_REGION)
+    na = _t(spark, sf_dir, "nation")
+    na_r = (na.join(maybe_broadcast(re_), na.n_regionkey == re_.r_regionkey)
+            .select(F.col("n_nationkey").alias("rnk")))
+    cu = (_t(spark, sf_dir, "customer")
+          .join(maybe_broadcast(na_r), F.col("c_nationkey") == F.col("rnk"),
+                "left_semi")
+          .select("c_custkey"))
+    od = (_t(spark, sf_dir, "orders")
+          .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))))
+    dim = (od.join(maybe_broadcast(cu), od.o_custkey == cu.c_custkey, "left_semi")
+           .select("o_orderkey", "o_orderdate"))
+    pt = (_t(spark, sf_dir, "part").filter(F.col("p_type") == _Q8_TYPE)
+          .select("p_partkey"))
+    su = (_t(spark, sf_dir, "supplier")
+          .join(maybe_broadcast(na.select("n_nationkey",
+                                          F.col("n_name").alias("supp_nation"))),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", "supp_nation"))
+    li = _t(spark, sf_dir, "lineitem")
+    vol = _rev()
+    return (
+        li.join(maybe_broadcast(pt), li.l_partkey == pt.p_partkey, "left_semi")
+        .join(maybe_broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(dim, li.l_orderkey == dim.o_orderkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == _Q8_NATION, vol)
+                  .otherwise(F.lit(0).cast("decimal(18,2)"))).alias("_num"),
+            F.sum(vol).alias("_den"))
+        .select("o_year",
+                F.round(F.col("_num").cast("double")
+                        / F.col("_den").cast("double"), 6).alias("mkt_share"))
+    )
+
+
+SQL_TPCH_Q8 = f"""
+SELECT o_year,
+       ROUND(CAST(sum(CASE WHEN supp_nation = '{_Q8_NATION}' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year, {_REV} AS volume, n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region   ON n2.n_regionkey = r_regionkey
+  WHERE r_name = '{_Q8_REGION}' AND p_type = '{_Q8_TYPE}'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+) GROUP BY o_year
+"""
+
+
+# ==========================================================================
+# Q9 — product-type profit (supply cost proxied off p_retailprice,
+# since the driver schema ships no partsupp)
+# ==========================================================================
+
+_Q9_PATTERN = "widget"
+
+
+def q_tpch_q9_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation × order year for parts
+    matching a name pattern.  Supply cost is proxied as
+    0.5 × p_retailprice (deterministic, partsupp absent from schema).
+
+    Revenue and cost are separate exact decimal sums, differenced in
+    double at the end — associative, partial-aggregatable, hash-stable."""
+    pt = (_t(spark, sf_dir, "part")
+          .filter(F.col("p_name").contains(_Q9_PATTERN))
+          .select("p_partkey",
+                  (F.col("p_retailprice").cast("decimal(12,2)")
+                   * F.lit("0.5").cast("decimal(4,2)")).alias("supp_cost")))
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    su = (_t(spark, sf_dir, "supplier")
+          .join(maybe_broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", "n_name"))
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    cost = (F.col("supp_cost") * F.col("l_quantity").cast("decimal(12,2)"))
+    return (
+        li.join(maybe_broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(maybe_broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(_rev()).alias("_r"), F.sum(cost).alias("_c"))
+        .select("nation", "o_year",
+                F.round(F.col("_r").cast("double") - F.col("_c").cast("double"),
+                        6).alias("sum_profit"))
+    )
+
+
+SQL_TPCH_Q9 = f"""
+SELECT nation, o_year,
+       ROUND(CAST(sum(rev) AS DOUBLE) - CAST(sum(cost) AS DOUBLE), 6)
+         AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year, {_REV} AS rev,
+         CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.5 AS DECIMAL(4,2))
+           * CAST(l_quantity AS DECIMAL(12,2)) AS cost
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%{_Q9_PATTERN}%'
+) GROUP BY nation, o_year
+"""
+
+
+# ==========================================================================
+# Q10 — returned-item reporting (group fact, then join dims, top 20)
+# ==========================================================================
+
+def q_tpch_q10_returns(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returns per customer in a
+    quarter, top 20.
+
+    Aggregate FIRST on the fact side (per custkey), then join the
+    customer/nation dims onto the ≤|customer| aggregate — the dims
+    never touch the fact shuffle.  Top-k is TakeOrderedAndProject."""
+    od = (_t(spark, sf_dir, "orders")
+          .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+          .select("o_orderkey", "o_custkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R"))
+    rev_per_cust = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_rev()).alias("_r")))
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        rev_per_cust
+        .join(maybe_broadcast(cu), rev_per_cust.o_custkey == cu.c_custkey)
+        .join(maybe_broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .select("c_custkey", "c_name",
+                F.col("_r").cast("double").alias("revenue"),
+                "c_acctbal", "n_name", "c_mktsegment")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = f"""
+SELECT c_custkey, c_name, CAST(sum({_REV}) AS DOUBLE) AS revenue,
+       c_acctbal, n_name, c_mktsegment
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ==========================================================================
+# Q13 — customer order-count distribution (outer join + two aggregates)
+# ==========================================================================
+
+def q_tpch_q13_custdist(spark, sf_dir):
+    """TPC-H Q13: histogram of customers by order count, orders filtered
+    by a non-key predicate so the LEFT join must preserve zero-order
+    customers.
+
+    count(o_orderkey) over the left join counts matches only (NULLs
+    excluded) — the zero bucket falls out of the outer join, no
+    special-casing.  Both aggregates partial-aggregate map-side."""
+    cu = _t(spark, sf_dir, "customer").select("c_custkey")
+    od = (_t(spark, sf_dir, "orders")
+          .filter(F.col("o_orderpriority") != "5-LOW")
+          .select("o_orderkey", "o_custkey"))
+    per_cust = (cu.join(od, cu.c_custkey == od.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+# ==========================================================================
+# Q14 — promotion revenue share (conditional aggregate over one join)
+# ==========================================================================
+
+def q_tpch_q14_promo(spark, sf_dir):
+    """TPC-H Q14: percentage of one month's revenue from PROMO parts.
+
+    One scan, one broadcast dim join, one aggregate — the CASE share
+    pattern again (no self-join, no second pass)."""
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))))
+    vol = _rev()
+    return (
+        li.join(maybe_broadcast(pt), li.l_partkey == pt.p_partkey)
+        .agg(F.sum(F.when(F.col("p_type") == "PROMO", vol)
+                   .otherwise(F.lit(0).cast("decimal(18,2)"))).alias("_num"),
+             F.sum(vol).alias("_den"))
+        .select(F.round(F.lit(100.0) * F.col("_num").cast("double")
+                        / F.col("_den").cast("double"), 6)
+                .alias("promo_revenue_pct"))
+    )
+
+
+SQL_TPCH_Q14 = f"""
+SELECT ROUND(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV}
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum({_REV}) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+# ==========================================================================
+# Q15 — top supplier (scalar-subquery max → 1-row broadcast join)
+# ==========================================================================
+
+def q_tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) whose quarter revenue equals the maximum.
+
+    The scalar subquery becomes a 1-row max aggregate broadcast-joined
+    against the per-supplier aggregate; equality compares the exact
+    decimals, so ties and float fuzz can't drop a row."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))))
+    per_supp = (li.groupBy("l_suppkey")
+                .agg(F.sum(_rev()).alias("_total")))
+    mx = per_supp.agg(F.max("_total").alias("_mx"))
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.join(F.broadcast(mx), per_supp._total == mx._mx)
+        .join(maybe_broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .select("s_suppkey", "s_name",
+                F.col("_total").cast("double").alias("total_revenue"))
+    )
+
+
+SQL_TPCH_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, sum({_REV}) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total = (SELECT max(total) FROM revenue)
+"""
+
+
+# ==========================================================================
+# Q17 — small-quantity-order revenue (correlated per-group average)
+# ==========================================================================
+
+_Q17_BRAND = "Brand#1"
+
+
+def q_tpch_q17_small_qty(spark, sf_dir):
+    """TPC-H Q17: average yearly revenue lost if small-quantity orders
+    (below 20% of the part's average quantity) were not filled, for one
+    brand.
+
+    The correlated scalar subquery (avg qty per part) is ONE grouped
+    aggregate over the brand-pruned fact, joined back — bounded by
+    |part|, so it takes the broadcast gate.  Quantities are integral
+    doubles: sum/count division is exact-sum double math on both
+    engines, so the 0.2×avg threshold compares bit-identically."""
+    pt = (_t(spark, sf_dir, "part").filter(F.col("p_brand") == _Q17_BRAND)
+          .select("p_partkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(maybe_broadcast(pt), F.col("l_partkey") == pt.p_partkey,
+                "left_semi"))
+    avgs = (li.groupBy("l_partkey")
+            .agg((F.sum("l_quantity") / F.count("l_quantity")).alias("_avg"))
+            .withColumnRenamed("l_partkey", "_pk"))
+    out = (li.join(maybe_broadcast(avgs, bound_df=pt),
+                   F.col("l_partkey") == F.col("_pk"))
+           .filter(F.col("l_quantity") < 0.2 * F.col("_avg"))
+           .agg(F.sum(_dec("l_extendedprice")).alias("_s")))
+    return out.select(
+        F.round(F.col("_s").cast("double") / F.lit(7.0), 6).alias("avg_yearly"))
+
+
+SQL_TPCH_Q17 = f"""
+SELECT ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = '{_Q17_BRAND}'
+  AND l_quantity < 0.2 * (
+    SELECT sum(l_quantity) / count(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+# ==========================================================================
+# Q18 — large-volume customers (HAVING on a fact aggregate, then dims)
+# ==========================================================================
+
+_Q18_QTY = 250
+
+
+def q_tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18: orders whose total quantity exceeds a threshold,
+    with customer, top 100 by order price.
+
+    The HAVING aggregate runs on (orderkey) BEFORE any dim join — the
+    filter collapses the fact to a small key set, and the orders/
+    customer joins happen on that survivor set only."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .filter(F.col("sum_qty") > _Q18_QTY))
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(od, big.l_orderkey == od.o_orderkey)
+        .join(maybe_broadcast(cu), od.o_custkey == cu.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18 = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > {_Q18_QTY}
+)
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+# ==========================================================================
+# Q19 — discounted revenue (OR-of-ANDs join predicate)
+# ==========================================================================
+
+def q_tpch_q19_disjunct(spark, sf_dir):
+    """TPC-H Q19: revenue under three OR'd brand/size/quantity
+    conjunctions.
+
+    The part side is pre-pruned with the union of the part-only
+    predicates (manual cross-join-side pushdown — Catalyst does not
+    infer it through the OR), then the full disjunction filters the
+    joined rows.  The join itself stays a plain partkey equi-join, never
+    a nested-loop."""
+    cond_part = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 25)))
+    pt = (_t(spark, sf_dir, "part")
+          .filter(cond_part).select("p_partkey", "p_brand", "p_size"))
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(maybe_broadcast(pt), li.l_partkey == pt.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(20, 30)))
+    return (joined.filter(cond)
+            .agg(F.sum(_rev()).cast("double").alias("revenue")))
+
+
+SQL_TPCH_Q19 = f"""
+SELECT CAST(sum({_REV}) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ==========================================================================
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS, adapted:
+# "late" = shipped >60 days after the order date)
+# ==========================================================================
+
+def q_tpch_q21_waiting(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on
+    multi-supplier finalized orders, top 20 by count.
+
+    The classic double correlated EXISTS/NOT-EXISTS over the same fact
+    becomes one hash aggregate per (order, supplier) plus an order-keyed
+    window for the per-order supplier/late counts — `late ∧ n_supp > 1 ∧
+    n_late = 1` is exactly `self late ∧ ∃ other supplier ∧ ¬∃ other
+    late supplier`.  One fact scan, keyed shuffles only, no correlated
+    re-scan per row and no self-join lineage duplication."""
+    od = (_t(spark, sf_dir, "orders")
+          .filter(F.col("o_orderstatus") == "F")
+          .select("o_orderkey", "o_orderdate"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    flagged = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select("l_orderkey", "l_suppkey",
+                (F.col("l_shipdate")
+                 > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+                .cast("int").alias("_late")))
+    per_pair = (flagged.groupBy("l_orderkey", "l_suppkey")
+                .agg(F.sum("_late").alias("late_rows")))
+    # Per-order supplier/late-supplier counts as an unbounded window
+    # over the pair aggregate — NOT a groupBy + self-join, which would
+    # duplicate the per_pair lineage and re-scan lineitem⋈orders twice.
+    # Window state is bounded by suppliers-per-order (single digits).
+    w = Window.partitionBy("l_orderkey")
+    per_order = per_pair.select(
+        "l_orderkey", "l_suppkey", "late_rows",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum((F.col("late_rows") > 0).cast("int")).over(w).alias("n_late"))
+    # A qualifying supplier contributes one count PER LATE LINEITEM ROW
+    # (the reference Q21 counts l1 rows, not orders) — hence
+    # sum(late_rows), not count(*).
+    waiting = per_order.filter(
+        (F.col("late_rows") > 0) & (F.col("n_supp") > 1)
+        & (F.col("n_late") == 1))
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.sum("late_rows").alias("numwait"))
+        .join(maybe_broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3
+                    ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+# ==========================================================================
+# Q22 — idle high-balance customers (scalar subquery + anti-join,
+# adapted: "idle" = no orders since 2000-01-01; grouped by mktsegment)
+# ==========================================================================
+
+_Q22_CUTOFF = "2000-01-01"
+
+
+def q_tpch_q22_idle(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no recent orders, counted per market segment.
+
+    The scalar average is a 1-row aggregate cross-broadcast onto
+    customer (map-side filter); the NOT EXISTS is a left-anti join
+    against the date-pruned orders scan.  Balance sums are exact
+    decimal."""
+    cu = _t(spark, sf_dir, "customer")
+    avg_bal = (cu.filter(F.col("c_acctbal") > 0)
+               .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                     .cast("double")
+                     / F.count(F.lit(1))).alias("_avg")))
+    recent = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate")
+                      >= F.lit(_Q22_CUTOFF).cast("timestamp"))
+              .select("o_custkey"))
+    sel = (cu.crossJoin(F.broadcast(avg_bal))
+           .filter(F.col("c_acctbal") > F.col("_avg"))
+           .join(recent, cu.c_custkey == recent.o_custkey, "left_anti"))
+    return (sel.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                 .cast("double").alias("totacctbal")))
+
+
+SQL_TPCH_Q22 = f"""
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+    FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}')
+GROUP BY c_mktsegment
+"""
+
+
+TPCH_QUERIES = {
+    "tpch_q4_priority": (q_tpch_q4_priority, SQL_TPCH_Q4),
+    "tpch_q6_revenue": (q_tpch_q6_revenue, SQL_TPCH_Q6),
+    "tpch_q7_volume": (q_tpch_q7_volume, SQL_TPCH_Q7),
+    "tpch_q8_share": (q_tpch_q8_share, SQL_TPCH_Q8),
+    "tpch_q9_profit": (q_tpch_q9_profit, SQL_TPCH_Q9),
+    "tpch_q10_returns": (q_tpch_q10_returns, SQL_TPCH_Q10),
+    "tpch_q13_custdist": (q_tpch_q13_custdist, SQL_TPCH_Q13),
+    "tpch_q14_promo": (q_tpch_q14_promo, SQL_TPCH_Q14),
+    "tpch_q15_top_supplier": (q_tpch_q15_top_supplier, SQL_TPCH_Q15),
+    "tpch_q17_small_qty": (q_tpch_q17_small_qty, SQL_TPCH_Q17),
+    "tpch_q18_large_orders": (q_tpch_q18_large_orders, SQL_TPCH_Q18),
+    "tpch_q19_disjunct": (q_tpch_q19_disjunct, SQL_TPCH_Q19),
+    "tpch_q21_waiting": (q_tpch_q21_waiting, SQL_TPCH_Q21),
+    "tpch_q22_idle": (q_tpch_q22_idle, SQL_TPCH_Q22),
+}

@@ -1,0 +1,87 @@
+"""Physical-plan assertions for the extended TPC-H tier (tpch.py):
+the shapes that would break at 100 TB if they silently regressed —
+pushdown reaching the scan, EXISTS as a semi join (not a correlated
+re-scan), equi-joins never degrading to nested loops, fact aggregates
+running before dim joins, and top-k as bounded heaps."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_q6_filters_reach_scan_and_columns_pruned(spark, qs):
+    p = _plan(qs["tpch_q6_revenue"](spark, SF))
+    assert "PushedFilters: [" in p and "IsNotNull(l_shipdate)" in p
+    # only the 4 needed columns in ReadSchema, not all 11
+    rs = p.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_extendedprice" in rs and "l_returnflag" not in rs
+
+
+def test_q4_exists_is_semi_join(spark, qs):
+    p = _plan(qs["tpch_q4_priority"](spark, SF))
+    assert "LeftSemi" in p
+    assert "NestedLoop" not in p
+
+
+def test_q19_disjunction_stays_hash_join(spark, qs):
+    """OR-of-ANDs predicates must not push the join into a nested loop:
+    the partkey equi-condition keys a hash join, the disjunction is a
+    post-join filter."""
+    p = _plan(qs["tpch_q19_disjunct"](spark, SF))
+    assert "NestedLoop" not in p
+
+
+def test_q10_aggregates_fact_before_dim_join(spark, qs):
+    """The per-customer revenue aggregate must run below the customer/
+    nation joins — grouping after the join would shuffle dim payload
+    columns through the fact exchange."""
+    df = qs["tpch_q10_returns"](spark, SF)
+    p = _plan(df)
+    # TakeOrderedAndProject = heap top-k, never a global sort
+    assert "TakeOrderedAndProject" in p
+    # the aggregate's grouping key is o_custkey only (pre-join agg);
+    # a post-join aggregate would key on c_custkey/c_name etc.
+    agg_lines = [ln for ln in p.splitlines() if "HashAggregate" in ln]
+    assert agg_lines and all("c_name" not in ln for ln in agg_lines)
+
+
+def test_q21_is_two_aggregates_not_correlated_rescan(spark, qs):
+    """The EXISTS/NOT-EXISTS pair must compile to hash aggregates plus
+    one self-join on the order key — a correlated formulation would
+    plan per-row subquery re-scans (visible as extra scans/joins)."""
+    p = _plan(qs["tpch_q21_waiting"](spark, SF))
+    assert p.count("Scan parquet") <= 3  # lineitem, orders, supplier
+    assert "NestedLoop" not in p
+
+
+def test_q15_max_is_broadcast_scalar(spark, qs):
+    """The revenue max joins back as a 1-row broadcast — never a
+    shuffle of the per-supplier aggregate against itself."""
+    p = _plan(qs["tpch_q15_top_supplier"](spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, qs):
+    p = _plan(qs["tpch_q22_idle"](spark, SF))
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_q17_inner_average_is_single_aggregate(spark, qs):
+    """The correlated per-part average must be ONE grouped aggregate
+    joined back, not a per-row re-scan: exactly one scan of lineitem
+    per side of the join (2 total), one of part."""
+    p = _plan(qs["tpch_q17_small_qty"](spark, SF))
+    assert p.count("Scan parquet") <= 4
+    assert "NestedLoop" not in p
