@@ -1,0 +1,288 @@
+"""Declarative data-quality expectations — the validation gate a
+large-scale ingest/training pipeline runs before it trusts a snapshot
+(null rates, ranges, domains, uniqueness, referential integrity,
+freshness), plus a row-level quarantine splitter for routing bad rows.
+
+Design for the 100 TB case:
+
+* ``ExpectationSuite.report(df)`` compiles EVERY aggregate-style check
+  into ONE hash-aggregate job over ONE scan — conditional counts
+  (``sum(CASE WHEN bad)``) and min/max/mean/distinct all evaluate in
+  the same partial+final aggregation, so adding a check never adds a
+  pass.  The 1-row wide result is unpivoted into the per-check report
+  with an ``inline(array(struct(...)))`` over that single row —
+  O(checks), not a data pass.
+* Uniqueness uses ``approx_count_distinct`` (HLL++, fixed memory,
+  partial-aggregatable) by default; ``exact=True`` opts into exact
+  distinct counts for audit scale and oracle parity.
+* Referential checks (``fk_in``) are the one shape that genuinely
+  needs a second relation: each compiles to a LEFT ANTI join against
+  the (deduplicated) dimension key set — size-gated broadcast, so at
+  scale the anti join is a map-side bloom-ish probe when the dim fits
+  and a keyed shuffle when it doesn't.  Their counts are unioned onto
+  the report; the main scan stays single-pass.
+* ``quarantine(df)`` evaluates only the ROW-LEVEL checks (not_null /
+  in_range / in_set / matches) as a map-only projection: returns
+  (good, bad) where ``bad`` carries a ``_failed`` array naming the
+  violated checks.  No shuffle, no Python — the split is two codegen
+  filters over the same scan.
+
+The report schema is stable and engine-portable (one row per check):
+``check / column / passed / observed / n_bad`` — ``observed`` is the
+measured statistic rounded to 6 decimals (fraction, count, or value
+depending on the check), ``n_bad`` the violating-row count where the
+check has row granularity (NULL for table-level checks).
+
+Reference parity: the reference engine has no validation surface; this
+tier is part of the driver's beyond-reference training-pipeline ask and
+follows the same fit/transform-free functional style as profiling.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .relational import maybe_broadcast
+
+REPORT_COLUMNS = ["check", "column", "passed", "observed", "n_bad"]
+
+
+@dataclass(frozen=True)
+class Check:
+    """One expectation.  ``kind`` ∈ {not_null, in_range, in_set,
+    matches, unique, row_count, mean_between, fresh, fk_in}."""
+
+    kind: str
+    column: str | None = None
+    lo: float | None = None
+    hi: float | None = None
+    values: tuple = ()
+    pattern: str | None = None
+    max_bad_frac: float = 0.0
+    ref: Any = None          # fk_in: (dim_df, dim_col); fresh: cutoff ts
+    name: str | None = None
+
+    @property
+    def label(self) -> str:
+        return self.name or (
+            f"{self.kind}({self.column})" if self.column else self.kind)
+
+
+def not_null(column: str, max_null_frac: float = 0.0, name: str | None = None) -> Check:
+    return Check("not_null", column, max_bad_frac=max_null_frac, name=name)
+
+
+def in_range(column: str, lo: float, hi: float,
+             max_bad_frac: float = 0.0, name: str | None = None) -> Check:
+    return Check("in_range", column, lo=lo, hi=hi,
+                 max_bad_frac=max_bad_frac, name=name)
+
+
+def in_set(column: str, values, max_bad_frac: float = 0.0,
+           name: str | None = None) -> Check:
+    return Check("in_set", column, values=tuple(values),
+                 max_bad_frac=max_bad_frac, name=name)
+
+
+def matches(column: str, pattern: str, max_bad_frac: float = 0.0,
+            name: str | None = None) -> Check:
+    """Regex SEARCH against an engine-portable ERE (Spark ``rlike`` /
+    DuckDB ``regexp_matches`` semantics) — anchor with ``^``/``$`` for a
+    full match."""
+    return Check("matches", column, pattern=pattern,
+                 max_bad_frac=max_bad_frac, name=name)
+
+
+def unique(column: str, name: str | None = None) -> Check:
+    return Check("unique", column, name=name)
+
+
+def row_count(lo: float, hi: float = float("inf"), name: str | None = None) -> Check:
+    return Check("row_count", None, lo=lo, hi=hi, name=name)
+
+
+def mean_between(column: str, lo: float, hi: float, name: str | None = None) -> Check:
+    return Check("mean_between", column, lo=lo, hi=hi, name=name)
+
+
+def fresh(column: str, cutoff, name: str | None = None) -> Check:
+    """Newest timestamp in ``column`` must be >= ``cutoff`` (a literal —
+    callers pass their clock; the library never reads one)."""
+    return Check("fresh", column, ref=cutoff, name=name)
+
+
+def fk_in(column: str, dim: DataFrame, dim_col: str,
+          max_bad_frac: float = 0.0, name: str | None = None) -> Check:
+    """Referential integrity: every non-null value of ``column`` exists
+    in ``dim[dim_col]``."""
+    return Check("fk_in", column, ref=(dim, dim_col),
+                 max_bad_frac=max_bad_frac, name=name)
+
+
+_ROW_LEVEL = {"not_null", "in_range", "in_set", "matches"}
+
+
+@dataclass
+class ExpectationSuite:
+    checks: list = field(default_factory=list)
+    exact: bool = False  # exact distinct counts (audit / oracle parity)
+    #: HLL++ relative standard deviation for approx ``unique`` checks.
+    #: In approx mode a unique check passes when the estimated
+    #: duplicate count is within 2×rsd of the non-null count — the
+    #: sketch's own error band — so it detects GROSS duplication
+    #: without false-failing unique data on estimation noise; use
+    #: ``exact=True`` when duplicates near zero must be caught.
+    rsd: float = 0.05
+
+    # -- row-level predicate: True = row passes this check ------------
+    def _row_pred(self, c: Check):
+        col = F.col(c.column)
+        if c.kind == "not_null":
+            return col.isNotNull()
+        if c.kind == "in_range":
+            return col.isNull() | ((col >= c.lo) & (col <= c.hi))
+        if c.kind == "in_set":
+            return col.isNull() | col.isin(*c.values)
+        if c.kind == "matches":
+            return col.isNull() | (col.cast("string").rlike(c.pattern))
+        raise ValueError(f"not a row-level check: {c.kind}")
+
+    def report(self, df: DataFrame) -> DataFrame:
+        """One row per check: ``check, column, passed, observed, n_bad``.
+        One aggregate job for all non-FK checks; one anti-join aggregate
+        per FK check, unioned on."""
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for i, c in enumerate(self.checks):
+            a = f"_m{i}"
+            if c.kind in _ROW_LEVEL:
+                aggs.append(
+                    F.sum((~self._row_pred(c)).cast("long")).alias(a))
+            elif c.kind == "unique":
+                cnt = (F.count_distinct(F.col(c.column)) if self.exact
+                       else F.approx_count_distinct(c.column, self.rsd))
+                aggs.append(cnt.alias(a))
+                aggs.append(F.count(F.col(c.column)).alias(a + "nn"))
+            elif c.kind == "mean_between":
+                # exact decimal sum (6-dp quantized), divided in double:
+                # the mean is bit-identical across engines and partition
+                # orders — a double sum's reduction order could flip the
+                # 6-dp rounding at a boundary.
+                aggs.append(
+                    (F.sum(F.col(c.column).cast("decimal(28,6)"))
+                     .cast("double")
+                     / F.count(F.col(c.column))).alias(a))
+            elif c.kind == "fresh":
+                aggs.append(F.max(F.col(c.column)).alias(a))
+            elif c.kind in ("row_count", "fk_in"):
+                pass  # row_count reads _n; fk_in handled below
+            else:
+                raise ValueError(f"unknown check kind: {c.kind}")
+        wide = df.agg(*aggs)
+
+        rows = []
+        for i, c in enumerate(self.checks):
+            a = f"_m{i}"
+            lbl, coln = F.lit(c.label), F.lit(c.column)
+            if c.kind in _ROW_LEVEL:
+                frac = F.col(a) / F.greatest(F.col("_n"), F.lit(1))
+                rows.append(F.struct(
+                    lbl.alias("check"), coln.alias("column"),
+                    (frac <= c.max_bad_frac).alias("passed"),
+                    F.round(frac, 6).cast("double").alias("observed"),
+                    F.col(a).cast("long").alias("n_bad")))
+            elif c.kind == "unique":
+                dup = F.col(a + "nn") - F.col(a)
+                tol = (F.lit(0) if self.exact
+                       else F.lit(2.0 * self.rsd) * F.col(a + "nn"))
+                rows.append(F.struct(
+                    lbl.alias("check"), coln.alias("column"),
+                    (dup <= tol).alias("passed"),
+                    F.col(a).cast("double").alias("observed"),
+                    F.greatest(dup, F.lit(0)).cast("long").alias("n_bad")))
+            elif c.kind == "mean_between":
+                rows.append(F.struct(
+                    lbl.alias("check"), coln.alias("column"),
+                    ((F.col(a) >= c.lo) & (F.col(a) <= c.hi)).alias("passed"),
+                    F.round(F.col(a), 6).cast("double").alias("observed"),
+                    F.lit(None).cast("long").alias("n_bad")))
+            elif c.kind == "fresh":
+                cut = F.lit(c.ref).cast("timestamp")
+                rows.append(F.struct(
+                    lbl.alias("check"), coln.alias("column"),
+                    (F.col(a) >= cut).alias("passed"),
+                    F.round(F.unix_timestamp(F.col(a)).cast("double"), 6)
+                    .alias("observed"),
+                    F.lit(None).cast("long").alias("n_bad")))
+            elif c.kind == "row_count":
+                rows.append(F.struct(
+                    lbl.alias("check"),
+                    F.lit(None).cast("string").alias("column"),
+                    ((F.col("_n") >= c.lo) & (F.col("_n") <= c.hi))
+                    .alias("passed"),
+                    F.col("_n").cast("double").alias("observed"),
+                    F.lit(None).cast("long").alias("n_bad")))
+        base = wide.select(F.inline(F.array(*rows))) if rows else None
+
+        parts = [base] if base is not None else []
+        for c in self.checks:
+            if c.kind != "fk_in":
+                continue
+            dim, dim_col = c.ref
+            keys = dim.select(F.col(dim_col).alias("_k")).dropDuplicates()
+            orphans = (df.select(F.col(c.column).alias("_v"))
+                       .filter(F.col("_v").isNotNull())
+                       .join(maybe_broadcast(keys),
+                             F.col("_v") == F.col("_k"), "left_anti"))
+            part = (orphans.agg(F.count(F.lit(1)).alias("_bad"))
+                    .crossJoin(df.agg(F.count(F.lit(1)).alias("_n")))
+                    .select(
+                        F.lit(c.label).alias("check"),
+                        F.lit(c.column).alias("column"),
+                        ((F.col("_bad")
+                          / F.greatest(F.col("_n"), F.lit(1)))
+                         <= c.max_bad_frac).alias("passed"),
+                        F.round(F.col("_bad")
+                                / F.greatest(F.col("_n"), F.lit(1)), 6)
+                        .cast("double").alias("observed"),
+                        F.col("_bad").cast("long").alias("n_bad")))
+            parts.append(part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def validate(self, df: DataFrame) -> bool:
+        """True iff every check passes (collects the tiny report)."""
+        return all(r["passed"] for r in self.report(df).collect())
+
+    def validate_or_raise(self, df: DataFrame) -> None:
+        failed = [r for r in self.report(df).collect() if not r["passed"]]
+        if failed:
+            detail = "; ".join(
+                f"{r['check']} observed={r['observed']}" for r in failed)
+            raise ValueError(f"{len(failed)} expectation(s) failed: {detail}")
+
+    def quarantine(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Split on the suite's ROW-LEVEL checks: ``(good, bad)`` where
+        ``bad`` gains a ``_failed`` array of violated check labels.
+        Map-only: two codegen filters over the same scan, no shuffle,
+        no Python."""
+        row_checks = [c for c in self.checks if c.kind in _ROW_LEVEL]
+        if not row_checks:
+            raise ValueError("quarantine needs at least one row-level "
+                             "check (not_null/in_range/in_set/matches)")
+        preds = [self._row_pred(c) for c in row_checks]
+        all_ok = preds[0]
+        for p in preds[1:]:
+            all_ok = all_ok & p
+        good = df.filter(all_ok)
+        failed = F.array_compact(F.array(*[
+            F.when(~p, F.lit(c.label))
+            for c, p in zip(row_checks, preds)]))
+        bad = (df.withColumn("_failed", failed)
+               .filter(F.size("_failed") > 0))
+        return good, bad

@@ -2308,7 +2308,79 @@ def _sql_profile_customer() -> str:
 SQL_PROFILE_CUSTOMER = _sql_profile_customer()
 
 
+def q_expect_orders(spark, sf_dir):
+    """Data-quality expectation suite over orders: every aggregate-style
+    check in ONE aggregate pass, plus one anti-join for the FK check
+    (expectations.py).  The report frame is the query result."""
+    from . import expectations as ex
+
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    suite = ex.ExpectationSuite(checks=[
+        ex.not_null("o_custkey"),
+        ex.in_range("o_totalprice", 0, 400000, max_bad_frac=0.25),
+        ex.in_set("o_orderstatus", ["F", "O"]),
+        ex.matches("o_orderpriority", "^[1-5]-"),
+        ex.unique("o_orderkey"),
+        ex.row_count(1000, 1000000),
+        ex.mean_between("o_totalprice", 200000, 300000),
+        ex.fresh("o_orderdate", "2001-01-01"),
+        ex.fk_in("o_custkey", cu, "c_custkey"),
+    ], exact=True)
+    return suite.report(od)
+
+
+SQL_EXPECT_ORDERS = """
+WITH n AS (SELECT count(*) AS n FROM orders)
+SELECT 'not_null(o_custkey)' AS "check", 'o_custkey' AS "column",
+       (b*1.0/n) <= 0.0 AS passed, ROUND(b*1.0/n, 6) AS observed,
+       b AS n_bad
+FROM (SELECT count(*) FILTER (o_custkey IS NULL) AS b FROM orders), n
+UNION ALL
+SELECT 'in_range(o_totalprice)', 'o_totalprice',
+       (b*1.0/n) <= 0.25, ROUND(b*1.0/n, 6), b
+FROM (SELECT count(*) FILTER (o_totalprice IS NOT NULL
+        AND (o_totalprice < 0 OR o_totalprice > 400000)) AS b
+      FROM orders), n
+UNION ALL
+SELECT 'in_set(o_orderstatus)', 'o_orderstatus',
+       (b*1.0/n) <= 0.0, ROUND(b*1.0/n, 6), b
+FROM (SELECT count(*) FILTER (o_orderstatus IS NOT NULL
+        AND o_orderstatus NOT IN ('F','O')) AS b FROM orders), n
+UNION ALL
+SELECT 'matches(o_orderpriority)', 'o_orderpriority',
+       (b*1.0/n) <= 0.0, ROUND(b*1.0/n, 6), b
+FROM (SELECT count(*) FILTER (o_orderpriority IS NOT NULL
+        AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS b
+      FROM orders), n
+UNION ALL
+SELECT 'unique(o_orderkey)', 'o_orderkey',
+       (nn - d) <= 0, CAST(d AS DOUBLE), GREATEST(nn - d, 0)
+FROM (SELECT count(DISTINCT o_orderkey) AS d, count(o_orderkey) AS nn
+      FROM orders)
+UNION ALL
+SELECT 'row_count', NULL,
+       n >= 1000 AND n <= 1000000, CAST(n AS DOUBLE), NULL
+FROM n
+UNION ALL
+SELECT 'mean_between(o_totalprice)', 'o_totalprice',
+       m >= 200000 AND m <= 300000, ROUND(m, 6), NULL
+FROM (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+             / count(o_totalprice) AS m FROM orders)
+UNION ALL
+SELECT 'fresh(o_orderdate)', 'o_orderdate',
+       mx >= TIMESTAMP '2001-01-01', ROUND(epoch(mx), 6), NULL
+FROM (SELECT max(o_orderdate) AS mx FROM orders)
+UNION ALL
+SELECT 'fk_in(o_custkey)', 'o_custkey',
+       (b*1.0/n) <= 0.0, ROUND(b*1.0/n, 6), b
+FROM (SELECT count(*) FILTER (o_custkey IS NOT NULL AND o_custkey NOT IN
+        (SELECT c_custkey FROM customer)) AS b FROM orders), n
+"""
+
+
 EXT_QUERIES = {
+    "expect_orders": (q_expect_orders, SQL_EXPECT_ORDERS),
     "join_salted": (q_join_salted, SQL_JOIN_SALTED),
     "filter_blocklist": (q_filter_blocklist, SQL_FILTER_BLOCKLIST),
     "topk_per_segment": (q_topk_per_segment, SQL_TOPK_PER_SEGMENT),
