@@ -62,6 +62,16 @@ R4_EXTRAS = [
     "events_trending",
 ]
 
+#: Extended TPC-H tier (new this round), timed under "queries_tpch" and
+#: NOT summed into "value"/"median_total" — those stay comparable.
+TPCH_EXTRAS = [
+    "tpch_q4_priority", "tpch_q6_revenue", "tpch_q7_volume",
+    "tpch_q8_share", "tpch_q9_profit", "tpch_q10_returns",
+    "tpch_q13_custdist", "tpch_q14_promo", "tpch_q15_top_supplier",
+    "tpch_q17_small_qty", "tpch_q18_large_orders", "tpch_q19_disjunct",
+    "tpch_q21_waiting", "tpch_q22_idle", "expect_orders",
+]
+
 EXT_HEADLINE = [
     "dedup_exact",
     "dedup_minhash_pairs",
@@ -201,6 +211,18 @@ def main():
         extras[name] = round(runs[0], 3)
         extras_median[name] = round(runs[len(runs) // 2], 3)
 
+    tpch, tpch_median = {}, {}
+    for name in [n for n in TPCH_EXTRAS if n in qs]:
+        runs = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        tpch[name] = round(runs[0], 3)
+        tpch_median[name] = round(runs[len(runs) // 2], 3)
+
     canary_after = _canary(spark)
     try:
         online_ms = _online_p50_ms(spark)
@@ -218,6 +240,9 @@ def main():
         "queries_r4": extras,
         "queries_r4_median": extras_median,
         "r4_total": round(sum(extras.values()), 3),
+        "queries_tpch": tpch,
+        "queries_tpch_median": tpch_median,
+        "tpch_total": round(sum(tpch.values()), 3),
         "canary_sec": [canary_before, canary_after],
         "online_p50_ms": online_ms,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

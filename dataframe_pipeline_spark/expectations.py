@@ -16,11 +16,13 @@ Design for the 100 TB case:
   partial-aggregatable) by default; ``exact=True`` opts into exact
   distinct counts for audit scale and oracle parity.
 * Referential checks (``fk_in``) are the one shape that genuinely
-  needs a second relation: each compiles to a LEFT ANTI join against
-  the (deduplicated) dimension key set — size-gated broadcast, so at
-  scale the anti join is a map-side bloom-ish probe when the dim fits
-  and a keyed shuffle when it doesn't.  Their counts are unioned onto
-  the report; the main scan stays single-pass.
+  needs a second relation — but they still stay inside the single
+  pass: each dimension's (deduplicated) key set is LEFT-joined onto
+  the frame with a hit marker BEFORE the aggregate, and the miss
+  count is just another conditional sum in the same aggregation.
+  The join is size-gate broadcast (map-side probe when the dim fits;
+  keyed shuffle when it doesn't), so N fk checks cost N broadcast
+  probes on the one fact scan — never N extra fact passes.
 * ``quarantine(df)`` evaluates only the ROW-LEVEL checks (not_null /
   in_range / in_set / matches) as a map-only projection: returns
   (good, bad) where ``bad`` carries a ``_failed`` array naming the
@@ -153,14 +155,32 @@ class ExpectationSuite:
 
     def report(self, df: DataFrame) -> DataFrame:
         """One row per check: ``check, column, passed, observed, n_bad``.
-        One aggregate job for all non-FK checks; one anti-join aggregate
-        per FK check, unioned on."""
+        ONE aggregate job over ONE scan for every check — fk dims are
+        pre-joined as broadcast hit markers so their miss counts ride
+        the same aggregation."""
+        if not self.checks:
+            raise ValueError("ExpectationSuite has no checks")
+        # pre-join fk dimension key sets with hit markers (broadcast)
+        for i, c in enumerate(self.checks):
+            if c.kind != "fk_in":
+                continue
+            dim, dim_col = c.ref
+            keys = (dim.select(F.col(dim_col).alias(f"_fk{i}"))
+                    .dropDuplicates()
+                    .withColumn(f"_hit{i}", F.lit(1)))
+            df = df.join(maybe_broadcast(keys),
+                         df[c.column] == F.col(f"_fk{i}"), "left")
+
         aggs = [F.count(F.lit(1)).alias("_n")]
         for i, c in enumerate(self.checks):
             a = f"_m{i}"
             if c.kind in _ROW_LEVEL:
                 aggs.append(
                     F.sum((~self._row_pred(c)).cast("long")).alias(a))
+            elif c.kind == "fk_in":
+                aggs.append(F.sum(
+                    (F.col(c.column).isNotNull()
+                     & F.col(f"_hit{i}").isNull()).cast("long")).alias(a))
             elif c.kind == "unique":
                 cnt = (F.count_distinct(F.col(c.column)) if self.exact
                        else F.approx_count_distinct(c.column, self.rsd))
@@ -177,8 +197,8 @@ class ExpectationSuite:
                      / F.count(F.col(c.column))).alias(a))
             elif c.kind == "fresh":
                 aggs.append(F.max(F.col(c.column)).alias(a))
-            elif c.kind in ("row_count", "fk_in"):
-                pass  # row_count reads _n; fk_in handled below
+            elif c.kind == "row_count":
+                pass  # reads _n
             else:
                 raise ValueError(f"unknown check kind: {c.kind}")
         wide = df.agg(*aggs)
@@ -187,7 +207,7 @@ class ExpectationSuite:
         for i, c in enumerate(self.checks):
             a = f"_m{i}"
             lbl, coln = F.lit(c.label), F.lit(c.column)
-            if c.kind in _ROW_LEVEL:
+            if c.kind in _ROW_LEVEL or c.kind == "fk_in":
                 frac = F.col(a) / F.greatest(F.col("_n"), F.lit(1))
                 rows.append(F.struct(
                     lbl.alias("check"), coln.alias("column"),
@@ -225,35 +245,7 @@ class ExpectationSuite:
                     .alias("passed"),
                     F.col("_n").cast("double").alias("observed"),
                     F.lit(None).cast("long").alias("n_bad")))
-        base = wide.select(F.inline(F.array(*rows))) if rows else None
-
-        parts = [base] if base is not None else []
-        for c in self.checks:
-            if c.kind != "fk_in":
-                continue
-            dim, dim_col = c.ref
-            keys = dim.select(F.col(dim_col).alias("_k")).dropDuplicates()
-            orphans = (df.select(F.col(c.column).alias("_v"))
-                       .filter(F.col("_v").isNotNull())
-                       .join(maybe_broadcast(keys),
-                             F.col("_v") == F.col("_k"), "left_anti"))
-            part = (orphans.agg(F.count(F.lit(1)).alias("_bad"))
-                    .crossJoin(df.agg(F.count(F.lit(1)).alias("_n")))
-                    .select(
-                        F.lit(c.label).alias("check"),
-                        F.lit(c.column).alias("column"),
-                        ((F.col("_bad")
-                          / F.greatest(F.col("_n"), F.lit(1)))
-                         <= c.max_bad_frac).alias("passed"),
-                        F.round(F.col("_bad")
-                                / F.greatest(F.col("_n"), F.lit(1)), 6)
-                        .cast("double").alias("observed"),
-                        F.col("_bad").cast("long").alias("n_bad")))
-            parts.append(part)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return wide.select(F.inline(F.array(*rows)))
 
     def validate(self, df: DataFrame) -> bool:
         """True iff every check passes (collects the tiny report)."""

@@ -51,11 +51,26 @@ def test_report_semantics(spark, df):
 
 
 def test_fk_check_counts_orphans(spark, df):
-    dim = spark.createDataFrame([Row(k=1), Row(k=2)])
-    suite = ex.ExpectationSuite(checks=[ex.fk_in("id", dim, "k")])
+    dim = spark.createDataFrame([Row(k=1), Row(k=2), Row(k=2)])  # dup key
+    suite = ex.ExpectationSuite(checks=[ex.fk_in("id", dim, "k"),
+                                        ex.row_count(1, 10)])
     r = _by_check(suite.report(df))
     row = r["fk_in(id)"]
     assert not row["passed"] and row["n_bad"] == 2      # two id=3 rows
+    # duplicate dim keys must not multiply rows: row_count still 4
+    assert r["row_count"]["observed"] == 4.0
+
+
+def test_fk_check_rides_the_single_aggregate(spark, df):
+    """fk checks must NOT add a second fact pass: the dim joins in as a
+    broadcast hit marker below ONE aggregate — no union of jobs."""
+    dim = spark.createDataFrame([Row(k=1), Row(k=2)])
+    suite = ex.ExpectationSuite(checks=[
+        ex.not_null("price"), ex.fk_in("id", dim, "k")])
+    plan = suite.report(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert plan.count("HashAggregate") <= 4  # one partial+final pair
+    # per side (dim dedup + report)
 
 
 def test_single_aggregate_pass(spark, df):
