@@ -1086,6 +1086,69 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
 """
 
 
+def q_asof_next_purchase(spark, sf_dir):
+    """Forward as-of join: each event enriched with the user's NEXT
+    purchase value at or after the event timestamp (time-to-conversion
+    shape).  Same one-shuffle union plan as backward."""
+    from .joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    dim = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id", "ts", F.col("value").alias("purchase_value")))
+    out = asof_join(ev, dim, on="user_id", left_ts="ts", right_ts="ts",
+                    direction="forward")
+    return out.select("event_id", "user_id", "purchase_value")
+
+
+SQL_ASOF_NEXT_PURCHASE = """
+SELECT e.event_id, e.user_id, p.value AS purchase_value
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts <= p.ts
+"""
+
+
+def q_asof_nearest_purchase(spark, sf_dir):
+    """Nearest as-of join: the purchase closest in time, either side;
+    ties go backward (pandas ``merge_asof(direction='nearest')``).
+    Both window passes share one sorted shuffle."""
+    from .joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    dim = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id", "ts", F.col("value").alias("purchase_value")))
+    out = asof_join(ev, dim, on="user_id", left_ts="ts", right_ts="ts",
+                    direction="nearest")
+    return out.select("event_id", "user_id", "purchase_value")
+
+
+SQL_ASOF_NEAREST_PURCHASE = """
+WITH c AS (
+  SELECT e.event_id, e.user_id, e.ts,
+    (SELECT p.ts FROM events p WHERE p.event_type = 'purchase'
+       AND p.user_id = e.user_id AND p.ts <= e.ts
+     ORDER BY p.ts DESC LIMIT 1) AS bwd_ts,
+    (SELECT p.value FROM events p WHERE p.event_type = 'purchase'
+       AND p.user_id = e.user_id AND p.ts <= e.ts
+     ORDER BY p.ts DESC LIMIT 1) AS bwd_v,
+    (SELECT p.ts FROM events p WHERE p.event_type = 'purchase'
+       AND p.user_id = e.user_id AND p.ts > e.ts
+     ORDER BY p.ts ASC LIMIT 1) AS fwd_ts,
+    (SELECT p.value FROM events p WHERE p.event_type = 'purchase'
+       AND p.user_id = e.user_id AND p.ts > e.ts
+     ORDER BY p.ts ASC LIMIT 1) AS fwd_v
+  FROM events e)
+SELECT event_id, user_id,
+       CASE WHEN fwd_ts IS NULL
+              OR (bwd_ts IS NOT NULL
+                  AND epoch_us(ts) - epoch_us(bwd_ts)
+                      <= epoch_us(fwd_ts) - epoch_us(ts))
+            THEN bwd_v ELSE fwd_v END AS purchase_value
+FROM c
+"""
+
+
 def q_events_rolling_30m(spark, sf_dir):
     """Per event: count + sum of the same user's events in the preceding
     30 minutes — an event-time RANGE frame, no self-join."""
@@ -2451,6 +2514,9 @@ EXT_QUERIES = {
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "events_hourly_agg": (q_events_hourly_agg, SQL_EVENTS_HOURLY),
     "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
+    "asof_next_purchase": (q_asof_next_purchase, SQL_ASOF_NEXT_PURCHASE),
+    "asof_nearest_purchase": (q_asof_nearest_purchase,
+                              SQL_ASOF_NEAREST_PURCHASE),
     "events_rolling_30m": (q_events_rolling_30m, SQL_EVENTS_ROLLING_30M),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),

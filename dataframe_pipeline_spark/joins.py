@@ -1,8 +1,9 @@
 """Temporal joins Spark's DataFrame API lacks as primitives.
 
-``asof_join`` — for each left row, the single most recent right row with
-matching keys and ``right_ts <= left_ts`` (pandas ``merge_asof`` /
-kdb ``aj`` / DuckDB ``ASOF JOIN`` semantics, direction='backward').
+``asof_join`` — for each left row, the single closest right row with
+matching keys (pandas ``merge_asof`` / kdb ``aj`` / DuckDB ``ASOF
+JOIN`` semantics) in the chosen ``direction``: backward
+(``right_ts <= left_ts``, default), forward (``>=``), or nearest.
 
 Spark-first design — the **union + running-last trick**, not a range
 self-join:
@@ -30,12 +31,31 @@ from pyspark.sql import functions as F
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
               left_ts: str = "ts", right_ts: str = "ts",
               right_cols: list[str] | None = None,
-              tolerance_us: int | None = None) -> DataFrame:
-    """Backward as-of join; carries ``right_cols`` onto every left row.
+              tolerance_us: int | None = None,
+              direction: str = "backward") -> DataFrame:
+    """As-of join; carries ``right_cols`` onto every left row.
 
-    ``tolerance_us``: if set, matches older than this many microseconds
-    before ``left_ts`` are nulled out (pandas ``merge_asof(tolerance=)``).
+    ``direction`` (pandas ``merge_asof`` semantics, all inclusive):
+
+    * ``backward`` — most recent right row with ``right_ts <= left_ts``
+      (the default; kdb ``aj`` / DuckDB ``ASOF`` shape).
+    * ``forward`` — earliest right row with ``right_ts >= left_ts``.
+    * ``nearest`` — whichever of the two is closer in time; ties (equal
+      distance, including an exact timestamp match) go backward, as in
+      pandas.
+
+    ``tolerance_us``: if set, matches further than this many
+    microseconds from ``left_ts`` are nulled out
+    (pandas ``merge_asof(tolerance=)``).
+
+    Every direction keeps the one-shuffle union shape: ``nearest``
+    evaluates a backward ``last`` and a forward ``first`` window over
+    the SAME sorted partition (one Exchange, one Sort, two window
+    passes) and picks per-row by distance.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, "
+                         f"not {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys + [right_ts]]
@@ -61,16 +81,46 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     )
 
-    w = (Window.partitionBy(*keys).orderBy("__asof_ts", "__is_l")
-         .rowsBetween(Window.unboundedPreceding, 0))
     filled = l_side.unionByName(r_side)
-    out_cols = {f"__r_{c}": F.last(f"__r_{c}", ignorenulls=True).over(w)
-                for c in right_cols}
+    # sort order at EQUAL timestamps decides inclusivity: backward wants
+    # the right row BEFORE the left row (inside the preceding frame);
+    # forward wants it AFTER (inside the following frame).  nearest uses
+    # the backward ordering — the equal-ts match lands in the backward
+    # frame with distance 0, which wins every tie anyway.
+    fwd_order = [F.col("__asof_ts").asc(), F.col("__is_l").desc()]
+    bwd_order = [F.col("__asof_ts").asc(), F.col("__is_l").asc()]
+    w_bwd = (Window.partitionBy(*keys)
+             .orderBy(*(fwd_order if direction == "forward" else bwd_order))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_fwd = (Window.partitionBy(*keys)
+             .orderBy(*(fwd_order if direction == "forward" else bwd_order))
+             .rowsBetween(0, Window.unboundedFollowing))
+
+    def _bwd(c):
+        return F.last(c, ignorenulls=True).over(w_bwd)
+
+    def _fwd(c):
+        return F.first(c, ignorenulls=True).over(w_fwd)
+
+    r_ts = F.when(F.col("__is_l") == 0, F.col("__asof_ts"))
+    lts = F.unix_micros(F.col("__asof_ts"))
+    if direction == "backward":
+        out_cols = {f"__r_{c}": _bwd(f"__r_{c}") for c in right_cols}
+        age = lts - F.unix_micros(_bwd(r_ts))
+    elif direction == "forward":
+        out_cols = {f"__r_{c}": _fwd(f"__r_{c}") for c in right_cols}
+        age = F.unix_micros(_fwd(r_ts)) - lts
+    else:  # nearest
+        bwd_ts, fwd_ts = _bwd(r_ts), _fwd(r_ts)
+        bwd_age = lts - F.unix_micros(bwd_ts)
+        fwd_age = F.unix_micros(fwd_ts) - lts
+        take_bwd = fwd_ts.isNull() | (bwd_ts.isNotNull()
+                                      & (bwd_age <= fwd_age))
+        out_cols = {
+            f"__r_{c}": F.when(take_bwd, _bwd(f"__r_{c}"))
+            .otherwise(_fwd(f"__r_{c}")) for c in right_cols}
+        age = F.when(take_bwd, bwd_age).otherwise(fwd_age)
     if tolerance_us is not None:
-        matched_ts = F.last(
-            F.when(F.col("__is_l") == 0, F.col("__asof_ts")),
-            ignorenulls=True).over(w)
-        age = F.unix_micros(F.col("__asof_ts")) - F.unix_micros(matched_ts)
         out_cols = {c: F.when(age <= tolerance_us, e)
                     for c, e in out_cols.items()}
     filled = filled.withColumns(out_cols)

@@ -44,3 +44,62 @@ def test_asof_tolerance(spark):
                     tolerance_us=10 * 60 * 1_000_000).toPandas().set_index("trade_id")
     assert out.loc[100, "px"] == 10.0      # 5 min old: within tolerance
     assert pd.isna(out.loc[103, "px"])     # 55 min old: too stale
+
+
+def test_asof_forward(spark):
+    trades, quotes = _frames(spark)
+    out = asof_join(trades, quotes, on="key",
+                    direction="forward").toPandas().set_index("trade_id")
+    assert out.loc[100, "px"] == 11.0      # next quote at 00:10
+    assert out.loc[101, "px"] == 11.0      # ts tie is inclusive forward too
+    assert out.loc[102, "px"] == 10.0      # earliest quote ahead
+    assert pd.isna(out.loc[103, "px"])     # no quote after 01:00
+    assert pd.isna(out.loc[104, "px"])
+    assert len(out) == 5
+
+
+def test_asof_forward_tolerance(spark):
+    trades, quotes = _frames(spark)
+    out = asof_join(trades, quotes, on="key", direction="forward",
+                    tolerance_us=2 * 60 * 1_000_000).toPandas().set_index("trade_id")
+    assert pd.isna(out.loc[100, "px"])     # 5 min ahead: too far
+    assert out.loc[102, "px"] == 10.0      # 1 min ahead: within
+
+
+def test_asof_nearest(spark):
+    trades, quotes = _frames(spark)
+    out = asof_join(trades, quotes, on="key",
+                    direction="nearest").toPandas().set_index("trade_id")
+    assert out.loc[100, "px"] == 10.0      # 5 min back vs 5 min fwd: tie -> backward
+    assert out.loc[101, "px"] == 11.0      # exact match
+    assert out.loc[102, "px"] == 10.0      # only forward exists
+    assert out.loc[103, "px"] == 20.0      # only backward exists
+    assert pd.isna(out.loc[104, "px"])
+
+
+def test_asof_nearest_matches_pandas(spark):
+    trades, quotes = _frames(spark)
+    got = (asof_join(trades, quotes, on="key", direction="nearest")
+           .toPandas().sort_values("trade_id").reset_index(drop=True))
+    exp = pd.merge_asof(
+        trades.toPandas().sort_values("ts"),
+        quotes.toPandas().sort_values("ts"),
+        on="ts", by="key", direction="nearest",
+    ).sort_values("trade_id").reset_index(drop=True)
+    assert got["px"].fillna(-1).tolist() == exp["px"].fillna(-1).tolist()
+
+
+def test_asof_single_shuffle_all_directions(spark):
+    trades, quotes = _frames(spark)
+    for d in ("backward", "forward", "nearest"):
+        out = asof_join(trades, quotes, on="key", direction=d)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 2, d  # union inputs, one shuffle
+        assert "Join" not in plan, d           # never a range self-join
+
+
+def test_asof_bad_direction(spark):
+    trades, quotes = _frames(spark)
+    import pytest
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(trades, quotes, on="key", direction="sideways")
