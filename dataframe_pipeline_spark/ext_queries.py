@@ -2371,6 +2371,92 @@ def _sql_profile_customer() -> str:
 SQL_PROFILE_CUSTOMER = _sql_profile_customer()
 
 
+_BPE_MERGES = 12
+
+
+def q_text_bpe_merges(spark, sf_dir):
+    """Distributed BPE training (bpe.BpeTrainer): the learned merge
+    table for 12 merges over the documents corpus.  One corpus shuffle
+    for word frequencies; every merge round runs on the bounded vocab
+    table.  The oracle replays an independent pure-Python BPE with the
+    same (count DESC, pair ASC) tie-break — the distributed trainer
+    must reproduce it rule-for-rule."""
+    from .bpe import BpeTrainer
+
+    docs = _t(spark, sf_dir, "documents")
+    return BpeTrainer(n_merges=_BPE_MERGES).fit(docs, "text").merges_df(spark)
+
+
+def _sql_bpe_merges(sf_dir):
+    import duckdb
+
+    from .bpe import reference_bpe
+
+    texts = [r[0] for r in duckdb.connect().execute(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()]
+    merges, _ = reference_bpe(texts, _BPE_MERGES)
+
+    def q(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"(CAST({i} AS INTEGER), {q(l)}, {q(r)}, {q(l + r)}, "
+        f"CAST({c} AS BIGINT))"
+        for i, (l, r, c) in enumerate(merges))
+    return (f"SELECT * FROM (VALUES {vals}) "
+            f"AS t(rank, lhs, rhs, merged, pair_freq)")
+
+
+def q_text_bpe_tokens(spark, sf_dir):
+    """BPE tokenization at corpus scale (bpe.BpeTokenizer.token_counts):
+    top-20 subword tokens by frequency.  Merges apply to DISTINCT words
+    only (the scale path — one word shuffle, no per-occurrence work);
+    the oracle replays the reference tokenizer."""
+    from .bpe import BpeTokenizer, BpeTrainer
+
+    docs = _t(spark, sf_dir, "documents")
+    trainer = BpeTrainer(n_merges=_BPE_MERGES).fit(docs, "text")
+    counts = BpeTokenizer(trainer.merges_).token_counts(docs, "text")
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(20)
+
+
+def _sql_bpe_tokens(sf_dir):
+    from collections import Counter
+
+    import duckdb
+
+    from .bpe import EOW, reference_bpe
+
+    texts = [r[0] for r in duckdb.connect().execute(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()]
+    merges, wf = reference_bpe(texts, _BPE_MERGES)
+    rules = [(l, r) for l, r, _ in merges]
+    tok_counts = Counter()
+    for w, f in wf.items():
+        syms = list(w) + [EOW]
+        for l, r in rules:  # sequential by rank == priority merging
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        for t in syms:
+            tok_counts[t] += f
+    top = sorted(tok_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    def q(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(f"({q(t)}, CAST({n} AS BIGINT))" for t, n in top)
+    return f"SELECT * FROM (VALUES {vals}) AS t(token, n)"
+
+
 def q_expect_orders(spark, sf_dir):
     """Data-quality expectation suite over orders: every aggregate-style
     check in ONE aggregate pass, plus one anti-join for the FK check
@@ -2444,6 +2530,8 @@ FROM (SELECT count(*) FILTER (o_custkey IS NOT NULL AND o_custkey NOT IN
 
 EXT_QUERIES = {
     "expect_orders": (q_expect_orders, SQL_EXPECT_ORDERS),
+    "text_bpe_merges": (q_text_bpe_merges, _sql_bpe_merges),
+    "text_bpe_tokens": (q_text_bpe_tokens, _sql_bpe_tokens),
     "join_salted": (q_join_salted, SQL_JOIN_SALTED),
     "filter_blocklist": (q_filter_blocklist, SQL_FILTER_BLOCKLIST),
     "topk_per_segment": (q_topk_per_segment, SQL_TOPK_PER_SEGMENT),
