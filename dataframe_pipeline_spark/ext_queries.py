@@ -1419,6 +1419,39 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_revenue_cube(spark, sf_dir):
+    """Full CUBE over (returnflag, linestatus) via reshape.cube_agg —
+    every grouping set re-summed from ONE finest pre-aggregate (one
+    fact scan; Spark's native cube() would Expand the scan 4×)."""
+    from .reshape import cube_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (_dec("l_extendedprice")
+           * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+    out = cube_agg(li.withColumn("__rev", rev),
+                   dims=["l_returnflag", "l_linestatus"],
+                   sums={"revenue": "__rev"}, count_col="n_items")
+    # report in millions: a grand-total revenue sum reaches ~5e11 at
+    # sf1, where double ulp (~6e-5) exceeds the comparator's 6-dp
+    # rounding and Spark's vs DuckDB's decimal→double casts can land on
+    # different neighbors.  Dividing AFTER the cast shrinks any 1-ulp
+    # cast divergence by 1e6 — far below the 6-dp compare.
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.round(F.col("revenue") / 1000000.0, 6).alias("revenue_musd"),
+        "n_items")
+
+
+SQL_REVENUE_CUBE = f"""
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST(sum(CAST({_REV} AS DECIMAL(28,6))) AS DOUBLE)
+             / 1000000.0, 6) AS revenue_musd,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_events_json_props(spark, sf_dir):
     """JSON column surface: extract a typed field from the props blob."""
     ev = _events(spark, sf_dir)
@@ -2625,4 +2658,5 @@ EXT_QUERIES = {
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "events_json_props": (q_events_json_props, SQL_EVENTS_JSON_PROPS),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+    "revenue_cube": (q_revenue_cube, SQL_REVENUE_CUBE),
 }
