@@ -2404,6 +2404,45 @@ def _sql_profile_customer() -> str:
 SQL_PROFILE_CUSTOMER = _sql_profile_customer()
 
 
+def q_text_lm_score(spark, sf_dir):
+    """Bigram LM quality scoring (text.NgramScorer): per-doc mean
+    log-probability under the add-1-smoothed corpus bigram model — the
+    perplexity-proxy filter.  Fit = two keyed shuffles; score = bigram
+    explode + broadcast count joins + one doc-keyed re-agg."""
+    docs = _t(spark, sf_dir, "documents")
+    scorer = tx.NgramScorer(k=1.0).fit(docs, "text")
+    return scorer.score(docs, "doc_id", "text")
+
+
+SQL_TEXT_LM_SCORE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+  FROM documents),
+uni AS (SELECT w, count(*) AS cu
+        FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+vv AS (SELECT count(*) AS v FROM uni),
+bigf AS (
+  SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+        FROM tok WHERE len(t) >= 2)),
+bc AS (SELECT w1, w2, count(*) AS cb FROM bigf GROUP BY w1, w2),
+scored AS (
+  SELECT b.doc_id,
+         round(ln((coalesce(bc.cb, 0) + 1.0)
+                  / (coalesce(u.cu, 0) + 1.0 * (SELECT v FROM vv))), 9) AS lp
+  FROM bigf b
+  LEFT JOIN uni u ON b.w1 = u.w
+  LEFT JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2)
+SELECT doc_id,
+       ROUND(CAST(sum(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+         AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
 _BPE_MERGES = 12
 
 
@@ -2563,6 +2602,7 @@ FROM (SELECT count(*) FILTER (o_custkey IS NOT NULL AND o_custkey NOT IN
 
 EXT_QUERIES = {
     "expect_orders": (q_expect_orders, SQL_EXPECT_ORDERS),
+    "text_lm_score": (q_text_lm_score, SQL_TEXT_LM_SCORE),
     "text_bpe_merges": (q_text_bpe_merges, _sql_bpe_merges),
     "text_bpe_tokens": (q_text_bpe_tokens, _sql_bpe_tokens),
     "join_salted": (q_join_salted, SQL_JOIN_SALTED),

@@ -1,10 +1,11 @@
 """Text-analysis operators for training-data curation.
 
 Beyond-reference surface (the reference has no text analytics): token
-counting, quality scoring, n-gram/stopword language ID, and document
-fingerprinting.  All pure Catalyst column expressions — each operator is
-embarrassingly parallel, shuffle-free, and runs inside whole-stage
-codegen at any scale.
+counting, quality scoring, n-gram/stopword language ID, document
+fingerprinting, and bigram-LM scoring.  All pure Catalyst column
+expressions — no Python UDF anywhere; the per-document operators are
+shuffle-free whole-stage codegen, and the corpus-statistics operators
+(TermFrequency, TfIdf, NgramScorer) add only keyed count shuffles.
 """
 
 from __future__ import annotations
@@ -525,3 +526,79 @@ class TextNormalizer:
         if self.collapse_ws:
             c = F.trim(F.regexp_replace(c, r"\s+", " "))
         return df.withColumn(self.out_col, c)
+
+
+class NgramScorer:
+    """Bigram language-model scoring — the perplexity-proxy quality
+    filter every LLM data pipeline runs (docs whose text the corpus LM
+    finds improbable are boilerplate, garble, or wrong-language).
+
+    ``fit`` builds add-k-smoothed bigram statistics over the corpus:
+    unigram counts, bigram counts, and vocabulary size — two keyed
+    shuffles over exploded tokens, nothing else.  ``score`` computes
+    each document's mean log-probability
+
+        avg over interior bigrams of ln((c(w1,w2)+k) / (c(w1)+k*V))
+
+    via slice-zip bigram expansion joined against the fitted count
+    tables (size-gated broadcast; a vocabulary past the gate degrades
+    to a token-keyed shuffle join, never a driver collect), then one
+    re-aggregation keyed by the document id.  No Python anywhere.
+
+    Cross-engine determinism: probabilities are exact-integer-count
+    divisions (IEEE-identical in any engine); each token's ln() is
+    quantized to 9 dp and summed as exact DECIMAL, so partition
+    reduction order cannot move the 6-dp result.  Documents with fewer
+    than two tokens have no bigrams and are omitted from the output.
+    """
+
+    def __init__(self, k: float = 1.0, lowercase: bool = False):
+        self.k = float(k)
+        self.lowercase = lowercase
+        self.uni_: DataFrame | None = None
+        self.bi_: DataFrame | None = None
+        self.vocab_size_: int | None = None
+
+    def _tokens(self, col) -> Column:
+        text = F.lower(col) if self.lowercase else col
+        return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+    def fit(self, df: DataFrame, col: str = "text") -> "NgramScorer":
+        toks = df.select(F.explode(self._tokens(F.col(col))).alias("w"))
+        self.uni_ = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+                     .persist())
+        self.vocab_size_ = self.uni_.count()  # also materializes the persist
+        t = self._tokens(F.col(col))
+        pairs = F.arrays_zip(F.slice(t, 1, F.size(t) - 1).alias("w1"),
+                             F.slice(t, 2, F.size(t) - 1).alias("w2"))
+        self.bi_ = (df.select(F.explode(pairs).alias("p"))
+                    .groupBy(F.col("p.w1").alias("w1"),
+                             F.col("p.w2").alias("w2"))
+                    .agg(F.count(F.lit(1)).alias("cb"))
+                    .persist())
+        return self
+
+    def score(self, df: DataFrame, id_col: str = "doc_id",
+              col: str = "text", out: str = "avg_logprob") -> DataFrame:
+        assert self.uni_ is not None, "call fit first"
+        from .relational import maybe_broadcast
+
+        t = self._tokens(F.col(col))
+        pairs = F.arrays_zip(F.slice(t, 1, F.size(t) - 1).alias("w1"),
+                             F.slice(t, 2, F.size(t) - 1).alias("w2"))
+        ex = (df.select(F.col(id_col), F.explode(pairs).alias("p"))
+              .select(id_col, F.col("p.w1").alias("w1"),
+                      F.col("p.w2").alias("w2")))
+        uni = self.uni_.withColumnRenamed("w", "__u_w")
+        bi = self.bi_
+        joined = (ex.join(maybe_broadcast(uni),
+                          ex.w1 == F.col("__u_w"), "left")
+                  .join(maybe_broadcast(bi),
+                        (ex.w1 == bi.w1) & (ex.w2 == bi.w2), "left"))
+        k, v = self.k, self.vocab_size_
+        p = ((F.coalesce(F.col("cb"), F.lit(0)) + F.lit(k))
+             / (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(k * v)))
+        logp = F.round(F.log(p), 9).cast("decimal(18,9)")
+        return (joined.groupBy(id_col)
+                .agg(F.round(F.sum(logp).cast("double")
+                             / F.count(F.lit(1)), 6).alias(out)))

@@ -288,3 +288,50 @@ def test_text_normalizer(spark):
     plan = TextNormalizer().transform(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ngram_scorer_hand_computed(spark):
+    import math
+
+    from dataframe_pipeline_spark.text import NgramScorer
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c"), (4, "z z")],
+        "doc_id long, text string")
+    sc = NgramScorer(k=1.0).fit(df, "text")
+    # corpus tokens: a b a b a b c z z -> V=4 (a,b,c,z)
+    assert sc.vocab_size_ == 4
+    got = {r["doc_id"]: r["avg_logprob"]
+           for r in sc.score(df, "doc_id", "text").collect()}
+    # counts: cu(a)=3 cu(b)=3 cu(z)=2; cb(a,b)=3 cb(b,a)=1 cb(z,z)=1
+    p_ab = (3 + 1) / (3 + 4)
+    p_ba = (1 + 1) / (3 + 4)
+    p_zz = (1 + 1) / (2 + 4)
+    q = lambda p: round(math.log(p), 9)
+    assert got[1] == round((q(p_ab) * 2 + q(p_ba)) / 3, 6)
+    assert got[2] == round(q(p_ab), 6)
+    assert 3 not in got                      # single token: no bigrams
+    assert got[4] == round(q(p_zz), 6)
+
+
+def test_ngram_scorer_unseen_tokens_score_low(spark):
+    from dataframe_pipeline_spark.text import NgramScorer
+
+    train = spark.createDataFrame([(1, "a b a b a b")], "doc_id long, text string")
+    sc = NgramScorer(k=1.0).fit(train, "text")
+    test = spark.createDataFrame(
+        [(10, "a b a b"), (11, "q r s t")], "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_logprob"]
+           for r in sc.score(test, "doc_id", "text").collect()}
+    assert got[11] < got[10]                 # garble scores lower
+
+
+def test_ngram_scorer_plan_no_python_broadcast_joins(spark):
+    from dataframe_pipeline_spark.text import NgramScorer
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sc = NgramScorer().fit(docs, "text")
+    plan = (sc.score(docs, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan       # gated count-table joins
