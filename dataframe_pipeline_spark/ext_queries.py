@@ -602,6 +602,75 @@ def q_sim_ann_ivf_persisted(spark, sf_dir):
     return sim.IVFIndex.read(spark, path).search(query_id=0)
 
 
+def q_sim_ann_ivf_batch(spark, sf_dir):
+    """Batch ANN join (IVFIndex.search_batch): top-5 neighbors for a
+    TABLE of query vectors in one distributed plan — per-query probe
+    cells computed by codegen over the fitted centroid literals,
+    exploded and equi-joined against the cell table, rank-limit top-k.
+    No per-query driver round-trips."""
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = sim.IVFIndex(k=5, n_lists=8, n_probe=2).fit(emb)
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+    return idx.search_batch(queries, q_id_col="qid",
+                            exclude_self=True)
+
+
+def _sql_sim_ann_ivf_batch(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """Generated like ``_sql_sim_ann_ivf``: replay the deterministic
+    trainer, then compute each query's probe cells in Python
+    (``probe_cells``) and embed them as a (qid, lst) VALUES table the
+    oracle joins through."""
+    import os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    con = duckdb.connect()
+    vecs = [r[0] for r in con.sql(
+        f"SELECT list_transform(embedding, x -> x::DOUBLE) AS v "
+        f"FROM '{path}' ORDER BY vec_id").fetchall()]
+    cents = sim.train_centroids(vecs, n_lists=8)
+    qrows = con.sql(
+        f"SELECT vec_id, list_transform(embedding, x -> "
+        f"CAST(round(x::DOUBLE * 1000) AS BIGINT)) FROM '{path}' "
+        f"WHERE vec_id < 5 ORDER BY vec_id").fetchall()
+    con.close()
+    pairs = []
+    for qid, q_int in qrows:
+        for lst in sim.probe_cells([int(x) for x in q_int], cents,
+                                   n_probe=2):
+            pairs.append((int(qid), lst))
+    cent_lits = ", ".join(
+        "[" + ", ".join(str(c) for c in cj) + "]" for cj in cents)
+    probe_vals = ", ".join(f"({q}, {l})" for q, l in pairs)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (
+  SELECT vec_id, q,
+         sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS nrm,
+         list_transform([{cent_lits}], c ->
+             list_sum(list_transform(generate_series(1, 64),
+                 i -> (q[i]-c[i])*(q[i]-c[i])))) AS d
+  FROM q),
+a AS (SELECT vec_id, q, nrm, list_position(d, list_min(d)) - 1 AS lst FROM n),
+p AS (SELECT * FROM (VALUES {probe_vals}) AS t(qid, lst)),
+b AS (SELECT vec_id AS qid, q, nrm FROM a WHERE vec_id < 5)
+SELECT b.qid, a.vec_id,
+       ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> b.q[i] * a.q[i])) AS DOUBLE) / (b.nrm * a.nrm), 6) AS cosine
+FROM p JOIN b ON b.qid = p.qid JOIN a ON a.lst = p.lst
+WHERE a.vec_id <> b.qid
+QUALIFY row_number() OVER (PARTITION BY b.qid
+                           ORDER BY cosine DESC, a.vec_id ASC) <= 5
+"""
+
+
 def q_sim_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return sim.HyperplaneLSHIndex(k=5, n_planes=4).search(emb, query_id=0)
@@ -2658,6 +2727,7 @@ EXT_QUERIES = {
     # is __spark_entry__.oracle_sql(sf_dir).
     "sim_ann_ivf": (q_sim_ann_ivf, _sql_sim_ann_ivf),
     "sim_ann_ivf_persisted": (q_sim_ann_ivf_persisted, _sql_sim_ann_ivf),
+    "sim_ann_ivf_batch": (q_sim_ann_ivf_batch, _sql_sim_ann_ivf_batch),
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
     "embed_project": (q_embed_project, _sql_embed_project()),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),

@@ -300,6 +300,63 @@ class IVFIndex:
         nrm = float(sum(x * x for x in q_int)) ** 0.5
         return self._probe(q_int, nrm, id_col=id_col)
 
+    def search_batch(self, queries: DataFrame, q_id_col: str = "qid",
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     exclude_self: bool = False) -> DataFrame:
+        """Top-k for a whole TABLE of query vectors — the batch ANN
+        join (recommendation backfills, dedup-vs-index sweeps).
+
+        Fully distributed, no per-query driver work: each query row is
+        quantized and probed with the same literal-centroid codegen the
+        assignment uses (its ``n_probe`` nearest cells come from one
+        sorted-struct slice — ties to the lower cell id, identical to
+        the driver-side ``probe_cells``), exploded to (query, cell)
+        pairs, and equi-joined against the cell table on ``__list`` —
+        over a disk-loaded index that join is partition-pruned to the
+        probed cells.  Per-query top-k is a rank-limit window (bounded
+        heaps via WindowGroupLimit), never a global sort.
+
+        Cost at scale: |Q| × n_probe join rows against n_probe/n_lists
+        of the index — the same work ``search_vec`` does once, batched
+        through one shuffle instead of |Q| driver round-trips.
+        """
+        assert self._assigned is not None, "call fit or read first"
+        from pyspark.sql.window import Window
+
+        n_lists = len(self.centroids_int)
+        cent_lits = ", ".join(
+            "array(" + ", ".join(f"{c}L" for c in cj) + ")"
+            for cj in self.centroids_int)
+        qexpr = (f"transform({vec_col}, x -> "
+                 f"cast(round(cast(x as double) * {self.scale}) as bigint))")
+        dists = (f"transform(array({cent_lits}), c -> "
+                 f"aggregate(zip_with(__qq, c, (x, y) -> (x-y)*(x-y)), 0L, "
+                 f"(acc, v) -> acc + v))")
+        lists = (f"transform(slice(array_sort(zip_with({dists}, "
+                 f"sequence(0, {n_lists - 1}), "
+                 f"(d, i) -> named_struct('d', d, 'i', i))), 1, "
+                 f"{self.n_probe}), s -> cast(s.i as int))")
+        q = (queries.select(F.col(q_id_col), F.expr(qexpr).alias("__qq"))
+             .withColumn("__qn", F.expr(
+                 "sqrt(aggregate(__qq, 0L, (acc, x) -> acc + x*x))"))
+             .withColumn("__list", F.explode(F.expr(lists))))
+        dot = ("aggregate(zip_with(__q, __qq, (x, y) -> x*y), 0L, "
+               "(acc, v) -> acc + v)")
+        joined = q.join(self._assigned, "__list")
+        if exclude_self:
+            joined = joined.filter(F.col(q_id_col) != F.col(id_col))
+        w = (Window.partitionBy(q_id_col)
+             .orderBy(F.desc("cosine"), F.asc(id_col)))
+        return (
+            joined.withColumn(
+                "cosine",
+                F.round(F.expr(dot) / (F.col("__nrm") * F.col("__qn")), 6))
+            .select(q_id_col, id_col, "cosine")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= self.k)
+            .drop("__rn")
+        )
+
     def _probe(self, q_int: list, q_nrm: float, id_col: str = "vec_id",
                exclude_id=None) -> DataFrame:
         lists = probe_cells([int(x) for x in q_int], self.centroids_int,

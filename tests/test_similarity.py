@@ -1,6 +1,7 @@
 """Similarity search: brute-force cosine top-k and hyperplane LSH."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from dataframe_pipeline_spark import similarity as sim
 
@@ -171,3 +172,39 @@ def test_ann_recall_report(spark):
     # identical result sets -> recall 1.0; disjoint -> 0.0
     ex = CosineTopK(k=3).search(df, 0)
     assert recall_at_k(ex, ex) == 1.0
+
+
+def test_ivf_search_batch_matches_per_query(spark):
+    from dataframe_pipeline_spark.similarity import IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IVFIndex(k=5, n_lists=8, n_probe=2).fit(emb)
+    queries = (emb.filter(F.col("vec_id") < 4)
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+    batch = idx.search_batch(queries, q_id_col="qid", exclude_self=True)
+    got = {(r["qid"], r["vec_id"], r["cosine"]) for r in batch.collect()}
+    exp = set()
+    for q in range(4):
+        for r in idx.search(query_id=q).collect():
+            exp.add((q, r["vec_id"], r["cosine"]))
+    assert got == exp
+
+
+def test_ivf_search_batch_plan(spark, tmp_path):
+    from dataframe_pipeline_spark.similarity import IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IVFIndex(k=3, n_lists=8, n_probe=2).fit(emb)
+    path = str(tmp_path / "ivf_idx")
+    idx.write(path)
+    reloaded = IVFIndex.read(spark, path)
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+    out = reloaded.search_batch(queries, q_id_col="qid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # per-query top-k as bounded window heaps, not a global sort
+    assert "WindowGroupLimit" in plan
+    # no Python anywhere in the batch path
+    assert "EvalPython" not in plan
+    # the probed cells join keyed on the partition column of the layout
+    assert "__list" in plan
