@@ -43,7 +43,7 @@ _NEVER_CHECKED_FIRST = [
     "tpch_q21_waiting", "tpch_q22_idle", "expect_orders",
     "asof_next_purchase", "asof_nearest_purchase",
     "text_bpe_merges", "text_bpe_tokens", "revenue_cube", "text_lm_score",
-    "sim_ann_ivf_batch",
+    "sim_ann_ivf_batch", "drift_orders",
     # r4 additions the r3 sampler never recorded
     "clip_outliers", "cohort_retention", "corr_lineitem",
     "dedup_embedding_auto", "dedup_incremental", "dedup_keep_canonical",

@@ -2473,6 +2473,66 @@ def _sql_profile_customer() -> str:
 SQL_PROFILE_CUSTOMER = _sql_profile_customer()
 
 
+def q_drift_orders(spark, sf_dir):
+    """PSI drift report (profiling.psi_drift): has the price
+    distribution / priority mix moved between the pre-1999 and
+    post-1999 order snapshots?  Tiny per-side bin counts off one scan
+    each; PSI terms quantized to 9 dp and decimal-summed."""
+    from .profiling import psi_drift
+
+    od = _t(spark, sf_dir, "orders")
+    cut = F.lit("1999-01-01").cast("timestamp")
+    return psi_drift(od.filter(F.col("o_orderdate") < cut),
+                     od.filter(F.col("o_orderdate") >= cut),
+                     num_cols=["o_totalprice"],
+                     cat_cols=["o_orderpriority"])
+
+
+SQL_DRIFT_ORDERS = """
+WITH b AS (SELECT * FROM orders WHERE o_orderdate <  TIMESTAMP '1999-01-01'),
+c AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'),
+mm AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+              max(CAST(o_totalprice AS DOUBLE)) AS hi FROM b),
+pb AS (SELECT LEAST(GREATEST(CAST(floor((o_totalprice - lo) / ((hi - lo) / 10))
+                                  AS INT), 0), 9) AS bin, count(*) AS cp
+       FROM b, mm WHERE o_totalprice IS NOT NULL GROUP BY 1),
+qb AS (SELECT LEAST(GREATEST(CAST(floor((o_totalprice - lo) / ((hi - lo) / 10))
+                                  AS INT), 0), 9) AS bin, count(*) AS cq
+       FROM c, mm WHERE o_totalprice IS NOT NULL GROUP BY 1),
+jn AS (SELECT coalesce(pb.bin, qb.bin) AS bin, cp, cq
+       FROM pb FULL JOIN qb ON pb.bin = qb.bin),
+tn AS (SELECT sum(coalesce(cp, 0)) AS tp, sum(coalesce(cq, 0)) AS tq,
+              count(*) AS nb FROM jn),
+num AS (
+  SELECT 'o_totalprice' AS "column",
+         ROUND(CAST(sum(CAST(round(
+             ((coalesce(cp,0) + 0.5) / (tp + 0.5 * nb)
+              - (coalesce(cq,0) + 0.5) / (tq + 0.5 * nb))
+             * ln(((coalesce(cp,0) + 0.5) / (tp + 0.5 * nb))
+                  / ((coalesce(cq,0) + 0.5) / (tq + 0.5 * nb))), 9)
+             AS DECIMAL(18,9))) AS DOUBLE), 6) AS psi
+  FROM jn, tn),
+pc AS (SELECT CAST(o_orderpriority AS VARCHAR) AS bin, count(*) AS cp
+       FROM b WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+qc AS (SELECT CAST(o_orderpriority AS VARCHAR) AS bin, count(*) AS cq
+       FROM c WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+jc AS (SELECT coalesce(pc.bin, qc.bin) AS bin, cp, cq
+       FROM pc FULL JOIN qc ON pc.bin = qc.bin),
+tc AS (SELECT sum(coalesce(cp, 0)) AS tp, sum(coalesce(cq, 0)) AS tq,
+              count(*) AS nb FROM jc),
+cat AS (
+  SELECT 'o_orderpriority' AS "column",
+         ROUND(CAST(sum(CAST(round(
+             ((coalesce(cp,0) + 0.5) / (tp + 0.5 * nb)
+              - (coalesce(cq,0) + 0.5) / (tq + 0.5 * nb))
+             * ln(((coalesce(cp,0) + 0.5) / (tp + 0.5 * nb))
+                  / ((coalesce(cq,0) + 0.5) / (tq + 0.5 * nb))), 9)
+             AS DECIMAL(18,9))) AS DOUBLE), 6) AS psi
+  FROM jc, tc)
+SELECT * FROM num UNION ALL SELECT * FROM cat
+"""
+
+
 def q_text_lm_score(spark, sf_dir):
     """Bigram LM quality scoring (text.NgramScorer): per-doc mean
     log-probability under the add-1-smoothed corpus bigram model — the
@@ -2672,6 +2732,7 @@ FROM (SELECT count(*) FILTER (o_custkey IS NOT NULL AND o_custkey NOT IN
 EXT_QUERIES = {
     "expect_orders": (q_expect_orders, SQL_EXPECT_ORDERS),
     "text_lm_score": (q_text_lm_score, SQL_TEXT_LM_SCORE),
+    "drift_orders": (q_drift_orders, SQL_DRIFT_ORDERS),
     "text_bpe_merges": (q_text_bpe_merges, _sql_bpe_merges),
     "text_bpe_tokens": (q_text_bpe_tokens, _sql_bpe_tokens),
     "join_salted": (q_join_salted, SQL_JOIN_SALTED),

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
@@ -173,3 +174,80 @@ def key_skew(df: DataFrame, col: str, top: int = 10) -> DataFrame:
                     F.round(F.col("n") / F.col("__t"), 6).alias("share"))
             .orderBy(F.desc("n"), F.asc_nulls_last("key"))
             .limit(top))
+
+
+def psi_drift(base: DataFrame, cur: DataFrame,
+              num_cols: list[str] | None = None,
+              cat_cols: list[str] | None = None,
+              n_bins: int = 10) -> DataFrame:
+    """Population-stability-index drift report between two snapshots —
+    the monitoring twin of the expectations gate (has a feature's
+    distribution moved since the reference snapshot?).
+
+    PSI per column = Σ_bins (p_i − q_i) · ln(p_i / q_i) with p = the
+    base snapshot's bin share and q = the current one's (>0.25 is the
+    conventional "investigate" threshold).  Numeric columns bin into
+    ``n_bins`` equal widths over the BASE min/max (two scalar literals
+    folded at plan time — the one collect) with NULLs excluded and
+    outside-range values clamped to the edge bins; categorical columns
+    use the category itself as the bin.  Shares are Laplace-smoothed
+    (+0.5 per bin) so an empty bin never produces ±inf.
+
+    Cost: one aggregate per side per column family — each is a tiny
+    keyed count (≤ n_bins or ≤ |categories| rows) off one scan of each
+    snapshot; the PSI arithmetic runs on the joined bin tables.
+
+    Cross-engine determinism (same discipline as text.NgramScorer):
+    every share is an exact integer-count division, each bin's PSI term
+    is quantized to 9 dp and summed as exact DECIMAL — partition
+    reduction order cannot move the 6-dp result.
+    """
+    num_cols = num_cols or []
+    cat_cols = cat_cols or []
+    if not num_cols and not cat_cols:
+        raise ValueError("psi_drift needs at least one column")
+
+    def _bin_expr(c: str, lo: float, hi: float):
+        w = (hi - lo) / n_bins if hi > lo else 1.0
+        raw = F.floor((F.col(c) - F.lit(lo)) / F.lit(w)).cast("int")
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+
+    def _shares(df: DataFrame, key) -> DataFrame:
+        cnt = (df.filter(key.isNotNull())
+               .groupBy(key.alias("bin"))
+               .agg(F.count(F.lit(1)).alias("c")))
+        return cnt
+
+    parts = []
+    for c in num_cols:
+        mm = base.agg(F.min(F.col(c).cast("double")).alias("lo"),
+                      F.max(F.col(c).cast("double")).alias("hi")).head()
+        lo, hi = float(mm["lo"]), float(mm["hi"])
+        pb = _shares(base, _bin_expr(c, lo, hi))
+        qb = _shares(cur, _bin_expr(c, lo, hi))
+        parts.append((c, pb, qb))
+    for c in cat_cols:
+        parts.append((c, _shares(base, F.col(c).cast("string")),
+                      _shares(cur, F.col(c).cast("string"))))
+
+    outs = []
+    for c, pb, qb in parts:
+        j = (pb.withColumnRenamed("c", "cp")
+             .join(qb.withColumnRenamed("c", "cq"), "bin", "full"))
+        tp = F.sum(F.coalesce(F.col("cp"), F.lit(0)))
+        tq = F.sum(F.coalesce(F.col("cq"), F.lit(0)))
+        nb = F.count(F.lit(1))
+        w = Window.partitionBy()
+        p = ((F.coalesce(F.col("cp"), F.lit(0)) + F.lit(0.5))
+             / (tp.over(w) + F.lit(0.5) * nb.over(w)))
+        q = ((F.coalesce(F.col("cq"), F.lit(0)) + F.lit(0.5))
+             / (tq.over(w) + F.lit(0.5) * nb.over(w)))
+        term = F.round((p - q) * F.log(p / q), 9).cast("decimal(18,9)")
+        outs.append(
+            j.select(term.alias("t"))
+            .agg(F.round(F.sum("t").cast("double"), 6).alias("psi"))
+            .select(F.lit(c).alias("column"), "psi"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -273,3 +273,55 @@ def test_range_join_plans_equi_join_not_nested_loop(spark):
     bare = pts.join(iv, (F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
     bplan = bare._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" in bplan or "CartesianProduct" in bplan
+
+
+def test_psi_drift_identical_snapshots_near_zero(spark):
+    from dataframe_pipeline_spark.profiling import psi_drift
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    out = {r["column"]: r["psi"]
+           for r in psi_drift(df, df, num_cols=["o_totalprice"],
+                              cat_cols=["o_orderstatus"]).collect()}
+    assert abs(out["o_totalprice"]) < 1e-9
+    assert abs(out["o_orderstatus"]) < 1e-9
+
+
+def test_psi_drift_detects_shift(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from dataframe_pipeline_spark.profiling import psi_drift
+
+    base = spark.createDataFrame([Row(x=float(i % 10)) for i in range(100)])
+    moved = spark.createDataFrame([Row(x=float(i % 10) + 5.0)
+                                   for i in range(100)])
+    psi = psi_drift(base, moved, num_cols=["x"]).head()["psi"]
+    assert psi > 0.25  # conventional "investigate" threshold
+
+    # hand-check the categorical path on a 2-category flip
+    b = spark.createDataFrame([Row(c="a")] * 90 + [Row(c="b")] * 10)
+    m = spark.createDataFrame([Row(c="a")] * 10 + [Row(c="b")] * 90)
+    got = psi_drift(b, m, cat_cols=["c"]).head()["psi"]
+    p_a, q_a = 90.5 / 101, 10.5 / 101
+    term = lambda p, q: round((p - q) * math.log(p / q), 9)
+    exp = round(term(p_a, q_a) + term(1 - p_a + 1/101, 1 - q_a + 1/101), 6)
+    # (smoothed shares don't sum to exactly 1; replicate the formula)
+    p_b, q_b = 10.5 / 101, 90.5 / 101
+    exp = round(term(p_a, q_a) + term(p_b, q_b), 6)
+    assert got == exp
+
+
+def test_psi_drift_null_and_empty_bins(spark):
+    from pyspark.sql import Row
+
+    from dataframe_pipeline_spark.profiling import psi_drift
+
+    base = spark.createDataFrame(
+        [Row(x=1.0), Row(x=2.0), Row(x=None), Row(x=10.0)])
+    cur = spark.createDataFrame([Row(x=1.0), Row(x=None)])
+    psi = psi_drift(base, cur, num_cols=["x"], n_bins=4).head()["psi"]
+    assert psi is not None  # smoothing keeps empty bins finite
+    import pytest
+    with pytest.raises(ValueError, match="at least one column"):
+        psi_drift(base, cur)
