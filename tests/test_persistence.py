@@ -155,3 +155,36 @@ def test_outlier_clipper_roundtrip(spark, tmp_path):
     a = [r.y for r in op.transform(df).orderBy("x").collect()]
     b = [r.y for r in op2.transform(df).orderBy("x").collect()]
     assert a == b
+
+
+def test_ngram_scorer_roundtrip(spark, tmp_path):
+    from dataframe_pipeline_spark.persistence import (load_operator,
+                                                      save_operator)
+    from dataframe_pipeline_spark.text import NgramScorer
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sc = NgramScorer(k=1.0).fit(docs, "text")
+    path = str(tmp_path / "lm")
+    save_operator(sc, path)
+    sc2 = load_operator(spark, path)
+    a = {r["doc_id"]: r["avg_logprob"]
+         for r in sc.score(docs, "doc_id", "text").collect()}
+    b = {r["doc_id"]: r["avg_logprob"]
+         for r in sc2.score(docs, "doc_id", "text").collect()}
+    assert a == b and sc2.vocab_size_ == sc.vocab_size_
+
+
+def test_bpe_trainer_roundtrip(spark, tmp_path):
+    from dataframe_pipeline_spark.bpe import BpeTokenizer, BpeTrainer
+    from dataframe_pipeline_spark.persistence import (load_operator,
+                                                      save_operator)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tr = BpeTrainer(n_merges=6).fit(docs, "text")
+    path = str(tmp_path / "bpe")
+    save_operator(tr, path)
+    tr2 = load_operator(spark, path)
+    assert tr2.merges_ == tr.merges_
+    a = BpeTokenizer(tr.merges_).transform(docs.limit(3), "text").collect()
+    b = BpeTokenizer(tr2.merges_).transform(docs.limit(3), "text").collect()
+    assert [r["tokens"] for r in a] == [r["tokens"] for r in b]

@@ -254,3 +254,29 @@ def test_enrich_stream_static_join(spark, events_batch, tmp_path):
     assert got[0] == "gold"
     with pytest.raises(ValueError, match="stream-static"):
         st.enrich_stream(sdf, dim, "user_id", how="right")
+
+
+def test_quarantine_works_on_streams(spark, events_batch, tmp_path):
+    """The expectation suite's row-level quarantine is map-only, so the
+    SAME suite gates a stream unchanged — good/bad splits match the
+    batch result exactly."""
+    from dataframe_pipeline_spark import expectations as ex
+
+    suite = ex.ExpectationSuite(checks=[
+        ex.in_set("event_type", ["click", "view", "purchase", "signup"]),
+        ex.in_range("value", 0.0, 1000.0),
+    ])
+    src = str(tmp_path / "events_gate")
+    events_batch.write.parquet(src)
+    sdf = spark.readStream.schema(events_batch.schema).parquet(src)
+    good_s, bad_s = suite.quarantine(sdf)
+    assert good_s.isStreaming and bad_s.isStreaming
+    st.run_to_memory(good_s, name="gate_good", mode="append")
+    st.run_to_memory(bad_s, name="gate_bad", mode="append")
+    good_b, bad_b = suite.quarantine(events_batch)
+    assert (spark.sql("SELECT count(*) c FROM gate_good").head()["c"]
+            == good_b.count())
+    got_bad = {(r.event_id, tuple(r._failed)) for r in
+               spark.sql("SELECT * FROM gate_bad").collect()}
+    exp_bad = {(r.event_id, tuple(r._failed)) for r in bad_b.collect()}
+    assert got_bad == exp_bad
