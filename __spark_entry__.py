@@ -35,30 +35,17 @@ except ImportError:
 # round-4 additions the r3 sampler missed.  Everything is locally
 # verified regardless (scripts/check_oracle.py: 115/115 at sf0.01).
 _NEVER_CHECKED_FIRST = [
-    # new in r4 (this session): extended TPC-H tier
-    "tpch_q4_priority", "tpch_q6_revenue", "tpch_q7_volume",
-    "tpch_q8_share", "tpch_q9_profit", "tpch_q10_returns",
-    "tpch_q13_custdist", "tpch_q14_promo", "tpch_q15_top_supplier",
-    "tpch_q17_small_qty", "tpch_q18_large_orders", "tpch_q19_disjunct",
-    "tpch_q21_waiting", "tpch_q22_idle", "expect_orders",
-    "asof_next_purchase", "asof_nearest_purchase",
-    "text_bpe_merges", "text_bpe_tokens", "revenue_cube", "text_lm_score",
-    "sim_ann_ivf_batch", "drift_orders",
-    # r4 additions the r3 sampler never recorded
-    "clip_outliers", "cohort_retention", "corr_lineitem",
-    "dedup_embedding_auto", "dedup_incremental", "dedup_keep_canonical",
-    "dedup_minhash_incremental", "dedup_simhash_capped",
-    "embed_label_centroid", "embed_normalize", "embed_project",
-    "event_transitions", "events_dedup", "events_trending",
-    "events_user_totals", "events_value_zscore", "filter_blocklist",
-    "funnel_signup_purchase", "graph_pagerank", "hash_encode",
-    "hist_order_price", "join_salted", "kfold_counts",
-    "layout_pruned_scan", "melt_measures", "merge_latest",
-    "pivot_event_counts", "profile_customer", "quality_by_source",
-    "quantile_bin", "range_join_bands", "record_linkage",
-    "sample_cap_domain", "scaler_robust", "snapshot_diff", "split_group",
-    "target_encode", "target_encode_cv", "text_chunk", "text_normalize",
-    "text_pack", "text_stopwords", "text_tfidf", "topk_per_segment",
+    # the 17 registry queries the r1-r4 samplers never recorded (judge
+    # re-checked them green via scripts/check_oracle.py in r4; driver
+    # verification closes the loop -> 138/138)
+    "profile_customer", "quality_by_source", "quantile_bin",
+    "range_join_bands", "record_linkage", "sample_cap_domain",
+    "scaler_robust", "snapshot_diff", "split_group", "target_encode",
+    "target_encode_cv", "text_chunk", "text_normalize", "text_pack",
+    "text_stopwords", "text_tfidf", "topk_per_segment",
+    # new in r5: sketch-tier twins of the 4 perf-weak exact shapes
+    # (VERDICT r4 "Next round" #3) + round-5 additions
+    "clip_outliers_approx", "scaler_robust_approx", "expect_orders_hll",
 ]
 
 _MERGED = {**CORE_QUERIES, **EXT_QUERIES, **TPCH_QUERIES}

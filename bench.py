@@ -230,7 +230,7 @@ def main():
         online_ms = None
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -246,7 +246,29 @@ def main():
         "canary_sec": [canary_before, canary_after],
         "online_p50_ms": online_ms,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    # Per-query medians etc. go to a sidecar file; the FINAL stdout line
+    # stays compact so the driver's tail capture always parses it
+    # (BENCH_r04.json was truncated mid-JSON when the single line outgrew
+    # the tail window — VERDICT r4 "What's wrong" #1).
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json")
+    with open(sidecar, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,  # headline per-query mins only (~24 entries)
+        "median_total": detail["median_total"],
+        "r4_total": detail["r4_total"],
+        "tpch_total": detail["tpch_total"],
+        "canary_sec": detail["canary_sec"],
+        "online_exec_ms": (online_ms or {}).get("exec_only"),
+        "detail_file": "BENCH_DETAIL.json",
+        "sf": detail["sf"],
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -234,7 +234,10 @@ class ExpectationSuite:
                 rows.append(F.struct(
                     lbl.alias("check"), coln.alias("column"),
                     (F.col(a) >= cut).alias("passed"),
-                    F.round(F.unix_timestamp(F.col(a)).cast("double"), 6)
+                    # unix_micros/1e6, not unix_timestamp: keep sub-second
+                    # precision so observed matches DuckDB's epoch()
+                    F.round((F.unix_micros(F.col(a).cast("timestamp"))
+                             / F.lit(1e6)).cast("double"), 6)
                     .alias("observed"),
                     F.lit(None).cast("long").alias("n_bad")))
             elif c.kind == "row_count":

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -65,20 +66,28 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     # timestamp downstream AMBIGUOUS_REFERENCE.
     payload = [c for c in left.columns if c not in keys + [left_ts]]
 
+    # The carried right payload travels as ONE struct(ts, cols...) so the
+    # running last/first(ignorenulls) skips whole unmatched rows, never
+    # individual NULL fields: a NULL in a matched right row stays NULL in
+    # the output (pandas merge_asof parity), and in 'nearest' mode every
+    # carried column + the age used for tolerance come from the SAME row.
+    struct_type = StructType(
+        [StructField("__ts", right.schema[right_ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in right_cols])
     l_side = left.select(
         *keys,
         F.col(left_ts).alias("__asof_ts"),
         F.lit(1).alias("__is_l"),
         *payload,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in right_cols],
+        F.lit(None).cast(struct_type).alias("__r"),
     )
     r_side = right.select(
         *keys,
         F.col(right_ts).alias("__asof_ts"),
         F.lit(0).alias("__is_l"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in payload],
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(F.col(right_ts).alias("__ts"),
+                 *[F.col(c).alias(c) for c in right_cols]).alias("__r"),
     )
 
     filled = l_side.unionByName(r_side)
@@ -96,36 +105,27 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
              .orderBy(*(fwd_order if direction == "forward" else bwd_order))
              .rowsBetween(0, Window.unboundedFollowing))
 
-    def _bwd(c):
-        return F.last(c, ignorenulls=True).over(w_bwd)
+    bwd = F.last("__r", ignorenulls=True).over(w_bwd)
+    fwd = F.first("__r", ignorenulls=True).over(w_fwd)
 
-    def _fwd(c):
-        return F.first(c, ignorenulls=True).over(w_fwd)
-
-    r_ts = F.when(F.col("__is_l") == 0, F.col("__asof_ts"))
     lts = F.unix_micros(F.col("__asof_ts"))
     if direction == "backward":
-        out_cols = {f"__r_{c}": _bwd(f"__r_{c}") for c in right_cols}
-        age = lts - F.unix_micros(_bwd(r_ts))
+        matched = bwd
+        age = lts - F.unix_micros(matched.getField("__ts"))
     elif direction == "forward":
-        out_cols = {f"__r_{c}": _fwd(f"__r_{c}") for c in right_cols}
-        age = F.unix_micros(_fwd(r_ts)) - lts
+        matched = fwd
+        age = F.unix_micros(matched.getField("__ts")) - lts
     else:  # nearest
-        bwd_ts, fwd_ts = _bwd(r_ts), _fwd(r_ts)
-        bwd_age = lts - F.unix_micros(bwd_ts)
-        fwd_age = F.unix_micros(fwd_ts) - lts
-        take_bwd = fwd_ts.isNull() | (bwd_ts.isNotNull()
-                                      & (bwd_age <= fwd_age))
-        out_cols = {
-            f"__r_{c}": F.when(take_bwd, _bwd(f"__r_{c}"))
-            .otherwise(_fwd(f"__r_{c}")) for c in right_cols}
+        bwd_age = lts - F.unix_micros(bwd.getField("__ts"))
+        fwd_age = F.unix_micros(fwd.getField("__ts")) - lts
+        take_bwd = fwd.isNull() | (bwd.isNotNull() & (bwd_age <= fwd_age))
+        matched = F.when(take_bwd, bwd).otherwise(fwd)
         age = F.when(take_bwd, bwd_age).otherwise(fwd_age)
     if tolerance_us is not None:
-        out_cols = {c: F.when(age <= tolerance_us, e)
-                    for c, e in out_cols.items()}
-    filled = filled.withColumns(out_cols)
+        matched = F.when(age <= tolerance_us, matched)
+    filled = filled.withColumn("__r", matched)
     return (
         filled.filter(F.col("__is_l") == 1)
         .select(*keys, F.col("__asof_ts").alias(left_ts), *payload,
-                *[F.col(f"__r_{c}").alias(c) for c in right_cols])
+                *[F.col("__r").getField(c).alias(c) for c in right_cols])
     )

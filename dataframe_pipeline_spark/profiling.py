@@ -222,6 +222,10 @@ def psi_drift(base: DataFrame, cur: DataFrame,
     for c in num_cols:
         mm = base.agg(F.min(F.col(c).cast("double")).alias("lo"),
                       F.max(F.col(c).cast("double")).alias("hi")).head()
+        if mm["lo"] is None or mm["hi"] is None:
+            raise ValueError(
+                f"psi_drift: base snapshot has no non-null values for "
+                f"numeric column {c!r}; cannot derive bin edges")
         lo, hi = float(mm["lo"]), float(mm["hi"])
         pb = _shares(base, _bin_expr(c, lo, hi))
         qb = _shares(cur, _bin_expr(c, lo, hi))

@@ -116,9 +116,13 @@ def cube_agg(df: DataFrame, dims: list[str], sums: dict[str, str],
 
     sum_exprs = [F.sum(F.col(c).cast("decimal(28,6)")).alias(f"__s_{o}")
                  for o, c in sums.items()]
+    # localCheckpoint, not persist: the finest pre-aggregate is read once
+    # per grouping set, and checkpoint blocks are freed when the RDD is
+    # GC'd — a persist here would leak a cached DataFrame per call for
+    # the session lifetime (ADVICE r4).
     base = (df.groupBy(*dims)
             .agg(*sum_exprs, F.count(F.lit(1)).alias("__n"))
-            .persist())
+            .localCheckpoint(eager=True))
 
     parts = []
     for g in grouping_sets:

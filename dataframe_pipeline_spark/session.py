@@ -31,6 +31,9 @@ def get_spark(app_name: str = "dataframe_pipeline_spark", cpus: int | None = Non
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # keep stdout clean: progress bars interleave with the bench
+        # harness's final JSON line and can break the driver's tail parse
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     spark = builder.getOrCreate()

@@ -564,6 +564,11 @@ class NgramScorer:
         return F.filter(F.split(text, r"\s+"), lambda w: w != "")
 
     def fit(self, df: DataFrame, col: str = "text") -> "NgramScorer":
+        # refit: release the previous fit's cached tables first so
+        # repeated fits don't accumulate executor storage (ADVICE r4)
+        for prev in (self.uni_, self.bi_):
+            if prev is not None:
+                prev.unpersist()
         toks = df.select(F.explode(self._tokens(F.col(col))).alias("w"))
         self.uni_ = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
                      .persist())

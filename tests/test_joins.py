@@ -98,6 +98,58 @@ def test_asof_single_shuffle_all_directions(spark):
         assert "Join" not in plan, d           # never a range self-join
 
 
+def _null_payload_frames(spark):
+    """Right rows where a carried column is NULL: the matched row's NULL
+    must surface as NULL, never be back-filled from an older/newer row
+    (merge_asof parity — ADVICE r4)."""
+    quotes = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), 10.0, "a"),
+         (1, _ts("2024-01-01 00:10:00"), None, "b"),   # px NULL at 00:10
+         (1, _ts("2024-01-01 00:20:00"), 12.0, None)],  # src NULL at 00:20
+        "key long, ts timestamp, px double, src string")
+    trades = spark.createDataFrame(
+        [(200, 1, _ts("2024-01-01 00:11:00")),   # matches 00:10 row
+         (201, 1, _ts("2024-01-01 00:21:00")),   # matches 00:20 row
+         (202, 1, _ts("2024-01-01 00:05:00"))],  # matches 00:00 row
+        "trade_id long, key long, ts timestamp")
+    return trades, quotes
+
+
+def test_asof_null_payload_backward(spark):
+    trades, quotes = _null_payload_frames(spark)
+    out = (asof_join(trades, quotes, on="key")
+           .toPandas().set_index("trade_id"))
+    assert pd.isna(out.loc[200, "px"])          # matched row's px IS null
+    assert out.loc[200, "src"] == "b"           # same row's src carried
+    assert out.loc[201, "px"] == 12.0
+    assert pd.isna(out.loc[201, "src"])         # not back-filled from "b"
+    assert out.loc[202, "px"] == 10.0 and out.loc[202, "src"] == "a"
+
+
+def test_asof_null_payload_matches_pandas_all_directions(spark):
+    trades, quotes = _null_payload_frames(spark)
+    for d in ("backward", "forward", "nearest"):
+        got = (asof_join(trades, quotes, on="key", direction=d)
+               .toPandas().sort_values("trade_id").reset_index(drop=True))
+        exp = pd.merge_asof(
+            trades.toPandas().sort_values("ts"),
+            quotes.toPandas().sort_values("ts"),
+            on="ts", by="key", direction=d,
+        ).sort_values("trade_id").reset_index(drop=True)
+        assert got["px"].fillna(-1).tolist() == exp["px"].fillna(-1).tolist(), d
+        assert got["src"].fillna("-").tolist() == exp["src"].fillna("-").tolist(), d
+
+
+def test_asof_nearest_null_payload_same_row(spark):
+    # nearest must take payload AND distance from one side's matched row
+    trades, quotes = _null_payload_frames(spark)
+    out = (asof_join(trades, quotes, on="key", direction="nearest")
+           .toPandas().set_index("trade_id"))
+    # 00:11 -> backward 00:10 (1 min) beats forward 00:20 (9 min):
+    # px NULL + src "b" from that single row
+    assert pd.isna(out.loc[200, "px"]) and out.loc[200, "src"] == "b"
+
+
 def test_asof_bad_direction(spark):
     trades, quotes = _frames(spark)
     import pytest

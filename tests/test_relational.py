@@ -325,3 +325,17 @@ def test_psi_drift_null_and_empty_bins(spark):
     import pytest
     with pytest.raises(ValueError, match="at least one column"):
         psi_drift(base, cur)
+
+
+def test_psi_drift_all_null_base_column(spark):
+    # a base column with zero non-null rows has no min/max to bin on:
+    # descriptive error, not a bare float(None) TypeError (ADVICE r4)
+    from pyspark.sql import Row
+
+    from dataframe_pipeline_spark.profiling import psi_drift
+
+    base = spark.createDataFrame([Row(x=None), Row(x=None)], "x double")
+    cur = spark.createDataFrame([Row(x=1.0)], "x double")
+    import pytest
+    with pytest.raises(ValueError, match="no non-null"):
+        psi_drift(base, cur, num_cols=["x"])

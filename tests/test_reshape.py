@@ -120,7 +120,9 @@ def test_cube_agg_no_expand_single_scan(spark):
                    sums={"q": "l_quantity"})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
-    # every grouping set reads the persisted finest pre-aggregate (the
-    # parquet lineage prints once per cached-scan reference, but the
-    # cache materializes the fact scan exactly once at runtime)
-    assert plan.count("InMemoryTableScan") == 4
+    # every grouping set reads the checkpointed finest pre-aggregate
+    # (localCheckpoint, so blocks are freed on GC — no session-lifetime
+    # cache leak); the fact parquet is scanned exactly once, at
+    # checkpoint materialization, and never appears in the output plan
+    assert plan.count("Scan ExistingRDD") == 4
+    assert "Scan parquet" not in plan
