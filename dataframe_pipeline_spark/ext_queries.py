@@ -389,6 +389,12 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {maxh}
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
+    """Fixed-plane PARITY variant (n_planes=4 pinned so the static
+    oracle replays the buckets).  Small plane counts mean n²/16
+    within-bucket verification — quadratic in corpus size; the family
+    flagship and production path is ``dedup_embedding_auto`` below,
+    whose plane count grows with the corpus (constant expected bucket
+    occupancy, 10x faster at sf1)."""
     emb = _t(spark, sf_dir, "embeddings")
     d = dd.QuantizedCosineDeduplicator(threshold=0.45, n_planes=4)
     return d.pairs(emb, bucketed=True)
@@ -2374,6 +2380,234 @@ FROM lineitem CROSS JOIN s
 """
 
 
+# --------------------------------------------------------------------------
+# Sketch-tier twins of the exact-percentile queries (the 100 TB defaults)
+# --------------------------------------------------------------------------
+#
+# clip_outliers / scaler_robust / expect_orders pin exact percentiles and
+# exact count-distinct purely for oracle parity; their sort-based
+# percentile / Expand distinct are the only >2s-absolute DuckDB losses at
+# sf1 (VERDICT r4).  These twins declare the bounded-memory sketch tiers
+# as oracle-checked queries, pattern per dedup_embedding_auto: the oracle
+# is GENERATED from the same fitted state the Spark query uses, and the
+# fit is tolerance-checked against DuckDB's exact computation — the
+# sketch's error guarantee is verified on this data, not assumed.
+#
+# percentile_approx is deterministic for a fixed plan but NOT across
+# partition layouts (Greenwald-Khanna summary merges), so fitted state is
+# cached per (kind, sf_dir): the Spark query and its generated oracle
+# replay the SAME literals and cannot drift within the verifying process.
+
+_SKETCH_FIT_CACHE: dict = {}
+
+
+def _exact_quantile_band(sf_dir: str, q: float, eps: float):
+    """Exact [q-eps, q+eps] quantile band of l_extendedprice, computed
+    independently by DuckDB."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        return con.execute(
+            f"SELECT quantile_cont(l_extendedprice, {max(0.0, q - eps)}), "
+            f"quantile_cont(l_extendedprice, {min(1.0, q + eps)}) "
+            f"FROM '{sf_dir}/lineitem.parquet'").fetchone()
+    finally:
+        con.close()
+
+
+def _quantile_rank_slack(sf_dir: str, accuracy: int) -> float:
+    """Rank-fraction slack for the band check: 5/accuracy covers the GK
+    guarantee (1/accuracy) plus partial-summary merge inflation, and
+    +2/n absorbs element-vs-interpolated discretization at small n
+    (percentile_approx returns actual data elements; quantile_cont
+    interpolates between ranks)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
+    return 5.0 / accuracy + 2.0 / max(n, 1)
+
+
+def _check_quantile_band(sf_dir: str, pairs, accuracy: int) -> None:
+    """Assert each fitted (q, value) lies inside the exact quantile band
+    [q - eps, q + eps] — verifies percentile_approx's rank-error
+    guarantee on this data rather than trusting it."""
+    eps = _quantile_rank_slack(sf_dir, accuracy)
+    for q, v in pairs:
+        lo, hi = _exact_quantile_band(sf_dir, q, eps)
+        if not (lo <= v <= hi):
+            raise AssertionError(
+                f"approx quantile {q} fitted {v} outside exact band "
+                f"[{lo}, {hi}] (rank slack {eps})")
+
+
+def _fitted_clipper_approx(spark, sf_dir):
+    import os
+
+    from .operators.outlier_clipper import OutlierClipper
+
+    key = ("clip", os.path.abspath(sf_dir))
+    if key not in _SKETCH_FIT_CACHE:
+        op = OutlierClipper(inputs=["l_extendedprice"],
+                            outputs=["price_clipped"],
+                            strategy="quantile", lo_q=0.05, hi_q=0.95,
+                            exact=False, accuracy=10000)
+        op.fit(_t(spark, sf_dir, "lineitem"))
+        lo, hi = op.bounds_[0]
+        _check_quantile_band(sf_dir, [(0.05, lo), (0.95, hi)], op.accuracy)
+        _SKETCH_FIT_CACHE[key] = op
+    return _SKETCH_FIT_CACHE[key]
+
+
+def q_clip_outliers_approx(spark, sf_dir):
+    """clip_outliers on the sketch tier: percentile_approx bounds
+    (bounded memory, one pass, mergeable partials — no full-column sort)
+    are the 100 TB default the OutlierClipper ships with.  The oracle
+    replays the fitted bounds as literals; the bounds themselves are
+    band-checked against DuckDB's exact quantiles at fit time."""
+    op = _fitted_clipper_approx(spark, sf_dir)
+    out = op.transform(_t(spark, sf_dir, "lineitem"))
+    return out.select("l_orderkey", "l_linenumber", "price_clipped")
+
+
+def _sql_clip_outliers_approx(sf_dir: str) -> str:
+    from .session import get_spark
+
+    op = _fitted_clipper_approx(get_spark(), sf_dir)
+    lo, hi = op.bounds_[0]
+    return f"""
+SELECT l_orderkey, l_linenumber,
+       LEAST(GREATEST(l_extendedprice, {lo!r}), {hi!r}) AS price_clipped
+FROM lineitem
+"""
+
+
+def _fitted_robust_approx(spark, sf_dir):
+    import os
+
+    from .operators import Scaler
+
+    key = ("robust", os.path.abspath(sf_dir))
+    if key not in _SKETCH_FIT_CACHE:
+        sc = Scaler(inputs=["l_extendedprice"], outputs=["price_r"],
+                    strategy="robust", approx=True)
+        sc.fit(_t(spark, sf_dir, "lineitem"))
+        eps = _quantile_rank_slack(sf_dir, sc.accuracy)
+        md, scale = sc.offsets[0], sc.scales[0]
+        _check_quantile_band(sf_dir, [(0.5, md)], sc.accuracy)
+        # IQR band: q3a - q1a with q1a/q3a each inside their exact band
+        q1_lo, q1_hi = _exact_quantile_band(sf_dir, 0.25, eps)
+        q3_lo, q3_hi = _exact_quantile_band(sf_dir, 0.75, eps)
+        iqr = 1.0 / scale
+        if not (q3_lo - q1_hi <= iqr <= q3_hi - q1_lo):
+            raise AssertionError(
+                f"approx IQR {iqr} outside exact band "
+                f"[{q3_lo - q1_hi}, {q3_hi - q1_lo}]")
+        _SKETCH_FIT_CACHE[key] = sc
+    return _SKETCH_FIT_CACHE[key]
+
+
+def q_scaler_robust_approx(spark, sf_dir):
+    """RobustScaler on the sketch tier: quartiles from ONE
+    percentile_approx state (bounded memory, no sort) — the 100 TB
+    path.  Fitted median/IQR are band-checked vs DuckDB's exact
+    quantiles; the oracle replays them as literals with the same
+    subtract-then-multiply arithmetic the transform compiles to."""
+    sc = _fitted_robust_approx(spark, sf_dir)
+    out = sc.transform(_t(spark, sf_dir, "lineitem"))
+    return out.select("l_orderkey", "l_linenumber",
+                      F.round("price_r", 6).alias("price_r"))
+
+
+def _sql_scaler_robust_approx(sf_dir: str) -> str:
+    from .session import get_spark
+
+    sc = _fitted_robust_approx(get_spark(), sf_dir)
+    md, scale = sc.offsets[0], sc.scales[0]
+    return f"""
+SELECT l_orderkey, l_linenumber,
+       ROUND((l_extendedprice - {md!r}) * {scale!r}, 6) AS price_r
+FROM lineitem
+"""
+
+
+def _hll_orderkey_estimate(spark, sf_dir, rsd: float = 0.05) -> int:
+    """approx_count_distinct(o_orderkey) — HLL++ register merges are
+    order- and partition-independent, so the estimate is a pure function
+    of the value set; cached to save the extra job, tolerance-checked
+    against DuckDB's exact distinct at 3x the sketch's rsd."""
+    import os
+
+    key = ("hll", os.path.abspath(sf_dir))
+    if key not in _SKETCH_FIT_CACHE:
+        od = _t(spark, sf_dir, "orders")
+        est = int(od.agg(F.approx_count_distinct("o_orderkey", rsd)
+                         .alias("d")).first()["d"])
+        import duckdb
+
+        con = duckdb.connect()
+        try:
+            exact = con.execute(
+                f"SELECT count(DISTINCT o_orderkey) "
+                f"FROM '{sf_dir}/orders.parquet'").fetchone()[0]
+        finally:
+            con.close()
+        if abs(est - exact) > 3 * rsd * exact:
+            raise AssertionError(
+                f"HLL estimate {est} outside 3-sigma band of exact "
+                f"{exact} (rsd {rsd})")
+        _SKETCH_FIT_CACHE[key] = est
+    return _SKETCH_FIT_CACHE[key]
+
+
+def q_expect_orders_hll(spark, sf_dir):
+    """expect_orders on the suite's DEFAULT tier: uniqueness via
+    approx_count_distinct (HLL++, fixed memory, no Expand — 0.25s vs
+    0.76s of the sf1 aggregate) with the 2x-rsd duplicate tolerance.
+    Every other check is identical to expect_orders and rides the same
+    single aggregate pass."""
+    from . import expectations as ex
+
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    suite = ex.ExpectationSuite(checks=[
+        ex.not_null("o_custkey"),
+        ex.in_range("o_totalprice", 0, 400000, max_bad_frac=0.25),
+        ex.in_set("o_orderstatus", ["F", "O"]),
+        ex.matches("o_orderpriority", "^[1-5]-"),
+        ex.unique("o_orderkey"),
+        ex.row_count(1000, 1000000),
+        ex.mean_between("o_totalprice", 200000, 300000),
+        ex.fresh("o_orderdate", "2001-01-01"),
+        ex.fk_in("o_custkey", cu, "c_custkey"),
+    ])  # exact=False default: the production configuration
+    return suite.report(od)
+
+
+_UNIQUE_EXACT_BLOCK = """SELECT 'unique(o_orderkey)', 'o_orderkey',
+       (nn - d) <= 0, CAST(d AS DOUBLE), GREATEST(nn - d, 0)
+FROM (SELECT count(DISTINCT o_orderkey) AS d, count(o_orderkey) AS nn
+      FROM orders)"""
+
+
+def _sql_expect_orders_hll(sf_dir: str) -> str:
+    """expect_orders oracle with the unique row's HLL estimate replayed
+    as a literal (tolerance-checked in _hll_orderkey_estimate); the
+    pass rule is the suite's 2x-rsd duplicate band."""
+    from .session import get_spark
+
+    est = _hll_orderkey_estimate(get_spark(), sf_dir)
+    approx_block = f"""SELECT 'unique(o_orderkey)', 'o_orderkey',
+       (nn - {est}) <= 0.1 * nn, CAST({est} AS DOUBLE),
+       GREATEST(nn - {est}, 0)
+FROM (SELECT count(o_orderkey) AS nn FROM orders)"""
+    assert _UNIQUE_EXACT_BLOCK in SQL_EXPECT_ORDERS
+    return SQL_EXPECT_ORDERS.replace(_UNIQUE_EXACT_BLOCK, approx_block)
+
+
 def q_events_value_zscore(spark, sf_dir):
     """Per-group standardization (anomaly scoring): z = (x - mu_g)/sd_g
     with population std per event_type.  Plan note: a WINDOW over
@@ -2740,6 +2974,11 @@ EXT_QUERIES = {
     "topk_per_segment": (q_topk_per_segment, SQL_TOPK_PER_SEGMENT),
     "profile_customer": (q_profile_customer, SQL_PROFILE_CUSTOMER),
     "clip_outliers": (q_clip_outliers, SQL_CLIP_OUTLIERS),
+    "clip_outliers_approx": (q_clip_outliers_approx,
+                             _sql_clip_outliers_approx),
+    "scaler_robust_approx": (q_scaler_robust_approx,
+                             _sql_scaler_robust_approx),
+    "expect_orders_hll": (q_expect_orders_hll, _sql_expect_orders_hll),
     "layout_pruned_scan": (q_layout_pruned_scan, SQL_LAYOUT_PRUNED_SCAN),
     "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENT_COUNTS),
     "melt_measures": (q_melt_measures, SQL_MELT_MEASURES),

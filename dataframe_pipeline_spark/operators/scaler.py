@@ -31,12 +31,20 @@ from ..base import SparkDFPBase, nan_to_null
 
 
 class Scaler(SparkDFPBase):
-    def __init__(self, inputs=None, outputs=None, strategy=None):
+    def __init__(self, inputs=None, outputs=None, strategy=None,
+                 approx: bool = False, accuracy: int = 10000):
+        """``approx`` (robust strategy only): fit the quartiles with the
+        bounded-memory ``percentile_approx`` sketch instead of the exact
+        sort-based ``percentile`` — the 100 TB path.  Rank error is at
+        most n/``accuracy`` per quantile (Greenwald-Khanna guarantee);
+        sklearn parity keeps the exact default."""
         self.inputs = list(inputs or [])
         self.outputs = list(outputs or [])
         self.strategy = strategy
         if strategy not in ("minmax", "standard", "min", "robust"):
             raise ValueError(f"Not implemented strategy: {strategy!r}")
+        self.approx = bool(approx)
+        self.accuracy = int(accuracy)
         self.offsets = []  # per input: offset subtracted
         self.scales = []   # per input: multiplier  (1/denominator)
 
@@ -54,9 +62,10 @@ class Scaler(SparkDFPBase):
                 # value-count map over the data), not three separate
                 # percentile aggregates each building its own — 3x the
                 # dominant fit cost at scale (measured on 6M rows)
-                aggs += [F.percentile(
-                    v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
-                ).alias(f"qs{i}")]
+                qarr = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+                aggs += [(F.percentile_approx(v, qarr, F.lit(self.accuracy))
+                          if self.approx else F.percentile(v, qarr))
+                         .alias(f"qs{i}")]
             else:  # min
                 aggs += [F.min(v).alias(f"lo{i}")]
         row = df.agg(*aggs).collect()[0]

@@ -105,3 +105,58 @@ def test_write_clustered_roundtrip_and_layout(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "part" in plan
     assert "PushedFilters" in plan and "LessThan(id,10)" in plan
+
+
+def test_scaler_robust_approx_tier(spark):
+    """Scaler(strategy='robust', approx=True): sketch-fitted quartiles
+    land within the GK rank-error band of the exact fit, and transform
+    arithmetic is identical (subtract-then-multiply)."""
+    import numpy as np
+
+    from dataframe_pipeline_spark.operators import Scaler
+
+    rng = np.random.RandomState(7)
+    vals = rng.lognormal(10, 1, 5000).tolist()
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+
+    exact = Scaler(inputs=["x"], outputs=["y"], strategy="robust").fit(df)
+    approx = Scaler(inputs=["x"], outputs=["y"], strategy="robust",
+                    approx=True).fit(df)
+    # rank slack 2/accuracy of 5000 rows = at most 1 rank either side
+    s = sorted(vals)
+    for q, got in [(0.5, approx.offsets[0])]:
+        r = q * (len(s) - 1)
+        lo, hi = s[max(0, int(r) - 2)], s[min(len(s) - 1, int(r) + 3)]
+        assert lo <= got <= hi
+    # scales agree to the same band (IQR from neighboring ranks)
+    assert abs(1 / approx.scales[0] - 1 / exact.scales[0]) \
+        <= (s[3751] - s[3748]) + (s[1251] - s[1248])
+
+
+def test_sketch_tier_queries_match_generated_oracles(spark):
+    """clip_outliers_approx / scaler_robust_approx / expect_orders_hll:
+    the generated oracle replays the SAME fitted literals the Spark
+    query uses (shared fit cache), so results match value-for-value."""
+    import duckdb
+
+    from dataframe_pipeline_spark import ext_queries as xq
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "customer"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    for name in ["clip_outliers_approx", "scaler_robust_approx",
+                 "expect_orders_hll"]:
+        fn, sql = xq.EXT_QUERIES[name]
+        got = fn(spark, sf).toPandas()
+        exp = con.sql(sql(sf) if callable(sql) else sql).df()
+        assert len(got) == len(exp), name
+        key = list(got.columns)
+        g = got.sort_values(key).reset_index(drop=True)
+        e = exp.sort_values(key).reset_index(drop=True)
+        for c in got.columns:
+            gv, ev = g[c].tolist(), e[c].tolist()
+            assert gv == ev or all(
+                (x == y) or (x != x and y != y) for x, y in zip(gv, ev)
+            ), f"{name}.{c}"
+    con.close()

@@ -94,3 +94,29 @@ def test_wrap_generic_transformer(spark):
                         transformer=DemeanTransformer())
     out = {round(r.x, 1): r.x_dm for r in w.fit_transform(df).collect()}
     assert out == {1.0: -2.0, 2.0: -1.0, 3.0: 0.0, 6.0: 3.0}
+
+
+def test_wrap_generic_fit_row_cap(spark):
+    """The generic driver-side fit refuses inputs above
+    GENERIC_FIT_MAX_ROWS with a pointer at the native operators,
+    instead of attempting an unbounded toPandas()."""
+    import pytest
+
+    from dataframe_pipeline_spark import WrapTransformer
+
+    class Identity:
+        def fit(self, X):
+            return self
+
+        def transform(self, X):
+            return X
+
+    df = spark.range(100).selectExpr("CAST(id AS DOUBLE) AS x")
+    w = WrapTransformer(inputs=["x"], outputs=["y"], transformer=Identity())
+    w.GENERIC_FIT_MAX_ROWS = 50  # instance override, class default 10M
+    with pytest.raises(ValueError, match="GENERIC_FIT_MAX_ROWS"):
+        w.fit(df)
+    # under the cap the same wrap fits fine
+    w2 = WrapTransformer(inputs=["x"], outputs=["y"], transformer=Identity())
+    w2.GENERIC_FIT_MAX_ROWS = 200
+    assert w2.fit_transform(df).count() == 100
