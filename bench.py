@@ -101,18 +101,21 @@ def _online_p50_ms(spark, n_iter: int = 15) -> dict:
     batch queries (median = the comparable per-round trend number, min =
     the load-noise floor).
 
-    Three paths: "plan_and_exec" rebuilds the fitted pipeline's
-    transform plan per request (the naive serving loop — pays Catalyst
-    analysis every call); "exec_only" reuses one built plan and
-    re-collects (what a real serving layer does: the fitted plan is
-    static, only the input row changes); "ann_search_vec" is the
-    external-query-vector ANN probe (IVFIndex.search_vec — driver-side
-    quantize + pruned scoring scan), the serving shape of the
-    similarity tier."""
+    Paths: "exec_only" re-collects the COMPILED serving plan (serving.py:
+    lookup joins inlined as literal maps, input as an inline-VALUES
+    LocalRelation — the plan folds to LocalTableScan, collect() is
+    job-free); "serve_request" is the full per-request path (render row
+    → analyze → collect, i.e. plan_and_exec on the serving tier);
+    "exec_only_join_plan" / "plan_and_exec_join_plan" keep the r3/r4
+    batch-plan numbers comparable (join plan over a Python-RDD input —
+    pays a full Spark job per request); "ann_search_vec" is the
+    external-query-vector ANN probe (IVFIndex.search_vec), the serving
+    shape of the similarity tier."""
     import statistics
 
     import dataframe_pipeline_spark as dfp
     from dataframe_pipeline_spark.ext_queries import _events
+    from dataframe_pipeline_spark.serving import local_rows_df, serve_rows
     from dataframe_pipeline_spark.similarity import IVFIndex
 
     ev = _events(spark, "/root/testdata/sf0.001")
@@ -123,23 +126,33 @@ def _online_p50_ms(spark, n_iter: int = 15) -> dict:
         dfp.Scaler(inputs=["value"], outputs=["value_mm"], strategy="minmax"),
     ])
     pipe.fit(ev)
-    one = spark.createDataFrame([ev.head()], schema=ev.schema)
-    plan = pipe.transform(one)
-    plan.collect()                         # warm the plan paths
+    head = ev.head()
+    one = spark.createDataFrame([head], schema=ev.schema)
+    join_plan = pipe.transform(one)
+    join_plan.collect()                    # warm the batch-plan path
+    serving_plan = pipe.serving_transform(
+        local_rows_df(spark, [head], ev.schema))
+    serving_plan.collect()                 # warm + build literal maps
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     idx = IVFIndex(k=5, n_lists=8, n_probe=2).fit(emb)
     qvec = list(emb.head()["embedding"])
     idx.search_vec(qvec).collect()         # warm the probe path
 
-    full, exec_only, ann = [], [], []
+    full, exec_join, exec_serv, req_serv, ann = [], [], [], [], []
     for _ in range(n_iter):
         t0 = time.perf_counter()
         pipe.transform(one).collect()
         full.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        plan.collect()
-        exec_only.append(time.perf_counter() - t0)
+        join_plan.collect()
+        exec_join.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        serving_plan.collect()
+        exec_serv.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        serve_rows(pipe, spark, [head], ev.schema)
+        req_serv.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         idx.search_vec(qvec).collect()
         ann.append(time.perf_counter() - t0)
@@ -148,12 +161,16 @@ def _online_p50_ms(spark, n_iter: int = 15) -> dict:
         return round(x * 1000, 1)
 
     return {
-        # r03-comparable keys (medians), unchanged meaning
-        "plan_and_exec": ms(statistics.median(full)),
-        "exec_only": ms(statistics.median(exec_only)),
-        # min floor + the ANN serving path (new in r4)
-        "plan_and_exec_min": ms(min(full)),
-        "exec_only_min": ms(min(exec_only)),
+        # the serving tier (r5): compiled literal-map plan, LocalRelation
+        "exec_only": ms(statistics.median(exec_serv)),
+        "exec_only_min": ms(min(exec_serv)),
+        "serve_request": ms(statistics.median(req_serv)),
+        "serve_request_min": ms(min(req_serv)),
+        # r3/r4-comparable join-plan keys (same meaning as before)
+        "plan_and_exec_join_plan": ms(statistics.median(full)),
+        "plan_and_exec_join_plan_min": ms(min(full)),
+        "exec_only_join_plan": ms(statistics.median(exec_join)),
+        "exec_only_join_plan_min": ms(min(exec_join)),
         "ann_search_vec": ms(statistics.median(ann)),
         "ann_search_vec_min": ms(min(ann)),
     }

@@ -37,6 +37,7 @@ from .operators import (
 )
 from .persistence import load_pipeline, save_pipeline
 from .pipeline import DataframePipeline
+from .serving import local_rows_df, serve_rows, serving_transform
 from .session import get_spark
 
 __version__ = "0.1.0"

@@ -110,6 +110,15 @@ class DataframePipeline:
         """Show the Catalyst physical plan of the whole fitted pipeline."""
         self.transform(df).explain(mode)
 
+    def serving_transform(self, df: DataFrame) -> DataFrame:
+        """Online-scoring transform: identical results to ``transform``
+        but with lookup-joining steps compiled to literal maps, so the
+        plan over a 1-row local input folds to a LocalRelation and
+        ``collect()`` never launches a Spark job (see serving.py)."""
+        from .serving import serving_transform
+
+        return serving_transform(self, df)
+
     def save(self, path: str) -> None:
         """Persist the fitted pipeline (the reference's ``export`` analog:
         fit once, score anywhere — see persistence.py)."""

@@ -1,0 +1,118 @@
+"""serving.py: literal-map compilation of fitted pipelines for online
+scoring — result parity with the batch transform, full LocalRelation
+fold (collect launches no job), and inline-VALUES row rendering."""
+
+import datetime as dt
+import math
+
+import pandas as pd
+import pytest
+
+import dataframe_pipeline_spark as dfp
+from dataframe_pipeline_spark.serving import (SERVING_MAX_ROWS,
+                                              local_rows_df, serve_rows)
+
+
+def _fitted_pipe(spark):
+    from dataframe_pipeline_spark.ext_queries import _events
+
+    ev = _events(spark, "/root/testdata/sf0.001")
+    pipe = dfp.DataframePipeline(steps=[
+        dfp.ComplementLabelEncoder(inputs=["event_type"], outputs=["type_id"]),
+        dfp.Aggregator(inputs=["value"], outputs=["user_mean"],
+                       groupby=["user_id"], func="mean"),
+        dfp.FrequencyEncoder(inputs=["event_type"], outputs=["type_freq"]),
+        dfp.Scaler(inputs=["value"], outputs=["value_mm"], strategy="minmax"),
+    ])
+    pipe.fit(ev)
+    return pipe, ev
+
+
+def test_serving_parity_with_batch(spark):
+    pipe, ev = _fitted_pipe(spark)
+    rows = ev.limit(40).collect()
+    batch = (pipe.transform(spark.createDataFrame(rows, ev.schema))
+             .toPandas().sort_values("event_id").reset_index(drop=True))
+    serve = (pipe.serving_transform(local_rows_df(spark, rows, ev.schema))
+             .toPandas().sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(batch, serve, check_like=True)
+
+
+def test_serving_plan_folds_to_local_relation(spark):
+    """The whole compiled transform over an inline-VALUES input must
+    collapse to LocalTableScan — no joins, no exchanges, no jobs."""
+    pipe, ev = _fitted_pipe(spark)
+    plan = pipe.serving_transform(
+        local_rows_df(spark, [ev.head()], ev.schema))
+    phys = plan._jdf.queryExecution().executedPlan().toString()
+    assert phys.strip().startswith("LocalTableScan"), phys
+    assert "Join" not in phys and "Exchange" not in phys
+
+
+def test_serving_unseen_category_default(spark):
+    pipe, ev = _fitted_pipe(spark)
+    row = ev.head().asDict()
+    row["event_type"] = "never_seen_category"
+    out = serve_rows(pipe, spark, [row], ev.schema)[0]
+    batch = pipe.transform(
+        spark.createDataFrame([tuple(row[f.name] for f in ev.schema.fields)],
+                              ev.schema)).collect()[0]
+    assert out["type_id"] == batch["type_id"]     # extra_category_ id
+    assert out["type_freq"] == batch["type_freq"] == 1  # unseen count=1
+
+
+def test_serving_unseen_group_null(spark):
+    pipe, ev = _fitted_pipe(spark)
+    row = ev.head().asDict()
+    row["user_id"] = 10**12  # never-fitted group -> left-join miss -> NULL
+    out = serve_rows(pipe, spark, [row], ev.schema)[0]
+    assert out["user_mean"] is None
+
+
+def test_serving_oversized_lookup_falls_back_to_join(spark):
+    from dataframe_pipeline_spark.ext_queries import _events
+
+    ev = _events(spark, "/root/testdata/sf0.001")
+    enc = dfp.ComplementLabelEncoder(inputs=["event_type"],
+                                     outputs=["type_id"])
+    enc.fit(ev)
+    # force the gate: pretend the dictionary exceeds the inline cap
+    lookup, default_id, _n = enc._lookups["event_type"]
+    enc._lookups["event_type"] = (lookup, default_id, SERVING_MAX_ROWS + 1)
+    pipe = dfp.DataframePipeline(steps=[enc])
+    out = pipe.serving_transform(local_rows_df(spark, [ev.head()], ev.schema))
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in phys  # fell back to the batch join plan
+    assert out.collect()[0]["type_id"] is not None
+
+
+def test_local_rows_df_type_fidelity(spark):
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType, TimestampType)
+
+    schema = StructType([
+        StructField("i", LongType()), StructField("x", DoubleType()),
+        StructField("s", StringType()), StructField("t", TimestampType()),
+    ])
+    rows = [
+        (1, float("nan"), "it's \\ tricky", dt.datetime(2024, 1, 2, 3, 4, 5, 123456)),
+        (None, -0.0, None, None),
+        (2, float("inf"), "", dt.datetime(1970, 1, 1)),
+    ]
+    df = local_rows_df(spark, rows, schema)
+    assert df.schema == schema
+    got = df.collect()
+    assert got[0]["i"] == 1 and math.isnan(got[0]["x"])
+    assert got[0]["s"] == "it's \\ tricky"
+    assert got[0]["t"] == dt.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    assert got[1]["i"] is None and got[1]["s"] is None and got[1]["t"] is None
+    assert got[2]["x"] == float("inf") and got[2]["s"] == ""
+    # and it is a LocalRelation, not a Python RDD
+    assert "LocalTableScan" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_local_rows_df_empty_raises(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    with pytest.raises(ValueError, match="at least one row"):
+        local_rows_df(spark, [], StructType([StructField("i", LongType())]))
