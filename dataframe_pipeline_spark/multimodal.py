@@ -238,8 +238,12 @@ def decode_image_array(payload: bytes):
         return _decode_ppm(b)
     if b[:8] == PNG_SIG:
         return _decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg  # baseline sequential JFIF
+
+        return decode_jpeg(b)
     raise NotImplementedError(
-        "only BMP/PPM/PNG decodable without PIL/opencv — "
+        "only BMP/PPM/PNG/baseline-JPEG decodable without PIL/opencv — "
         "FakeImageDecoder provides the deterministic test double")
 
 

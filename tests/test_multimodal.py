@@ -31,8 +31,13 @@ def test_fake_decoder_schema_and_values(docs):
 
 
 def test_decode_image_rejects_lib_dependent_formats():
+    # JPEG is a REAL codec since r5 (jpeg.py): a truncated stream is now
+    # a corrupt recognized format (ValueError), progressive coding is the
+    # honest capability gap (NotImplementedError), GIF stays stubbed
+    with pytest.raises(ValueError):
+        mm.decode_image(b"\xff\xd8\xff\xe0jpeg-truncated-stream")
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\xff\xd8\xff\xe0jpeg-needs-a-real-codec")
+        mm.decode_image(b"GIF89a needs a real codec")
 
 
 def test_fake_resizer_shape(spark):
@@ -388,8 +393,8 @@ def test_decode_dispatch_order():
         mm.decode_image_array(b"P6\n4 4\n255\nxx")
     with pt.raises(ValueError, match="PNG"):
         mm.decode_image_array(mm.PNG_SIG + b"trailing-garbage")
-    with pt.raises(NotImplementedError):
-        mm.decode_image_array(b"\xff\xd8\xff\xe0 jpeg")
+    with pt.raises(ValueError, match="JPEG"):
+        mm.decode_image_array(b"\xff\xd8\xff\xe0 jpeg")   # corrupt, real codec
     with pt.raises(NotImplementedError):
         mm.decode_image_array(b"GIF89a")
 
