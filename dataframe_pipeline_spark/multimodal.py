@@ -242,9 +242,13 @@ def decode_image_array(payload: bytes):
         from .jpeg import decode_jpeg  # baseline sequential JFIF
 
         return decode_jpeg(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif    # first frame, full LZW
+
+        return decode_gif(b)
     raise NotImplementedError(
-        "only BMP/PPM/PNG/baseline-JPEG decodable without PIL/opencv — "
-        "FakeImageDecoder provides the deterministic test double")
+        "only BMP/PPM/PNG/baseline-JPEG/GIF decodable without PIL/opencv "
+        "— FakeImageDecoder provides the deterministic test double")
 
 
 def decode_image(payload: bytes):

@@ -31,13 +31,15 @@ def test_fake_decoder_schema_and_values(docs):
 
 
 def test_decode_image_rejects_lib_dependent_formats():
-    # JPEG is a REAL codec since r5 (jpeg.py): a truncated stream is now
-    # a corrupt recognized format (ValueError), progressive coding is the
-    # honest capability gap (NotImplementedError), GIF stays stubbed
+    # JPEG and GIF are REAL codecs since r5 (jpeg.py, gif.py): truncated
+    # streams are corrupt recognized formats (ValueError); WebP remains
+    # the honest capability gap (NotImplementedError)
     with pytest.raises(ValueError):
         mm.decode_image(b"\xff\xd8\xff\xe0jpeg-truncated-stream")
+    with pytest.raises(ValueError):
+        mm.decode_image(b"GIF89a" + b"\x00" * 16)
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"GIF89a needs a real codec")
+        mm.decode_image(b"RIFF....WEBP needs a real codec")
 
 
 def test_fake_resizer_shape(spark):
@@ -98,7 +100,9 @@ def test_decode_image_rejects_unknown_and_corrupt():
     from dataframe_pipeline_spark.multimodal import decode_image
 
     with pt.raises(NotImplementedError):       # unknown magic
-        decode_image(b"GIF89a needs a real codec")
+        decode_image(b"WEBP needs a real codec")
+    with pt.raises(ValueError):                # GIF magic, corrupt stream
+        decode_image(b"GIF89a corrupt stream")
     with pt.raises(ValueError):                # PNG sig but no chunks
         decode_image(b"\x89PNG\r\n\x1a\nrest")
 
@@ -395,8 +399,10 @@ def test_decode_dispatch_order():
         mm.decode_image_array(mm.PNG_SIG + b"trailing-garbage")
     with pt.raises(ValueError, match="JPEG"):
         mm.decode_image_array(b"\xff\xd8\xff\xe0 jpeg")   # corrupt, real codec
+    with pt.raises(ValueError, match="GIF"):
+        mm.decode_image_array(b"GIF89a")                  # corrupt, real codec
     with pt.raises(NotImplementedError):
-        mm.decode_image_array(b"GIF89a")
+        mm.decode_image_array(b"RIFF0000WEBP")
 
     # order: the source checks BM before P6 before the PNG signature
     src = inspect.getsource(mm.decode_image_array)
