@@ -1065,6 +1065,60 @@ FROM documents
 """
 
 
+def q_multimodal_gif_roundtrip(spark, sf_dir):
+    """REAL-codec multimodal pipeline (gif.py, new r5): synthesize a
+    4x4 gray image from each document's md5 digest bytes, encode it to
+    an actual GIF89a (Arrow-batched mapInPandas), then decode through
+    the production ``ImageDecoder`` (full LZW) and extract features.
+    Because the GIF round-trip is lossless, the decoded mean is exactly
+    the md5-byte mean — which DuckDB replays with hex arithmetic, so
+    the ENTIRE encode->decode->featurize path is value-checked against
+    an independent engine.  /16 and /48 are exact binary divisions
+    (the true quotient is representable), so no float-order hazard."""
+    import pandas as pd
+
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode(batches):
+        import hashlib
+
+        import numpy as np
+
+        from .gif import encode_gif
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                px = np.frombuffer(
+                    hashlib.md5(str(t).encode()).digest(),
+                    dtype=np.uint8).reshape(4, 4)
+                payloads.append(encode_gif(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    enc = docs.mapInPandas(encode, schema=StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType())]))
+    enc = (enc.withColumn("n_bytes", F.octet_length("payload").cast("long"))
+           .withColumn("digest", F.md5("payload")))
+    out = mm.ImageDecoder(on_error="raise").transform(enc)
+    return _r6(out.select("doc_id", "width", "height", "mean_pixel"),
+               "mean_pixel")
+
+
+SQL_MULTIMODAL_GIF_ROUNDTRIP = """
+SELECT doc_id,
+       CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       ROUND(list_sum(list_transform(generate_series(1, 16),
+             i -> ('0x' || substr(md5(text), 2*i-1, 2))::BIGINT))
+             / 16.0, 6) AS mean_pixel
+FROM documents
+"""
+
+
 # ==========================================================================
 # Events analytics (batch twins of the streaming module)
 # ==========================================================================
@@ -3043,6 +3097,8 @@ EXT_QUERIES = {
     "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "multimodal_gif_roundtrip": (q_multimodal_gif_roundtrip,
+                                 SQL_MULTIMODAL_GIF_ROUNDTRIP),
     "events_hourly_agg": (q_events_hourly_agg, SQL_EVENTS_HOURLY),
     "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
     "asof_next_purchase": (q_asof_next_purchase, SQL_ASOF_NEXT_PURCHASE),
