@@ -142,10 +142,74 @@ def _serve_frequency_encoder(op, df: DataFrame) -> DataFrame:
     return df
 
 
+def _serve_target_encoder(op, df: DataFrame) -> DataFrame:
+    cache = getattr(op, _CACHE_ATTR, None)
+    if cache is None:
+        if any(n > SERVING_MAX_ROWS for n in op.cards_):
+            cache = False
+        else:
+            cache = [
+                _literal_map([(r["__cat"], r["__code"])
+                              for r in lk.collect()])
+                for lk in op.lookups_]
+        setattr(op, _CACHE_ATTR, cache)
+    if cache is False:
+        return op.transform(df)
+    for c, o, m in zip(op.inputs, op.outputs, cache):
+        looked = F.element_at(m, F.col(c)) if m is not None else F.lit(None)
+        df = df.withColumn(
+            o, F.coalesce(looked, F.lit(op.global_mean_)).cast("double"))
+    return df
+
+
+def _serve_wrap_transformer(op, df: DataFrame) -> DataFrame:
+    """Only the LabelEncoder mapping joins a lookup; every other wrap
+    mode is already literal arithmetic or an Arrow UDF (an Arrow kernel
+    cannot fold into a local plan — it falls through to the batch
+    transform)."""
+    from .base import nan_to_null
+
+    if op._kind != "LabelEncoder":
+        return op.transform(df)
+    cache = getattr(op, _CACHE_ATTR, None)
+    if cache is None:
+        if any(n > SERVING_MAX_ROWS for _, n in op._state.values()):
+            cache = False
+        else:
+            cache = {}
+            for input, (lookup, _n) in op._state.items():
+                rows = lookup.collect()
+                # sklearn LabelEncoder classes may include the NULL/NaN
+                # class (eqNullSafe join); map literals cannot hold a
+                # NULL key, so it rides separately
+                null_id = next((r["__dfp_id"] for r in rows
+                                if r["__dfp_val"] is None), None)
+                m = _literal_map([(r["__dfp_val"], r["__dfp_id"])
+                                  for r in rows
+                                  if r["__dfp_val"] is not None])
+                cache[input] = (m, null_id)
+        setattr(op, _CACHE_ATTR, cache)
+    if cache is False:
+        return op.transform(df)
+    for input, output in zip(op.inputs, op.outputs):
+        in_col = input if isinstance(input, str) else input[0]
+        out_col = output if isinstance(output, str) else output[0]
+        m, null_id = cache[input]
+        key = nan_to_null(df, in_col)
+        looked = F.element_at(m, key) if m is not None else F.lit(None)
+        df = df.withColumn(
+            out_col,
+            F.when(key.isNull(), F.lit(null_id)).otherwise(looked)
+            .cast("int"))
+    return df
+
+
 _SERVING_COMPILERS = {
     "ComplementLabelEncoder": _serve_label_encoder,
     "Aggregator": _serve_aggregator,
     "FrequencyEncoder": _serve_frequency_encoder,
+    "TargetEncoder": _serve_target_encoder,
+    "WrapTransformer": _serve_wrap_transformer,
 }
 
 

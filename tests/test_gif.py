@@ -71,3 +71,26 @@ def test_multimodal_dispatch_decodes_gif():
     w, h, mean = mm.decode_image(encode_gif(img))
     assert (w, h) == (18, 12)
     assert mean == pytest.approx(float(img.mean()))
+
+
+def test_interlaced_gif_decodes():
+    """Hand-build an interlaced GIF: encode the image with its rows
+    pre-permuted into GIF pass order, then flip the interlace flag in
+    the image descriptor — the decoder must de-interlace it back."""
+    rng = np.random.RandomState(7)
+    pal = np.array([[0, 0, 0], [80, 160, 240], [255, 128, 0],
+                    [10, 200, 90]], dtype=np.uint8)
+    h, w = 13, 9                         # odd height exercises pass math
+    img = pal[rng.randint(0, 4, (h, w))]
+    passes = [list(range(0, h, 8)), list(range(4, h, 8)),
+              list(range(2, h, 4)), list(range(1, h, 2))]
+    order = [r for p in passes for r in p]
+    b = bytearray(encode_gif(img[order]))
+    # image descriptor: header(13) + GCT(3 * 2^bits) + 0x2C + 8 bytes,
+    # packed byte follows; set its interlace bit (0x40)
+    gct_bytes = 3 * (2 << (b[10] & 0x7))
+    packed_at = 13 + gct_bytes + 9
+    assert b[13 + gct_bytes] == 0x2C
+    b[packed_at] |= 0x40
+    out = decode_gif(bytes(b))
+    assert np.array_equal(out, img)

@@ -116,3 +116,49 @@ def test_local_rows_df_empty_raises(spark):
 
     with pytest.raises(ValueError, match="at least one row"):
         local_rows_df(spark, [], StructType([StructField("i", LongType())]))
+
+
+def test_serving_target_encoder_parity(spark):
+    from dataframe_pipeline_spark.operators.target_encoder import TargetEncoder
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    te = TargetEncoder(inputs=["o_orderstatus"], outputs=["status_te"],
+                       target="o_totalprice", smoothing=10.0)
+    te.fit(ev)
+    pipe = dfp.DataframePipeline(steps=[te])
+    rows = ev.limit(20).collect()
+    batch = (pipe.transform(spark.createDataFrame(rows, ev.schema))
+             .toPandas().sort_values("o_orderkey").reset_index(drop=True))
+    serve = (pipe.serving_transform(local_rows_df(spark, rows, ev.schema))
+             .toPandas().sort_values("o_orderkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(batch, serve, check_like=True)
+    plan = pipe.serving_transform(local_rows_df(spark, rows[:1], ev.schema))
+    assert plan._jdf.queryExecution().executedPlan().toString() \
+        .strip().startswith("LocalTableScan")
+    # unseen category -> global mean, same as the batch join miss
+    row = rows[0].asDict()
+    row["o_orderstatus"] = "Z"
+    out = serve_rows(pipe, spark, [row], ev.schema)[0]
+    assert out["status_te"] == pytest.approx(te.global_mean_)
+
+
+def test_serving_wrap_label_encoder_parity(spark):
+    class LabelEncoder:  # sklearn stand-in, recognized by class name
+        pass
+
+    from dataframe_pipeline_spark.ext_queries import _events
+
+    ev = _events(spark, "/root/testdata/sf0.001")
+    w = dfp.WrapTransformer(inputs=["event_type"], outputs=["type_code"],
+                            transformer=LabelEncoder())
+    w.fit(ev)
+    pipe = dfp.DataframePipeline(steps=[w])
+    rows = ev.limit(20).collect()
+    batch = (pipe.transform(spark.createDataFrame(rows, ev.schema))
+             .toPandas().sort_values("event_id").reset_index(drop=True))
+    serve = (pipe.serving_transform(local_rows_df(spark, rows, ev.schema))
+             .toPandas().sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(batch, serve, check_like=True)
+    plan = pipe.serving_transform(local_rows_df(spark, rows[:1], ev.schema))
+    assert plan._jdf.queryExecution().executedPlan().toString() \
+        .strip().startswith("LocalTableScan")
