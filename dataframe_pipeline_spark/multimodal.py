@@ -579,6 +579,66 @@ class FakeFrameSampler:
         return cols.mapInPandas(kernel, schema=schema)
 
 
+class VideoFrameSampler:
+    """REAL video frame sampling for AVI/MJPEG payloads (avi.py): every
+    ``stride``-th frame's JPEG bytes become one output row — the same
+    1→N row-expansion contract as ``FakeFrameSampler`` (``frame_no``,
+    ``frame binary``), so downstream stages compose identically, and
+    the emitted frames are real JPEGs an ``ImageDecoder`` (after
+    renaming ``frame``→``payload``) decodes.
+
+    ``on_error='null'`` yields a single NULL-frame row for payloads
+    that are not AVI / are corrupt (robust bulk ingest);
+    ``on_error='raise'`` propagates.
+    """
+
+    def __init__(self, stride: int = 1, max_frames: int | None = None,
+                 id_col: str = "doc_id", on_error: str = "raise"):
+        assert on_error in ("raise", "null")
+        if stride < 1:
+            raise ValueError("stride must be >= 1")
+        self.stride = stride
+        self.max_frames = max_frames
+        self.id_col = id_col
+        self.on_error = on_error
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from .avi import iter_mjpeg_frames
+
+        id_col, stride = self.id_col, self.stride
+        max_frames, on_error = self.max_frames, self.on_error
+        schema = f"{id_col} bigint, frame_no int, frame binary"
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, nos, frames = [], [], []
+                for i, b in zip(pdf[id_col], pdf["payload"]):
+                    try:
+                        taken = 0
+                        for fno, jb in enumerate(iter_mjpeg_frames(bytes(b))):
+                            if fno % stride:
+                                continue
+                            ids.append(i)
+                            nos.append(fno)
+                            frames.append(jb)
+                            taken += 1
+                            if max_frames is not None and taken >= max_frames:
+                                break
+                    except (NotImplementedError, ValueError):
+                        if on_error == "raise":
+                            raise
+                        ids.append(i)
+                        nos.append(None)
+                        frames.append(None)
+                yield pd.DataFrame({
+                    id_col: pd.array(ids, dtype="Int64"),
+                    "frame_no": pd.array(nos, dtype="Int32"),
+                    "frame": frames})
+
+        cols = df if "payload" in df.columns else with_payload_metadata(df, id_col=id_col)
+        return cols.mapInPandas(kernel, schema=schema)
+
+
 class FakeImageDecoder:
     """Deterministic stand-in for an image decode + feature extraction
     stage: width/height from leading payload bytes, mean_pixel from a
