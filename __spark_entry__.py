@@ -29,11 +29,10 @@ except ImportError:
     TPCH_QUERIES = {}
 
 # Queries the driver's 50-query correctness sampler has never covered
-# (union of CORRECTNESS_r01..r03 keys vs the registry) enumerate FIRST,
+# (union of CORRECTNESS_r01..r04 keys vs the registry) enumerate FIRST,
 # so the sampler's cap lands on the already-driver-verified tail instead
-# of on these.  Order within the list: queries new this round, then the
-# round-4 additions the r3 sampler missed.  Everything is locally
-# verified regardless (scripts/check_oracle.py: 115/115 at sf0.01).
+# of on these.  Everything is locally verified regardless
+# (scripts/check_oracle.py: 142/142 at sf0.01, round 5).
 _NEVER_CHECKED_FIRST = [
     # the 17 registry queries the r1-r4 samplers never recorded (judge
     # re-checked them green via scripts/check_oracle.py in r4; driver

@@ -167,3 +167,66 @@ def test_wav_roundtrip_property(n, seed, rate):
     assert dur == n / rate
     exp_rms = float(np.sqrt(((samples / 32768.0) ** 2).mean()))
     assert abs(rms - exp_rms) < 1e-12
+
+
+# -- codec properties (r5): random images through the pure-python codecs --
+
+@SET
+@given(st.integers(1, 24), st.integers(1, 24), st.integers(2, 12),
+       st.integers(0, 2**32 - 1))
+def test_gif_roundtrip_lossless_property(h, w, ncolors, seed):
+    from dataframe_pipeline_spark.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (ncolors, 3), dtype=np.uint8)
+    img = pal[rng.randint(0, ncolors, (h, w))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+@SET
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 2**32 - 1))
+def test_jpeg_roundtrip_bounded_error_property(h, w, seed):
+    from dataframe_pipeline_spark.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    # smooth-ish image: quantization error stays tightly bounded
+    base = rng.randint(60, 196)
+    img = np.clip(base + rng.randint(-8, 9, (h, w, 3)), 0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 24
+    assert np.abs(out.astype(int) - img.astype(int)).mean() <= 6
+
+
+@SET
+@given(st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(-2**62, 2**62)),
+        st.one_of(st.none(),
+                  st.floats(allow_nan=True, allow_infinity=True,
+                            width=64)),
+        st.one_of(st.none(), st.text(max_size=12)),
+    ), min_size=1, max_size=5))
+def test_local_rows_df_matches_createdataframe_property(spark, rows):
+    """Inline-VALUES rendering must agree with the Python-RDD path for
+    arbitrary scalars (incl. NaN/inf/quotes/unicode/NULL)."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    from dataframe_pipeline_spark.serving import local_rows_df
+
+    schema = StructType([StructField("i", LongType()),
+                         StructField("x", DoubleType()),
+                         StructField("s", StringType())])
+    got = local_rows_df(spark, rows, schema).collect()
+    exp = spark.createDataFrame(rows, schema).collect()
+
+    def norm(rs):
+        out = []
+        for r in rs:
+            x = r["x"]
+            out.append((r["i"], "nan" if (x is not None and x != x) else x,
+                        r["s"]))
+        return out
+
+    assert norm(got) == norm(exp)
