@@ -53,6 +53,27 @@ from .relational import maybe_broadcast
 REPORT_COLUMNS = ["check", "column", "passed", "observed", "n_bad"]
 
 
+def _sq(s: str) -> str:
+    """SQL single-quoted string literal (backslash-escaped dialect)."""
+    return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _bq(name: str) -> str:
+    """Backtick-quoted identifier."""
+    return "`" + str(name).replace("`", "``") + "`"
+
+
+def _num(v) -> str:
+    """SQL numeric literal; infinities as typed casts."""
+    import math
+
+    f = float(v)
+    if math.isinf(f):
+        sign = "-" if f < 0 else ""
+        return f"CAST('{sign}Infinity' AS DOUBLE)"
+    return repr(f)
+
+
 @dataclass(frozen=True)
 class Check:
     """One expectation.  ``kind`` ∈ {not_null, in_range, in_set,
@@ -153,11 +174,35 @@ class ExpectationSuite:
             return col.isNull() | (col.cast("string").rlike(c.pattern))
         raise ValueError(f"not a row-level check: {c.kind}")
 
+    # -- row-level predicate as a SQL expression string ---------------
+    def _row_pred_sql(self, c: Check) -> str:
+        col = _bq(c.column)
+        if c.kind == "not_null":
+            return f"{col} IS NOT NULL"
+        if c.kind == "in_range":
+            return (f"({col} IS NULL OR ({col} >= {_num(c.lo)} "
+                    f"AND {col} <= {_num(c.hi)}))")
+        if c.kind == "in_set":
+            vals = ", ".join(_sq(v) if isinstance(v, str) else repr(v)
+                             for v in c.values)
+            return f"({col} IS NULL OR {col} IN ({vals}))"
+        if c.kind == "matches":
+            return (f"({col} IS NULL OR "
+                    f"CAST({col} AS STRING) RLIKE {_sq(c.pattern)})")
+        raise ValueError(f"not a row-level check: {c.kind}")
+
     def report(self, df: DataFrame) -> DataFrame:
         """One row per check: ``check, column, passed, observed, n_bad``.
         ONE aggregate job over ONE scan for every check — fk dims are
         pre-joined as broadcast hit markers so their miss counts ride
-        the same aggregation."""
+        the same aggregation.
+
+        The aggregate and the per-check unpivot are generated as SQL
+        expression STRINGS, not Column objects: a wide suite built
+        Column-by-Column is hundreds of py4j round-trips (profiled at
+        ~2s of pure driver time per call on a 9-check suite, dwarfing
+        the 0.09s execution at sf1); the string form reaches the same
+        plan in a handful of calls."""
         if not self.checks:
             raise ValueError("ExpectationSuite has no checks")
         # pre-join fk dimension key sets with hit markers (broadcast)
@@ -171,84 +216,74 @@ class ExpectationSuite:
             df = df.join(maybe_broadcast(keys),
                          df[c.column] == F.col(f"_fk{i}"), "left")
 
-        aggs = [F.count(F.lit(1)).alias("_n")]
+        aggs = ["count(1) AS _n"]
         for i, c in enumerate(self.checks):
             a = f"_m{i}"
             if c.kind in _ROW_LEVEL:
-                aggs.append(
-                    F.sum((~self._row_pred(c)).cast("long")).alias(a))
+                aggs.append(f"sum(CAST(NOT ({self._row_pred_sql(c)}) "
+                            f"AS BIGINT)) AS {a}")
             elif c.kind == "fk_in":
-                aggs.append(F.sum(
-                    (F.col(c.column).isNotNull()
-                     & F.col(f"_hit{i}").isNull()).cast("long")).alias(a))
+                aggs.append(f"sum(CAST(({_bq(c.column)} IS NOT NULL AND "
+                            f"_hit{i} IS NULL) AS BIGINT)) AS {a}")
             elif c.kind == "unique":
-                cnt = (F.count_distinct(F.col(c.column)) if self.exact
-                       else F.approx_count_distinct(c.column, self.rsd))
-                aggs.append(cnt.alias(a))
-                aggs.append(F.count(F.col(c.column)).alias(a + "nn"))
+                cnt = (f"count(DISTINCT {_bq(c.column)})" if self.exact
+                       else f"approx_count_distinct({_bq(c.column)}, "
+                            f"{self.rsd!r})")
+                aggs.append(f"{cnt} AS {a}")
+                aggs.append(f"count({_bq(c.column)}) AS {a}nn")
             elif c.kind == "mean_between":
                 # exact decimal sum (6-dp quantized), divided in double:
                 # the mean is bit-identical across engines and partition
                 # orders — a double sum's reduction order could flip the
                 # 6-dp rounding at a boundary.
                 aggs.append(
-                    (F.sum(F.col(c.column).cast("decimal(28,6)"))
-                     .cast("double")
-                     / F.count(F.col(c.column))).alias(a))
+                    f"CAST(sum(CAST({_bq(c.column)} AS DECIMAL(28,6))) "
+                    f"AS DOUBLE) / count({_bq(c.column)}) AS {a}")
             elif c.kind == "fresh":
-                aggs.append(F.max(F.col(c.column)).alias(a))
+                aggs.append(f"max({_bq(c.column)}) AS {a}")
             elif c.kind == "row_count":
                 pass  # reads _n
             else:
                 raise ValueError(f"unknown check kind: {c.kind}")
-        wide = df.agg(*aggs)
+        wide = df.agg(*[F.expr(s) for s in aggs])
 
         rows = []
         for i, c in enumerate(self.checks):
             a = f"_m{i}"
-            lbl, coln = F.lit(c.label), F.lit(c.column)
+            lbl = _sq(c.label)
+            coln = _sq(c.column) if c.column else "CAST(NULL AS STRING)"
             if c.kind in _ROW_LEVEL or c.kind == "fk_in":
-                frac = F.col(a) / F.greatest(F.col("_n"), F.lit(1))
-                rows.append(F.struct(
-                    lbl.alias("check"), coln.alias("column"),
-                    (frac <= c.max_bad_frac).alias("passed"),
-                    F.round(frac, 6).cast("double").alias("observed"),
-                    F.col(a).cast("long").alias("n_bad")))
+                frac = f"({a} / GREATEST(_n, 1))"
+                passed = f"{frac} <= {c.max_bad_frac!r}"
+                observed = f"CAST(ROUND({frac}, 6) AS DOUBLE)"
+                n_bad = f"CAST({a} AS BIGINT)"
             elif c.kind == "unique":
-                dup = F.col(a + "nn") - F.col(a)
-                tol = (F.lit(0) if self.exact
-                       else F.lit(2.0 * self.rsd) * F.col(a + "nn"))
-                rows.append(F.struct(
-                    lbl.alias("check"), coln.alias("column"),
-                    (dup <= tol).alias("passed"),
-                    F.col(a).cast("double").alias("observed"),
-                    F.greatest(dup, F.lit(0)).cast("long").alias("n_bad")))
+                dup = f"({a}nn - {a})"
+                tol = ("0" if self.exact
+                       else f"({2.0 * self.rsd!r} * {a}nn)")
+                passed = f"{dup} <= {tol}"
+                observed = f"CAST({a} AS DOUBLE)"
+                n_bad = f"CAST(GREATEST({dup}, 0) AS BIGINT)"
             elif c.kind == "mean_between":
-                rows.append(F.struct(
-                    lbl.alias("check"), coln.alias("column"),
-                    ((F.col(a) >= c.lo) & (F.col(a) <= c.hi)).alias("passed"),
-                    F.round(F.col(a), 6).cast("double").alias("observed"),
-                    F.lit(None).cast("long").alias("n_bad")))
+                passed = f"({a} >= {_num(c.lo)} AND {a} <= {_num(c.hi)})"
+                observed = f"CAST(ROUND({a}, 6) AS DOUBLE)"
+                n_bad = "CAST(NULL AS BIGINT)"
             elif c.kind == "fresh":
-                cut = F.lit(c.ref).cast("timestamp")
-                rows.append(F.struct(
-                    lbl.alias("check"), coln.alias("column"),
-                    (F.col(a) >= cut).alias("passed"),
-                    # unix_micros/1e6, not unix_timestamp: keep sub-second
-                    # precision so observed matches DuckDB's epoch()
-                    F.round((F.unix_micros(F.col(a).cast("timestamp"))
-                             / F.lit(1e6)).cast("double"), 6)
-                    .alias("observed"),
-                    F.lit(None).cast("long").alias("n_bad")))
-            elif c.kind == "row_count":
-                rows.append(F.struct(
-                    lbl.alias("check"),
-                    F.lit(None).cast("string").alias("column"),
-                    ((F.col("_n") >= c.lo) & (F.col("_n") <= c.hi))
-                    .alias("passed"),
-                    F.col("_n").cast("double").alias("observed"),
-                    F.lit(None).cast("long").alias("n_bad")))
-        return wide.select(F.inline(F.array(*rows)))
+                passed = f"{a} >= CAST({_sq(str(c.ref))} AS TIMESTAMP)"
+                # unix_micros/1e6, not unix_timestamp: keep sub-second
+                # precision so observed matches DuckDB's epoch()
+                observed = (f"CAST(ROUND(unix_micros(CAST({a} AS "
+                            f"TIMESTAMP)) / 1000000.0, 6) AS DOUBLE)")
+                n_bad = "CAST(NULL AS BIGINT)"
+            else:  # row_count
+                passed = f"(_n >= {_num(c.lo)} AND _n <= {_num(c.hi)})"
+                observed = "CAST(_n AS DOUBLE)"
+                n_bad = "CAST(NULL AS BIGINT)"
+            rows.append(
+                f"named_struct('check', {lbl}, 'column', {coln}, "
+                f"'passed', {passed}, 'observed', {observed}, "
+                f"'n_bad', {n_bad})")
+        return wide.selectExpr(f"inline(array({', '.join(rows)}))")
 
     def validate(self, df: DataFrame) -> bool:
         """True iff every check passes (collects the tiny report)."""

@@ -34,6 +34,13 @@ def get_spark(app_name: str = "dataframe_pipeline_spark", cpus: int | None = Non
         # keep stdout clean: progress bars interleave with the bench
         # harness's final JSON line and can break the driver's tail parse
         .config("spark.ui.showConsoleProgress", "false")
+        # skip per-Column-call Python stack capture (error-context
+        # decoration): profiled at ~30% of plan-BUILD time on wide
+        # expression trees (the expectation suite's 9-check struct
+        # spent 0.8s of its 2.8s build in inspect.stack) — a pure
+        # driver-side overhead with no effect on results; errors lose
+        # only the "called from line N" decoration
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     spark = builder.getOrCreate()
