@@ -45,7 +45,7 @@ _NEVER_CHECKED_FIRST = [
     # new in r5: sketch-tier twins of the 4 perf-weak exact shapes
     # (VERDICT r4 "Next round" #3) + round-5 additions
     "clip_outliers_approx", "scaler_robust_approx", "expect_orders_hll",
-    "multimodal_gif_roundtrip",
+    "multimodal_gif_roundtrip", "scd2_user_state", "rollup_incremental",
 ]
 
 _MERGED = {**CORE_QUERIES, **EXT_QUERIES, **TPCH_QUERIES}

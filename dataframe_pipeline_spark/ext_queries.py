@@ -1119,6 +1119,71 @@ FROM documents
 """
 
 
+def q_scd2_user_state(spark, sf_dir):
+    """Type-2 SCD history (relational.scd2): each user's event_type
+    change log becomes minimal validity intervals [valid_from,
+    valid_to) with consecutive no-op changes collapsed.  One shuffle on
+    the key; the collapse lag and interval lead share one sort."""
+    from .relational import scd2
+
+    ev = _events(spark, sf_dir)
+    out = scd2(ev.select("user_id", "ts", "event_type"),
+               key="user_id", version_col="ts", attrs=["event_type"])
+    return out.select("user_id", "event_type", "valid_from", "valid_to",
+                      "is_current")
+
+
+SQL_SCD2_USER_STATE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         ROW_NUMBER() OVER w AS rn,
+         LAG(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+),
+dedup AS (
+  SELECT user_id, ts, event_type FROM ordered
+  WHERE rn = 1 OR (prev IS DISTINCT FROM event_type)
+)
+SELECT user_id, event_type, valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM (SELECT user_id, event_type, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_type) AS valid_to
+      FROM dedup) t
+"""
+
+
+def q_rollup_incremental(spark, sf_dir):
+    """Incremental rollup maintenance (relational.IncrementalRollup):
+    the per-type value rollup is bootstrapped from the first ten days
+    of events and then kept fresh by FOLDING two later batches into
+    the stored partial-aggregate state — no rescan of history.  The
+    oracle recomputes from scratch over all events: exact DECIMAL
+    partials make fold-of-batches bit-identical to the full pass."""
+    from .relational import IncrementalRollup
+
+    ev = _events(spark, sf_dir)
+    d1, d2 = "2024-01-11", "2024-01-21"
+    roll = IncrementalRollup("event_type", {"value_total": "value"})
+    state = roll.init(ev.filter(F.col("ts") < d1))
+    state = roll.merge(state, ev.filter((F.col("ts") >= d1)
+                                        & (F.col("ts") < d2)))
+    state = roll.merge(state, ev.filter(F.col("ts") >= d2))
+    return _r6(roll.read(state), "value_total", "value_total_mean")
+
+
+SQL_ROLLUP_INCREMENTAL = """
+SELECT event_type,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+         AS value_total,
+       COUNT(*) AS n_rows,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*), 6) AS value_total_mean
+FROM events GROUP BY event_type
+"""
+
+
 # ==========================================================================
 # Events analytics (batch twins of the streaming module)
 # ==========================================================================
@@ -3099,6 +3164,8 @@ EXT_QUERIES = {
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_gif_roundtrip": (q_multimodal_gif_roundtrip,
                                  SQL_MULTIMODAL_GIF_ROUNDTRIP),
+    "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
+    "rollup_incremental": (q_rollup_incremental, SQL_ROLLUP_INCREMENTAL),
     "events_hourly_agg": (q_events_hourly_agg, SQL_EVENTS_HOURLY),
     "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
     "asof_next_purchase": (q_asof_next_purchase, SQL_ASOF_NEXT_PURCHASE),

@@ -231,3 +231,110 @@ def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
             c, F.lit(None).cast(dict(intervals.dtypes)[c]))
     return matched.drop("__bin").unionByName(
         unmatched.drop("__bin").select(matched.drop("__bin").columns))
+
+
+def scd2(changes: DataFrame, key: str | list[str], version_col: str,
+         attrs: list[str] | None = None) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log: one
+    validity interval per (key, consecutive distinct attribute state) —
+    ``valid_from`` = the change's version, ``valid_to`` = the NEXT
+    change's version (NULL while current), ``is_current`` flag.
+
+    Change rows where no tracked attribute actually changed (no-op
+    updates, at-least-once replays) are COLLAPSED into the surrounding
+    interval via a NULL-safe lag comparison, so the history is minimal
+    regardless of upstream chatter.
+
+    Scale shape: ONE hash shuffle on the key; the collapse lag and the
+    interval lead share the same (key, version) sort, so the plan is
+    Exchange → Sort → two Window passes → filter — no joins, no second
+    scan.  Ties on ``version_col`` within a key keep one arbitrary-but-
+    deterministic winner (ordered by the attrs) rather than emitting
+    zero-length intervals.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if attrs is None:
+        attrs = [c for c in changes.columns
+                 if c not in keys + [version_col]]
+    if not attrs:
+        raise ValueError("scd2 needs at least one tracked attribute")
+    order = [F.col(version_col).asc(), *[F.col(a).asc_nulls_last()
+                                         for a in attrs]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    # drop no-op changes: every attr NULL-safe-equal to the previous row
+    same_as_prev = None
+    for a in attrs:
+        eq = F.col(a).eqNullSafe(F.lag(a).over(w))
+        same_as_prev = eq if same_as_prev is None else (same_as_prev & eq)
+    # first row per key has lag NULL -> eqNullSafe False unless attr NULL;
+    # guard with row_number so the opening state always survives
+    deduped = (changes
+               .withColumn("__rn", F.row_number().over(w))
+               .withColumn("__noop", (F.col("__rn") > 1) & same_as_prev)
+               .filter(~F.col("__noop")))
+    w2 = (Window.partitionBy(*keys)
+          .orderBy(F.col(version_col).asc(),
+                   *[F.col(a).asc_nulls_last() for a in attrs]))
+    out = (deduped
+           .withColumn("valid_from", F.col(version_col))
+           .withColumn("valid_to", F.lead(version_col).over(w2))
+           .withColumn("is_current", F.col("valid_to").isNull())
+           .drop("__rn", "__noop", version_col))
+    return out
+
+
+class IncrementalRollup:
+    """Maintain a persisted grouped aggregate under appending batches
+    WITHOUT rescanning history — the stored rollup IS the partial
+    aggregation state (per group: decimal sums + counts), and folding
+    in a batch is a groupBy over (stored-state ∪ batch-partials).
+
+    The lakehouse pattern this models: a 100 TB fact history whose
+    per-key rollup must stay fresh as daily batches land.  Recomputing
+    scans the full history every day (O(history)); this folds each
+    batch in O(batch + |groups|), exactly like Spark's own partial
+    aggregation merges map-side states — just persisted between jobs.
+
+    Sums are exact DECIMAL(28,6) so the merged result is bit-identical
+    to a full recompute regardless of batch count or merge order
+    (float partials would drift with merge order); means are derived
+    at read time from (sum, count).
+    """
+
+    def __init__(self, group_cols: str | list[str], sums: dict):
+        self.group_cols = ([group_cols] if isinstance(group_cols, str)
+                           else list(group_cols))
+        self.sums = dict(sums)          # output name -> source column
+
+    def _partial(self, df: DataFrame) -> DataFrame:
+        aggs = [F.sum(F.col(src).cast("decimal(28,6)")).alias(f"__s_{o}")
+                for o, src in self.sums.items()]
+        aggs.append(F.count(F.lit(1)).alias("__cnt"))
+        return df.groupBy(*self.group_cols).agg(*aggs)
+
+    def init(self, df: DataFrame) -> DataFrame:
+        """Bootstrap the rollup state from the initial history."""
+        return self._partial(df)
+
+    def merge(self, state: DataFrame, batch: DataFrame) -> DataFrame:
+        """Fold an appended batch into the rollup state: batch is
+        partially aggregated (map-side combine), then merged with the
+        stored state by a groupBy over the union — one shuffle keyed
+        on the (small) group domain, never over raw history."""
+        merged = state.unionByName(self._partial(batch))
+        aggs = [F.sum(f"__s_{o}").alias(f"__s_{o}") for o in self.sums]
+        aggs.append(F.sum("__cnt").alias("__cnt"))
+        return merged.groupBy(*self.group_cols).agg(*aggs)
+
+    def read(self, state: DataFrame, means: bool = True) -> DataFrame:
+        """Materialize the user-facing rollup: sums as double, counts,
+        and derived means."""
+        sel = [*self.group_cols]
+        for o in self.sums:
+            sel.append(F.col(f"__s_{o}").cast("double").alias(o))
+        sel.append(F.col("__cnt").alias("n_rows"))
+        if means:
+            for o in self.sums:
+                sel.append((F.col(f"__s_{o}").cast("double")
+                            / F.col("__cnt")).alias(f"{o}_mean"))
+        return state.select(*sel)

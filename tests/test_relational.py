@@ -339,3 +339,73 @@ def test_psi_drift_all_null_base_column(spark):
     import pytest
     with pytest.raises(ValueError, match="no non-null"):
         psi_drift(base, cur, num_cols=["x"])
+
+
+def test_scd2_collapses_noop_changes(spark):
+    from dataframe_pipeline_spark.relational import scd2
+
+    log = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "a"),     # no-op replay -> collapsed
+         (1, 3, "b"), (1, 4, "b"), (1, 5, "a"),
+         (2, 1, None), (2, 2, None),   # opening NULL state survives once
+         (2, 3, "x")],
+        "k long, v long, attr string")
+    out = scd2(log, key="k", version_col="v").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.k, []).append(
+            (r.attr, r.valid_from, r.valid_to, r.is_current))
+    assert sorted(by[1]) == [("a", 1, 3, False), ("a", 5, None, True),
+                             ("b", 3, 5, False)]
+    assert sorted(by[2], key=lambda t: t[1]) == [
+        (None, 1, 3, False), ("x", 3, None, True)]
+
+
+def test_scd2_multiple_attrs_and_plan(spark):
+    from dataframe_pipeline_spark.relational import scd2
+
+    log = spark.createDataFrame(
+        [(1, 1, "a", 10), (1, 2, "a", 10),      # same pair -> noop
+         (1, 3, "a", 20),                        # second attr changed
+         (1, 4, "b", 20)],
+        "k long, v long, s string, n long")
+    out = scd2(log, key="k", version_col="v")
+    rows = sorted((r.s, r.n, r.valid_from) for r in out.collect())
+    assert rows == [("a", 10, 1), ("a", 20, 3), ("b", 20, 4)]
+    # count shuffles in the FINAL plan only (the AQE string repeats the
+    # whole tree under "== Initial Plan ==")
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("Exchange") <= 1     # one key shuffle, no joins
+    assert "Join" not in plan
+    import pytest
+    with pytest.raises(ValueError, match="attribute"):
+        scd2(log.select("k", "v"), key="k", version_col="v")
+
+
+def test_incremental_rollup_matches_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from dataframe_pipeline_spark.relational import IncrementalRollup
+
+    ev = spark.range(1000).select(
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") * 0.37).alias("x"),
+        F.col("id").alias("id"))
+    roll = IncrementalRollup("g", {"x_total": "x"})
+    # three arbitrary batches, different split than any grouping
+    p1, p2, p3 = (ev.filter(F.col("id") < 300),
+                  ev.filter((F.col("id") >= 300) & (F.col("id") < 301)),
+                  ev.filter(F.col("id") >= 301))
+    state = roll.merge(roll.merge(roll.init(p1), p2), p3)
+    got = {r.g: (r.x_total, r.n_rows, round(r.x_total_mean, 9))
+           for r in roll.read(state).collect()}
+    full = {r.g: (r.x_total, r.n_rows, round(r.x_total_mean, 9))
+            for r in roll.read(roll.init(ev)).collect()}
+    assert got == full                     # bit-identical decimal sums
+
+    # merging an EMPTY batch is a no-op
+    state2 = roll.merge(state, ev.filter(F.col("id") < 0))
+    got2 = {r.g: (r.x_total, r.n_rows)
+            for r in roll.read(state2).collect()}
+    assert got2 == {g: (t, n) for g, (t, n, _) in got.items()}
