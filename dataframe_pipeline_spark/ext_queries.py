@@ -1119,6 +1119,44 @@ FROM documents
 """
 
 
+def q_resample_user_daily(spark, sf_dir):
+    """Gap-filled resampling (timeseries.resample): per-user DAILY
+    activity grid across each user's active range — zero-filled days
+    where the user was silent.  The dense spine is a bounded sequence
+    explode off the per-key aggregate, never a second data pass."""
+    from .timeseries import resample
+
+    ev = _events(spark, sf_dir)
+    out = resample(ev, key="user_id", ts_col="ts",
+                   step_seconds=86400,
+                   aggs={"n_events": ("count", "event_id"),
+                         "value_total": ("sum", "value")})
+    return out.select("user_id", "bucket", "n_events",
+                      F.round("value_total", 6).alias("value_total"))
+
+
+SQL_RESAMPLE_USER_DAILY = """
+WITH sparse AS (
+  SELECT user_id,
+         CAST(to_timestamp(FLOOR(epoch(ts) / 86400) * 86400)
+              AS TIMESTAMP) AS bucket,
+         COUNT(event_id) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_total
+  FROM events GROUP BY 1, 2),
+rng AS (
+  SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+  FROM sparse GROUP BY 1),
+spine AS (
+  SELECT user_id,
+         unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket
+  FROM rng)
+SELECT s.user_id, s.bucket,
+       COALESCE(sp.n_events, 0) AS n_events,
+       ROUND(COALESCE(sp.value_total, 0), 6) AS value_total
+FROM spine s LEFT JOIN sparse sp USING (user_id, bucket)
+"""
+
+
 def q_scd2_user_state(spark, sf_dir):
     """Type-2 SCD history (relational.scd2): each user's event_type
     change log becomes minimal validity intervals [valid_from,
@@ -3166,6 +3204,7 @@ EXT_QUERIES = {
                                  SQL_MULTIMODAL_GIF_ROUNDTRIP),
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "rollup_incremental": (q_rollup_incremental, SQL_ROLLUP_INCREMENTAL),
+    "resample_user_daily": (q_resample_user_daily, SQL_RESAMPLE_USER_DAILY),
     "events_hourly_agg": (q_events_hourly_agg, SQL_EVENTS_HOURLY),
     "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
     "asof_next_purchase": (q_asof_next_purchase, SQL_ASOF_NEXT_PURCHASE),
