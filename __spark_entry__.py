@@ -46,7 +46,8 @@ _NEVER_CHECKED_FIRST = [
     # (VERDICT r4 "Next round" #3) + round-5 additions
     "clip_outliers_approx", "scaler_robust_approx", "expect_orders_hll",
     "multimodal_gif_roundtrip", "scd2_user_state", "rollup_incremental",
-    "resample_user_daily",
+    "resample_user_daily", "agg_group_median_approx",
+    "agg_group_nunique_approx",
 ]
 
 _MERGED = {**CORE_QUERIES, **EXT_QUERIES, **TPCH_QUERIES}

@@ -2720,6 +2720,128 @@ def _hll_orderkey_estimate(spark, sf_dir, rsd: float = 0.05) -> int:
     return _SKETCH_FIT_CACHE[key]
 
 
+def _fitted_group_agg_approx(spark, sf_dir, kind):
+    """Fit the grouped sketch aggregator ONCE per (kind, sf_dir), PIN
+    its fitted lookup to collected literal rows (a GK percentile
+    sketch's merge order varies with task completion, so re-evaluating
+    the lazy lookup at transform time could drift from the oracle), and
+    tolerance-check every group's estimate against DuckDB's exact
+    aggregate.  Returns the pinned Aggregator + the literal rows."""
+    import os
+
+    from . import queries as cq
+    from .operators import Aggregator
+
+    key = (kind, os.path.abspath(sf_dir))
+    if key not in _SKETCH_FIT_CACHE:
+        li = _t(spark, sf_dir, "lineitem")
+        if kind == "gmed":
+            agg = Aggregator(inputs=["l_extendedprice"],
+                             outputs=["price_med_supp"],
+                             groupby=["l_suppkey"], func="approx_median")
+        else:
+            agg = Aggregator(inputs=["l_partkey"],
+                             outputs=["parts_per_supp"],
+                             groupby=["l_suppkey"], func="approx_nunique")
+        agg.fit(li)
+        lookup, outmap = agg._lookups["l_suppkey"]
+        rows = lookup.collect()
+        val_col = next(iter(outmap.values()))
+        fitted = {r["__dfp_key"]: r[val_col] for r in rows}
+
+        import duckdb
+
+        con = duckdb.connect()
+        try:
+            if kind == "gmed":
+                # per-group exact quantile band at the GK rank slack
+                # (5/accuracy) plus 2 ranks of element-vs-interpolated
+                # discretization at group size n
+                acc = 10000
+                for g, n in con.execute(
+                    f"SELECT l_suppkey, count(l_extendedprice) FROM "
+                    f"'{sf_dir}/lineitem.parquet' GROUP BY 1").fetchall():
+                    eps = 5.0 / acc + 2.0 / max(n, 1)
+                    lo, hi = con.execute(
+                        f"SELECT quantile_cont(l_extendedprice, "
+                        f"{max(0.0, 0.5 - eps)}), "
+                        f"quantile_cont(l_extendedprice, "
+                        f"{min(1.0, 0.5 + eps)}) FROM "
+                        f"'{sf_dir}/lineitem.parquet' "
+                        f"WHERE l_suppkey = {g}").fetchone()
+                    got = fitted[g]
+                    if not (lo <= got <= hi):
+                        raise AssertionError(
+                            f"group {g} approx median {got} outside exact "
+                            f"band [{lo}, {hi}] (eps {eps})")
+            else:
+                for g, exact in con.execute(
+                    f"SELECT l_suppkey, count(DISTINCT l_partkey) FROM "
+                    f"'{sf_dir}/lineitem.parquet' GROUP BY 1").fetchall():
+                    est = fitted[g]
+                    if abs(est - exact) > max(3 * 0.02 * exact, 2):
+                        raise AssertionError(
+                            f"group {g} HLL estimate {est} vs exact "
+                            f"{exact} outside 3-sigma band")
+        finally:
+            con.close()
+        # pin the lookup so transform replays EXACTLY these values
+        pinned = spark.createDataFrame(rows, lookup.schema)
+        agg._lookups["l_suppkey"] = (pinned, outmap)
+        _SKETCH_FIT_CACHE[key] = (agg, sorted(fitted.items()))
+    return _SKETCH_FIT_CACHE[key]
+
+
+def q_agg_group_median_approx(spark, sf_dir):
+    """agg_group_median on the KLL/GK sketch tier: one bounded-memory
+    percentile_approx state per group instead of collecting each
+    group's full column — the 100 TB default (same trade as
+    clip_outliers_approx).  Fitted per-group medians are band-checked
+    vs DuckDB's exact quantiles; the oracle replays them as a VALUES
+    join."""
+    agg, _vals = _fitted_group_agg_approx(spark, sf_dir, "gmed")
+    li = _t(spark, sf_dir, "lineitem")
+    out = agg.transform(li)
+    return _r6(out.select("l_orderkey", "l_linenumber", "price_med_supp"),
+               "price_med_supp")
+
+
+def _sql_agg_group_median_approx(sf_dir: str) -> str:
+    from .session import get_spark
+
+    _agg, vals = _fitted_group_agg_approx(get_spark(), sf_dir, "gmed")
+    values = ", ".join(f"({g}, {float(v)!r})" for g, v in vals)
+    return f"""
+SELECT l.l_orderkey, l.l_linenumber,
+       ROUND(g.v, 6) AS price_med_supp
+FROM lineitem l JOIN (VALUES {values}) g(l_suppkey, v)
+  ON l.l_suppkey = g.l_suppkey
+"""
+
+
+def q_agg_group_nunique_approx(spark, sf_dir):
+    """agg_group_nunique on the HLL++ tier: fixed-memory register
+    merges instead of shuffling every distinct (supplier, part) pair —
+    the 100 TB default.  Estimates are 3-sigma-checked per group vs
+    DuckDB's exact distinct counts."""
+    agg, _vals = _fitted_group_agg_approx(spark, sf_dir, "gnun")
+    li = _t(spark, sf_dir, "lineitem")
+    return (agg.transform(li)
+            .select("l_orderkey", "l_linenumber", "parts_per_supp"))
+
+
+def _sql_agg_group_nunique_approx(sf_dir: str) -> str:
+    from .session import get_spark
+
+    _agg, vals = _fitted_group_agg_approx(get_spark(), sf_dir, "gnun")
+    values = ", ".join(f"({g}, {int(v)})" for g, v in vals)
+    return f"""
+SELECT l.l_orderkey, l.l_linenumber, g.v AS parts_per_supp
+FROM lineitem l JOIN (VALUES {values}) g(l_suppkey, v)
+  ON l.l_suppkey = g.l_suppkey
+"""
+
+
 def q_expect_orders_hll(spark, sf_dir):
     """expect_orders on the suite's DEFAULT tier: uniqueness via
     approx_count_distinct (HLL++, fixed memory, no Expand — 0.25s vs
@@ -3205,6 +3327,10 @@ EXT_QUERIES = {
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "rollup_incremental": (q_rollup_incremental, SQL_ROLLUP_INCREMENTAL),
     "resample_user_daily": (q_resample_user_daily, SQL_RESAMPLE_USER_DAILY),
+    "agg_group_median_approx": (q_agg_group_median_approx,
+                                _sql_agg_group_median_approx),
+    "agg_group_nunique_approx": (q_agg_group_nunique_approx,
+                                 _sql_agg_group_nunique_approx),
     "events_hourly_agg": (q_events_hourly_agg, SQL_EVENTS_HOURLY),
     "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
     "asof_next_purchase": (q_asof_next_purchase, SQL_ASOF_NEXT_PURCHASE),
