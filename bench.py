@@ -72,6 +72,21 @@ TPCH_EXTRAS = [
     "tpch_q21_waiting", "tpch_q22_idle", "expect_orders",
 ]
 
+#: Round-5 tier: sketch twins of the exact-percentile shapes, the new
+#: warehouse ops, and the real-codec multimodal pipeline — timed under
+#: "queries_r5", NOT summed into "value"/"median_total".
+R5_EXTRAS = [
+    "clip_outliers_approx",
+    "scaler_robust_approx",
+    "expect_orders_hll",
+    "agg_group_median_approx",
+    "agg_group_nunique_approx",
+    "scd2_user_state",
+    "rollup_incremental",
+    "resample_user_daily",
+    "multimodal_gif_roundtrip",
+]
+
 EXT_HEADLINE = [
     "dedup_exact",
     "dedup_minhash_pairs",
@@ -240,6 +255,18 @@ def main():
         tpch[name] = round(runs[0], 3)
         tpch_median[name] = round(runs[len(runs) // 2], 3)
 
+    r5, r5_median = {}, {}
+    for name in [n for n in R5_EXTRAS if n in qs]:
+        runs = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        r5[name] = round(runs[0], 3)
+        r5_median[name] = round(runs[len(runs) // 2], 3)
+
     canary_after = _canary(spark)
     try:
         online_ms = _online_p50_ms(spark)
@@ -260,6 +287,9 @@ def main():
         "queries_tpch": tpch,
         "queries_tpch_median": tpch_median,
         "tpch_total": round(sum(tpch.values()), 3),
+        "queries_r5": r5,
+        "queries_r5_median": r5_median,
+        "r5_total": round(sum(r5.values()), 3),
         "canary_sec": [canary_before, canary_after],
         "online_p50_ms": online_ms,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -280,6 +310,7 @@ def main():
         "median_total": detail["median_total"],
         "r4_total": detail["r4_total"],
         "tpch_total": detail["tpch_total"],
+        "r5_total": detail["r5_total"],
         "canary_sec": detail["canary_sec"],
         "online_exec_ms": (online_ms or {}).get("exec_only"),
         "detail_file": "BENCH_DETAIL.json",
