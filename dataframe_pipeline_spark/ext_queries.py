@@ -2756,19 +2756,21 @@ def _fitted_group_agg_approx(spark, sf_dir, kind):
             if kind == "gmed":
                 # per-group exact quantile band at the GK rank slack
                 # (5/accuracy) plus 2 ranks of element-vs-interpolated
-                # discretization at group size n
+                # discretization; the rank slack uses the SMALLEST group
+                # (conservative for every larger one) so the whole check
+                # is TWO grouped DuckDB queries, not one per group
                 acc = 10000
-                for g, n in con.execute(
-                    f"SELECT l_suppkey, count(l_extendedprice) FROM "
-                    f"'{sf_dir}/lineitem.parquet' GROUP BY 1").fetchall():
-                    eps = 5.0 / acc + 2.0 / max(n, 1)
-                    lo, hi = con.execute(
-                        f"SELECT quantile_cont(l_extendedprice, "
-                        f"{max(0.0, 0.5 - eps)}), "
-                        f"quantile_cont(l_extendedprice, "
-                        f"{min(1.0, 0.5 + eps)}) FROM "
-                        f"'{sf_dir}/lineitem.parquet' "
-                        f"WHERE l_suppkey = {g}").fetchone()
+                min_n = con.execute(
+                    f"SELECT min(cnt) FROM (SELECT count(l_extendedprice)"
+                    f" AS cnt FROM '{sf_dir}/lineitem.parquet' "
+                    f"GROUP BY l_suppkey)").fetchone()[0]
+                eps = 5.0 / acc + 2.0 / max(min_n, 1)
+                for g, lo, hi in con.execute(
+                    f"SELECT l_suppkey, "
+                    f"quantile_cont(l_extendedprice, {max(0.0, 0.5 - eps)}), "
+                    f"quantile_cont(l_extendedprice, {min(1.0, 0.5 + eps)}) "
+                    f"FROM '{sf_dir}/lineitem.parquet' GROUP BY 1"
+                ).fetchall():
                     got = fitted[g]
                     if not (lo <= got <= hi):
                         raise AssertionError(
