@@ -1157,6 +1157,43 @@ FROM spine s LEFT JOIN sparse sp USING (user_id, bucket)
 """
 
 
+def q_woe_encode(spark, sf_dir):
+    """Weight-of-evidence encoding (operators.WOEEncoder): each order
+    priority becomes its smoothed log-odds of the order being FINISHED
+    (o_orderstatus = 'F') relative to the global odds — the
+    credit-scoring encoder.  Fit is one global aggregate + one grouped
+    aggregate; transform is a broadcast left join."""
+    from .operators import WOEEncoder
+
+    od = (_t(spark, sf_dir, "orders")
+          .withColumn("y", (F.col("o_orderstatus") == "F").cast("int")))
+    enc = WOEEncoder(inputs=["o_orderpriority"], outputs=["prio_woe"],
+                     target="y", alpha=0.5)
+    out = enc.fit_transform(od)
+    return out.select("o_orderkey",
+                      F.round("prio_woe", 6).alias("prio_woe"))
+
+
+SQL_WOE_ENCODE = """
+WITH t AS (
+  SELECT SUM(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) AS pos_t,
+         COUNT(*) AS n
+  FROM orders),
+g AS (
+  SELECT o_orderpriority AS cat,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) AS pos_c,
+         COUNT(*) AS n_c
+  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1)
+SELECT o.o_orderkey,
+       ROUND(LN(((g.pos_c + 0.5) / (t.pos_t + 1.0))
+                / ((g.n_c - g.pos_c + 0.5) / ((t.n - t.pos_t) + 1.0))), 6)
+         AS prio_woe
+FROM orders o
+JOIN g ON o.o_orderpriority = g.cat
+CROSS JOIN t
+"""
+
+
 def q_scd2_user_state(spark, sf_dir):
     """Type-2 SCD history (relational.scd2): each user's event_type
     change log becomes minimal validity intervals [valid_from,
@@ -3327,6 +3364,7 @@ EXT_QUERIES = {
     "multimodal_gif_roundtrip": (q_multimodal_gif_roundtrip,
                                  SQL_MULTIMODAL_GIF_ROUNDTRIP),
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
+    "woe_encode": (q_woe_encode, SQL_WOE_ENCODE),
     "rollup_incremental": (q_rollup_incremental, SQL_ROLLUP_INCREMENTAL),
     "resample_user_daily": (q_resample_user_daily, SQL_RESAMPLE_USER_DAILY),
     "agg_group_median_approx": (q_agg_group_median_approx,

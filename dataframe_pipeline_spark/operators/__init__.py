@@ -18,6 +18,7 @@ from .scaler import Scaler
 from .set_transformer import SetTransformer
 from .string_ops import StringConcatenator, StringSplitter
 from .type_converter import TypeConverter
+from .woe_encoder import WOEEncoder
 from .wrap_transformer import WrapTransformer
 
 __all__ = [
@@ -34,6 +35,7 @@ __all__ = [
     "OutlierClipper",
     "QuantileBinner",
     "CVTargetEncoder",
+    "WOEEncoder",
     "HashingEncoder",
     "TargetEncoder",
     "RangeTransformer",
