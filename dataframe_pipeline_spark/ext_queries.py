@@ -2766,7 +2766,6 @@ def _fitted_group_agg_approx(spark, sf_dir, kind):
     aggregate.  Returns the pinned Aggregator + the literal rows."""
     import os
 
-    from . import queries as cq
     from .operators import Aggregator
 
     key = (kind, os.path.abspath(sf_dir))
