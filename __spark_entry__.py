@@ -47,7 +47,7 @@ _NEVER_CHECKED_FIRST = [
     "clip_outliers_approx", "scaler_robust_approx", "expect_orders_hll",
     "multimodal_gif_roundtrip", "scd2_user_state", "rollup_incremental",
     "resample_user_daily", "agg_group_median_approx",
-    "agg_group_nunique_approx", "woe_encode",
+    "agg_group_nunique_approx", "woe_encode", "text_clf_score",
 ]
 
 _MERGED = {**CORE_QUERIES, **EXT_QUERIES, **TPCH_QUERIES}

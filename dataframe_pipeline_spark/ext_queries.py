@@ -1157,6 +1157,65 @@ FROM spine s LEFT JOIN sparse sp USING (user_id, bucket)
 """
 
 
+def _fitted_text_clf(spark, sf_dir):
+    """Train the distributed hashed-token classifier ONCE per sf_dir.
+    Training is partition-invariant by construction (9-dp decimal
+    gradient sums), so the cached weights are THE weights for this
+    data; the oracle replays them as literals."""
+    import os
+
+    from .textclf import HashedTextClassifier
+
+    key = ("textclf", os.path.abspath(sf_dir))
+    if key not in _SKETCH_FIT_CACHE:
+        docs = _t(spark, sf_dir, "documents").withColumn(
+            "__y", F.array_contains(F.split("text", r"\s+"),
+                                    "spark").cast("int"))
+        clf = HashedTextClassifier(n_features=256, lr=0.05, n_iter=15)
+        clf.fit(docs, "text", "__y")
+        _SKETCH_FIT_CACHE[key] = clf
+    return _SKETCH_FIT_CACHE[key]
+
+
+def q_text_clf_score(spark, sf_dir):
+    """Distributed text-classifier training + scoring (textclf.py):
+    a fasttext-style hashed bag-of-words logistic regression is
+    trained IN SPARK (full-batch GD, one map-only margin pass + one
+    bounded explode->groupBy per step, never a driver-side feature
+    matrix) to detect documents containing the token 'spark', then
+    scores the corpus with a pure-codegen margin.  Deterministic
+    decimal gradient sums make the fit partition-invariant, which is
+    what lets DuckDB replay the fitted weights and verify the scoring
+    arithmetic value-for-value."""
+    clf = _fitted_text_clf(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    out = clf.transform(docs, "text", out="p_spark")
+    return out.select("doc_id", F.round("p_spark", 6).alias("p_spark"))
+
+
+def _sql_text_clf_score(sf_dir: str) -> str:
+    from .session import get_spark
+
+    clf = _fitted_text_clf(get_spark(), sf_dir)
+    wlist = ", ".join(repr(v) for v in clf.w_)
+    d = clf.n_features
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+w AS (SELECT [{wlist}]::DOUBLE[] AS wv)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + EXP(-(
+         list_sum(list_prepend(CAST({clf.b_!r} AS DOUBLE),
+           list_transform(ts, t ->
+             wv[CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % {d}
+                 AS INTEGER) + 1])))))), 6) AS p_spark
+FROM toks CROSS JOIN w
+"""
+
+
 def q_woe_encode(spark, sf_dir):
     """Weight-of-evidence encoding (operators.WOEEncoder): each order
     priority becomes its smoothed log-odds of the order being FINISHED
@@ -3364,6 +3423,7 @@ EXT_QUERIES = {
                                  SQL_MULTIMODAL_GIF_ROUNDTRIP),
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "woe_encode": (q_woe_encode, SQL_WOE_ENCODE),
+    "text_clf_score": (q_text_clf_score, _sql_text_clf_score),
     "rollup_incremental": (q_rollup_incremental, SQL_ROLLUP_INCREMENTAL),
     "resample_user_daily": (q_resample_user_daily, SQL_RESAMPLE_USER_DAILY),
     "agg_group_median_approx": (q_agg_group_median_approx,
