@@ -85,6 +85,8 @@ R5_EXTRAS = [
     "rollup_incremental",
     "resample_user_daily",
     "multimodal_gif_roundtrip",
+    "woe_encode",
+    "text_clf_score",
 ]
 
 EXT_HEADLINE = [
