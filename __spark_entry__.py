@@ -48,6 +48,7 @@ _NEVER_CHECKED_FIRST = [
     "multimodal_gif_roundtrip", "scd2_user_state", "rollup_incremental",
     "resample_user_daily", "agg_group_median_approx",
     "agg_group_nunique_approx", "woe_encode", "text_clf_score",
+    "profile_customer_approx",
 ]
 
 _MERGED = {**CORE_QUERIES, **EXT_QUERIES, **TPCH_QUERIES}

@@ -3083,6 +3083,56 @@ def _sql_profile_customer() -> str:
 SQL_PROFILE_CUSTOMER = _sql_profile_customer()
 
 
+def q_profile_customer_approx(spark, sf_dir):
+    """profile_customer on the profiler's DEFAULT tier: distinct counts
+    via HLL++ (fixed memory, no Expand) — the 100 TB path.  HLL
+    register merges are layout-independent, so the estimates are a
+    pure function of the value sets; the oracle replays them as
+    literals after a 3-sigma check against exact counts."""
+    from .profiling import profile
+
+    cu = _t(spark, sf_dir, "customer")
+    return profile(cu, ["c_custkey", "c_acctbal", "c_mktsegment"])
+
+
+def _sql_profile_customer_approx(sf_dir: str) -> str:
+    import os
+
+    from .session import get_spark
+
+    key = ("profile_hll", os.path.abspath(sf_dir))
+    if key not in _SKETCH_FIT_CACHE:
+        from .profiling import profile
+
+        spark = get_spark()
+        cu = _t(spark, sf_dir, "customer")
+        est = {r["col_name"]: int(r["n_distinct"])
+               for r in profile(
+                   cu, ["c_custkey", "c_acctbal", "c_mktsegment"]
+               ).collect()}
+        import duckdb
+
+        con = duckdb.connect()
+        try:
+            for c, e in est.items():
+                exact = con.execute(
+                    f"SELECT count(DISTINCT {c}) FROM "
+                    f"'{sf_dir}/customer.parquet'").fetchone()[0]
+                if abs(e - exact) > max(3 * 0.05 * exact, 2):
+                    raise AssertionError(
+                        f"{c}: HLL {e} vs exact {exact} out of band")
+        finally:
+            con.close()
+        _SKETCH_FIT_CACHE[key] = est
+    est = _SKETCH_FIT_CACHE[key]
+    base = _sql_profile_customer()
+    for c, e in est.items():
+        base = base.replace(
+            f"count(DISTINCT {c}) AS n_distinct",
+            f"CAST({e} AS BIGINT) AS n_distinct")
+    return base
+
+
 def q_drift_orders(spark, sf_dir):
     """PSI drift report (profiling.psi_drift): has the price
     distribution / priority mix moved between the pre-1999 and
@@ -3424,6 +3474,8 @@ EXT_QUERIES = {
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "woe_encode": (q_woe_encode, SQL_WOE_ENCODE),
     "text_clf_score": (q_text_clf_score, _sql_text_clf_score),
+    "profile_customer_approx": (q_profile_customer_approx,
+                                _sql_profile_customer_approx),
     "rollup_incremental": (q_rollup_incremental, SQL_ROLLUP_INCREMENTAL),
     "resample_user_daily": (q_resample_user_daily, SQL_RESAMPLE_USER_DAILY),
     "agg_group_median_approx": (q_agg_group_median_approx,
