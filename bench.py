@@ -151,12 +151,24 @@ def _online_p50_ms(spark, n_iter: int = 15) -> dict:
         local_rows_df(spark, [head], ev.schema))
     serving_plan.collect()                 # warm + build literal maps
 
+    # WOE-containing pipeline: proves the r6 _serve_woe_encoder keeps
+    # the job-free literal-map path (pre-r6 this silently fell back to
+    # the ~250 ms join plan).
+    from pyspark.sql import functions as F
+    ev_y = ev.withColumn("y", (F.col("value") > 0).cast("int"))
+    woe_pipe = dfp.DataframePipeline(steps=[
+        dfp.WOEEncoder(inputs=["event_type"], outputs=["type_woe"],
+                       target="y")])
+    woe_pipe.fit(ev_y)
+    head_y = ev_y.head()
+    serve_rows(woe_pipe, spark, [head_y], ev_y.schema)  # warm + cache
+
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     idx = IVFIndex(k=5, n_lists=8, n_probe=2).fit(emb)
     qvec = list(emb.head()["embedding"])
     idx.search_vec(qvec).collect()         # warm the probe path
 
-    full, exec_join, exec_serv, req_serv, ann = [], [], [], [], []
+    full, exec_join, exec_serv, req_serv, req_woe, ann = [], [], [], [], [], []
     for _ in range(n_iter):
         t0 = time.perf_counter()
         pipe.transform(one).collect()
@@ -171,6 +183,9 @@ def _online_p50_ms(spark, n_iter: int = 15) -> dict:
         serve_rows(pipe, spark, [head], ev.schema)
         req_serv.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
+        serve_rows(woe_pipe, spark, [head_y], ev_y.schema)
+        req_woe.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
         idx.search_vec(qvec).collect()
         ann.append(time.perf_counter() - t0)
 
@@ -183,6 +198,9 @@ def _online_p50_ms(spark, n_iter: int = 15) -> dict:
         "exec_only_min": ms(min(exec_serv)),
         "serve_request": ms(statistics.median(req_serv)),
         "serve_request_min": ms(min(req_serv)),
+        # WOE-containing pipeline on the compiled serving path (r6)
+        "serve_request_woe": ms(statistics.median(req_woe)),
+        "serve_request_woe_min": ms(min(req_woe)),
         # r3/r4-comparable join-plan keys (same meaning as before)
         "plan_and_exec_join_plan": ms(statistics.median(full)),
         "plan_and_exec_join_plan_min": ms(min(full)),

@@ -33,6 +33,7 @@ from .operators import (
     StringSplitter,
     TargetEncoder,
     TypeConverter,
+    WOEEncoder,
     WrapTransformer,
 )
 from .persistence import load_pipeline, save_pipeline
@@ -66,5 +67,6 @@ __all__ = [
     "StringConcatenator",
     "StringSplitter",
     "TypeConverter",
+    "WOEEncoder",
     "WrapTransformer",
 ]

@@ -25,6 +25,13 @@ from pyspark.sql import types as T
 #: Sentinel meaning "all columns" (reference: DFPBase.py:25 ``_PARM_ALL``).
 PARM_ALL = "__ALL"
 
+#: Attribute the serving tier (serving.py) caches compiled literal maps
+#: under.  Declared here so (a) ``fit`` can invalidate it without a
+#: circular import and (b) persistence can strip it (the cached values
+#: are pyspark Columns — py4j handles, not picklable and stale across
+#: sessions anyway).
+SERVING_CACHE_ATTR = "_dfp_serving_literals"
+
 
 class SparkDFPBase:
     """Common base: fit/transform contract + column-list helpers.
@@ -35,6 +42,24 @@ class SparkDFPBase:
     """
 
     _PARM_ALL = PARM_ALL
+
+    def __init_subclass__(cls, **kwargs):
+        """Wrap each subclass's ``fit`` so refitting invalidates any
+        compiled serving-literal cache: without this, ``fit`` rebuilds
+        the lookup state but ``serving_transform`` keeps scoring with
+        the OLD literal maps — silent batch/serving divergence."""
+        super().__init_subclass__(**kwargs)
+        fit = cls.__dict__.get("fit")
+        if fit is not None and not getattr(fit, "_dfp_invalidates", False):
+            import functools
+
+            @functools.wraps(fit)
+            def fit_and_invalidate(self, *args, **kw):
+                self.__dict__.pop(SERVING_CACHE_ATTR, None)
+                return fit(self, *args, **kw)
+
+            fit_and_invalidate._dfp_invalidates = True
+            cls.fit = fit_and_invalidate
 
     @classmethod
     def replace_PARM_ALL(cls, df: DataFrame, tgt):

@@ -28,6 +28,8 @@ import os
 from pyspark.cloudpickle import dumps, loads
 from pyspark.sql import DataFrame, SparkSession
 
+from .base import SERVING_CACHE_ATTR
+
 
 class _DFRef:
     """Placeholder for a DataFrame inside pickled operator state."""
@@ -77,9 +79,15 @@ def save_pipeline(pipe, path: str) -> None:
     for i, step in enumerate(steps):
         frames: list = []
         hints = getattr(step, "_dfp_partition_hints", {})
+        # Drop the serving tier's compiled-literal cache: its values are
+        # pyspark Column objects (py4j handles) that cloudpickle cannot
+        # serialize — without this, fit -> serving_transform ->
+        # save_pipeline crashes.  The cache is a pure derivation of the
+        # fitted lookups; serving_transform rebuilds it after load.
         state = {
             k: _extract(v, i, frames, part_cols=hints.get(k))
             for k, v in vars(step).items()
+            if k != SERVING_CACHE_ATTR
         }
         for j, (df, part_cols) in enumerate(frames):
             w = df.write.mode("overwrite")

@@ -247,10 +247,10 @@ def scd2(changes: DataFrame, key: str | list[str], version_col: str,
 
     Scale shape: ONE hash shuffle on the key; the collapse lag and the
     interval lead share the same (key, version) sort, so the plan is
-    Exchange → Sort → two Window passes → filter — no joins, no second
-    scan.  Ties on ``version_col`` within a key keep one arbitrary-but-
-    deterministic winner (ordered by the attrs) rather than emitting
-    zero-length intervals.
+    Exchange → Sort → three Window passes → filters — no joins, no
+    second scan.  Ties on ``version_col`` within a key keep exactly one
+    deterministic winner (the last row in attr order) rather than
+    emitting zero-length intervals.
     """
     keys = [key] if isinstance(key, str) else list(key)
     if attrs is None:
@@ -261,6 +261,18 @@ def scd2(changes: DataFrame, key: str | list[str], version_col: str,
     order = [F.col(version_col).asc(), *[F.col(a).asc_nulls_last()
                                          for a in attrs]]
     w = Window.partitionBy(*keys).orderBy(*order)
+    # ties on version_col: the sort puts tied rows adjacent (ordered by
+    # the attrs), so the winner — the LAST row of each (key, version)
+    # run — is the one whose next row has a different version.  A lead
+    # over the same window shares the existing shuffle+sort; without
+    # this, two tied rows with different attrs would both survive and
+    # emit a zero-length interval (valid_from == valid_to).
+    changes = (changes
+               .withColumn("__tie_loser",
+                           F.lead(version_col).over(w)
+                           .eqNullSafe(F.col(version_col)))
+               .filter(~F.col("__tie_loser"))
+               .drop("__tie_loser"))
     # drop no-op changes: every attr NULL-safe-equal to the previous row
     same_as_prev = None
     for a in attrs:

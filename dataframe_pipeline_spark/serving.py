@@ -34,12 +34,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .base import SERVING_CACHE_ATTR
+
 #: lookup dictionaries with at most this many entries are inlined as
 #: literal maps; larger ones keep the join plan (a >100k-literal
 #: expression would bloat analysis time past the job cost it saves).
 SERVING_MAX_ROWS = 100_000
 
-_CACHE_ATTR = "_dfp_serving_literals"
+# Cache lives in base.py so fit() can invalidate it on refit and
+# persistence can strip it (Column handles are not picklable).
+_CACHE_ATTR = SERVING_CACHE_ATTR
 
 
 def _literal_map(pairs):
@@ -204,12 +208,39 @@ def _serve_wrap_transformer(op, df: DataFrame) -> DataFrame:
     return df
 
 
+def _serve_woe_encoder(op, df: DataFrame) -> DataFrame:
+    """Same (category -> code) lookup shape as TargetEncoder, default
+    0.0 (no evidence) for unseen/NULL — mirrors the batch join's
+    ``coalesce(woe, 0.0)``."""
+    from .base import nan_to_null
+
+    cache = getattr(op, _CACHE_ATTR, None)
+    if cache is None:
+        if any(n > SERVING_MAX_ROWS for n in op.cards_):
+            cache = False
+        else:
+            cache = [
+                _literal_map([(r["__cat"], r["__woe"])
+                              for r in lk.collect()])
+                for lk in op.lookups_]
+        setattr(op, _CACHE_ATTR, cache)
+    if cache is False:
+        return op.transform(df)
+    for c, o, m in zip(op.inputs, op.outputs, cache):
+        key = nan_to_null(df, c)
+        looked = F.element_at(m, key) if m is not None else F.lit(None)
+        df = df.withColumn(
+            o, F.coalesce(looked, F.lit(0.0)).cast("double"))
+    return df
+
+
 _SERVING_COMPILERS = {
     "ComplementLabelEncoder": _serve_label_encoder,
     "Aggregator": _serve_aggregator,
     "FrequencyEncoder": _serve_frequency_encoder,
     "TargetEncoder": _serve_target_encoder,
     "WrapTransformer": _serve_wrap_transformer,
+    "WOEEncoder": _serve_woe_encoder,
 }
 
 
@@ -248,6 +279,11 @@ def _sql_literal(v, dt) -> str:
         esc = v.replace("\\", "\\\\").replace("'", "\\'")
         return f"'{esc}'"
     if isinstance(v, datetime.datetime):
+        # tz-aware inputs: render the UTC instant (the session timezone
+        # is UTC and batch createDataFrame converts to UTC); a naive
+        # strftime would store the foreign wall-clock as if it were UTC.
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         base = v.strftime("%Y-%m-%d %H:%M:%S")
         return f"TIMESTAMP '{base}.{v.microsecond:06d}'"
     if isinstance(v, datetime.date):

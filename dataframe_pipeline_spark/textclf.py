@@ -21,17 +21,28 @@ Determinism (the property that makes it verifiable):
 
 Scale shape per iteration: ONE pass over the persisted (label,
 index-array) frame computing each doc's margin with an
-``aggregate`` HOF over a weight-array literal (map-only), then ONE
+``aggregate`` HOF over the weight array (map-only), then ONE
 explode→groupBy shuffle whose output is at most ``n_features`` rows.
-The weight literal is built as a single SQL string (one driver call,
-not n_features Column objects — see the expectations.py profiling
-note).
+Up to ``WEIGHT_LITERAL_MAX`` (64k) features the weight array is a
+single SQL literal string (one driver call, not n_features Column
+objects — see the expectations.py profiling note); above that it is a
+broadcast 1-row frame, so plan size and analysis time stay O(1) in
+n_features at fasttext-scale (2M-bucket) vocabularies.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Up to this many features the weight vector rides as ONE SQL array
+#: literal — inside whole-stage codegen, zero extra plan nodes, the
+#: right call at the default 1024.  Above it the SQL text and analysis
+#: time grow O(n_features) per iteration (a fasttext-style 2M-bucket
+#: vocabulary would be a ~40 MB expression), so the weights ship as a
+#: broadcast 1-row frame instead (see ``_with_weights``).
+WEIGHT_LITERAL_MAX = 65_536
 
 
 class HashedTextClassifier:
@@ -66,13 +77,29 @@ class HashedTextClassifier:
         vals = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in w)
         return F.expr(f"array({vals})")
 
-    def _margin(self, idx_col, w, b: float):
+    def _with_weights(self, df: DataFrame, w):
+        """(frame, weight-array Column, joined?): below
+        ``WEIGHT_LITERAL_MAX`` features the weights are a single SQL
+        array literal; above it they ride as a BROADCAST 1-row frame
+        cross-joined in (BroadcastNestedLoopJoin with a 1-row build
+        side — the whitelisted literal-side shape), so the plan text
+        stays O(1) in n_features and analysis time doesn't blow up at
+        fasttext-scale vocabularies.  Both paths evaluate the identical
+        element_at arithmetic, so fitted weights are bit-identical."""
+        if self.n_features <= WEIGHT_LITERAL_MAX:
+            return df, self._w_expr(w), False
+        schema = T.StructType([T.StructField(
+            "__dfp_w", T.ArrayType(T.DoubleType(), False), False)])
+        wdf = df.sparkSession.createDataFrame(
+            [([float(x) for x in w],)], schema)
+        return df.crossJoin(F.broadcast(wdf)), F.col("__dfp_w"), True
+
+    def _margin(self, idx_col, warr, b: float):
         """Raw-count bag margin: z = b + Σ_tokens w[idx].  The margin
         scale grows with document length, so the DEFAULT lr is sized
         for full-batch GD stability at typical lengths (lr must be
         below ~2/L with L ≈ mean ||x||²; divergence shows up as
         saturated probabilities oscillating between classes)."""
-        warr = self._w_expr(w)
         return F.aggregate(idx_col, F.lit(float(b)),
                            lambda acc, i: acc + F.element_at(warr, i + 1))
 
@@ -89,7 +116,8 @@ class HashedTextClassifier:
         w = [0.0] * self.n_features
         b = 0.0
         for _ in range(self.n_iter):
-            z = self._margin(F.col("__idx"), w, b)
+            base, warr, _joined = self._with_weights(feats, w)
+            z = self._margin(F.col("__idx"), warr, b)
             p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
             # 9-dp quantized gradients, decimal-summed: the totals
             # cannot move with partitioning or reduction order.  The
@@ -97,7 +125,7 @@ class HashedTextClassifier:
             # g/len per token instance (the derivative of the
             # L1-normalized margin).
             g = p - F.col("__y")
-            scored = feats.select(
+            scored = base.select(
                 F.round(g, 9).alias("__g"), "__idx")
             gb = scored.agg(
                 F.sum(F.col("__g").cast("decimal(28,9)")).alias("s")
@@ -120,9 +148,11 @@ class HashedTextClassifier:
                   out: str = "p_pos") -> DataFrame:
         if self.w_ is None:
             raise RuntimeError("HashedTextClassifier.transform before fit")
-        z = self._margin(self._idx_array(text_col), self.w_, self.b_)
-        return df.withColumn(
+        base, warr, joined = self._with_weights(df, self.w_)
+        z = self._margin(self._idx_array(text_col), warr, self.b_)
+        scored = base.withColumn(
             out, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+        return scored.drop("__dfp_w") if joined else scored
 
     def fit_transform(self, df: DataFrame, text_col: str = "text",
                       label_col: str = "y",

@@ -383,6 +383,27 @@ def test_scd2_multiple_attrs_and_plan(spark):
         scd2(log.select("k", "v"), key="k", version_col="v")
 
 
+def test_scd2_tied_versions_keep_one_winner(spark):
+    """Two rows with the same (key, version) but different attrs must
+    yield exactly ONE history row for that version (the last in attr
+    order) — never a zero-length interval (valid_from == valid_to)."""
+    from dataframe_pipeline_spark.relational import scd2
+
+    log = spark.createDataFrame(
+        [(1, 1, "a"), (1, 1, "z"),      # tie: "z" (last in attr order) wins
+         (1, 2, "b"),
+         (2, 5, None), (2, 5, "q")],    # NULL attr sorts last -> NULL wins
+        "k long, v long, attr string")
+    out = scd2(log, key="k", version_col="v").collect()
+    assert all(r.valid_to is None or r.valid_from < r.valid_to for r in out)
+    by = {}
+    for r in out:
+        by.setdefault(r.k, []).append(
+            (r.attr, r.valid_from, r.valid_to, r.is_current))
+    assert sorted(by[1]) == [("b", 2, None, True), ("z", 1, 2, False)]
+    assert by[2] == [(None, 5, None, True)]
+
+
 def test_incremental_rollup_matches_full_recompute(spark):
     from pyspark.sql import functions as F
 

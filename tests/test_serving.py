@@ -162,3 +162,92 @@ def test_serving_wrap_label_encoder_parity(spark):
     plan = pipe.serving_transform(local_rows_df(spark, rows[:1], ev.schema))
     assert plan._jdf.queryExecution().executedPlan().toString() \
         .strip().startswith("LocalTableScan")
+
+
+def test_serving_woe_encoder_parity(spark):
+    from pyspark.sql import functions as F
+
+    from dataframe_pipeline_spark.ext_queries import _events
+    from dataframe_pipeline_spark.operators import WOEEncoder
+
+    ev = _events(spark, "/root/testdata/sf0.001").withColumn(
+        "y", (F.col("value") > 0).cast("int"))
+    enc = WOEEncoder(inputs=["event_type"], outputs=["type_woe"],
+                     target="y")
+    enc.fit(ev)
+    pipe = dfp.DataframePipeline(steps=[enc])
+    rows = ev.limit(20).collect()
+    batch = (pipe.transform(spark.createDataFrame(rows, ev.schema))
+             .toPandas().sort_values("event_id").reset_index(drop=True))
+    serve = (pipe.serving_transform(local_rows_df(spark, rows, ev.schema))
+             .toPandas().sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(batch, serve, check_like=True)
+    # job-free: the WOE lookup compiles to a literal map, no join plan
+    plan = pipe.serving_transform(local_rows_df(spark, rows[:1], ev.schema))
+    phys = plan._jdf.queryExecution().executedPlan().toString()
+    assert phys.strip().startswith("LocalTableScan"), phys
+    assert "Join" not in phys
+    # unseen category -> 0.0 (no evidence), same as the batch join miss
+    row = rows[0].asDict()
+    row["event_type"] = "never_seen"
+    out = serve_rows(pipe, spark, [row], ev.schema)[0]
+    assert out["type_woe"] == 0.0
+
+
+def test_serving_cache_invalidated_on_refit(spark):
+    """Refitting an operator must drop its compiled literal maps —
+    otherwise serving_transform keeps scoring with the OLD fitted
+    state while transform() uses the new one."""
+    from pyspark.sql import functions as F
+
+    from dataframe_pipeline_spark.ext_queries import _events
+
+    ev = _events(spark, "/root/testdata/sf0.001")
+    enc = dfp.ComplementLabelEncoder(inputs=["event_type"],
+                                     outputs=["type_id"]).fit(ev)
+    pipe = dfp.DataframePipeline(steps=[enc])
+    head = ev.head()
+    serve_rows(pipe, spark, [head], ev.schema)  # builds the literal cache
+    # refit on a shifted vocabulary: every old category becomes unseen
+    enc.fit(ev.withColumn("event_type", F.concat(F.lit("x_"),
+                                                 "event_type")))
+    batch = pipe.transform(
+        spark.createDataFrame([head], ev.schema)).collect()[0]["type_id"]
+    served = serve_rows(pipe, spark, [head], ev.schema)[0]["type_id"]
+    assert served == batch  # stale cache would return the pre-refit id
+
+
+def test_save_after_serving_and_serving_survives_reload(spark, tmp_path):
+    """fit -> serve -> save must not crash on the cached Column handles,
+    and a reloaded pipeline must rebuild its literal maps so the
+    job-free serving path survives a process restart."""
+    pipe, ev = _fitted_pipe(spark)
+    head = ev.head()
+    expected = serve_rows(pipe, spark, [head], ev.schema)[0]  # caches built
+    path = str(tmp_path / "served_pipe")
+    pipe.save(path)  # would crash if the py4j Columns were pickled
+    fresh = spark.newSession()
+    loaded = dfp.DataframePipeline.load(fresh, path)
+    plan = loaded.serving_transform(local_rows_df(fresh, [head], ev.schema))
+    phys = plan._jdf.queryExecution().executedPlan().toString()
+    assert phys.strip().startswith("LocalTableScan"), phys
+    got = plan.collect()[0]
+    for k, v in expected.asDict().items():
+        g = got[k]
+        if isinstance(v, float) and math.isnan(v):
+            assert isinstance(g, float) and math.isnan(g), k
+        else:
+            assert g == v, k
+
+
+def test_local_rows_df_tz_aware_datetime(spark):
+    """tz-aware datetimes must render the UTC instant, matching what
+    batch createDataFrame stores (session timezone is UTC)."""
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    schema = StructType([StructField("t", TimestampType())])
+    aware = dt.datetime(2024, 1, 2, 3, 4, 5, 123456,
+                        tzinfo=dt.timezone(dt.timedelta(hours=5)))
+    batch = spark.createDataFrame([(aware,)], schema).collect()[0]["t"]
+    local = local_rows_df(spark, [(aware,)], schema).collect()[0]["t"]
+    assert local == batch == dt.datetime(2024, 1, 1, 22, 4, 5, 123456)

@@ -78,3 +78,40 @@ def test_one_data_shuffle_per_iteration(separable):
     plan = (clf.transform(separable, "text")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_broadcast_weight_path_bit_identical(separable, monkeypatch):
+    """Forcing the broadcast-frame weight path (threshold 0) must fit
+    bit-identical weights and score bit-identical probabilities to the
+    SQL-literal path — same element_at arithmetic, different carrier."""
+    import dataframe_pipeline_spark.textclf as tc
+
+    lit = HashedTextClassifier(n_features=64, lr=0.5, n_iter=5)
+    lit.fit(separable, "text", "y")
+    monkeypatch.setattr(tc, "WEIGHT_LITERAL_MAX", 0)
+    bc = HashedTextClassifier(n_features=64, lr=0.5, n_iter=5)
+    bc.fit(separable, "text", "y")
+    assert bc.w_ == lit.w_ and bc.b_ == lit.b_
+    got = {r.doc_id: r.p_pos
+           for r in bc.transform(separable, "text").collect()}
+    want = {r.doc_id: r.p_pos
+            for r in lit.transform(separable, "text").collect()}
+    assert got == want
+    assert "__dfp_w" not in bc.transform(separable, "text").columns
+
+
+def test_fasttext_scale_vocab_plan_stays_small(separable):
+    """At n_features=262144 (above WEIGHT_LITERAL_MAX) the weights ride
+    as a broadcast 1-row frame: the plan text stays O(1) in n_features
+    — no quarter-million-element array literal."""
+    clf = HashedTextClassifier(n_features=262144, lr=0.5, n_iter=1)
+    clf.fit(separable, "text", "y")
+    assert len(clf.w_) == 262144
+    scored = clf.transform(separable, "text")
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 50_000, len(plan)   # literal path would be ~3 MB
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row build side, whitelisted
+    rows = scored.select("y", "p_pos").collect()
+    pos = [r.p_pos for r in rows if r.y == 1]
+    neg = [r.p_pos for r in rows if r.y == 0]
+    assert min(pos) > max(neg)             # one GD step already ranks
