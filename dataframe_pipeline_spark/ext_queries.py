@@ -1119,6 +1119,66 @@ FROM documents
 """
 
 
+def q_multimodal_gif_frames(spark, sf_dir):
+    """ANIMATED-GIF frame sampling through the real pipeline (new r6):
+    synthesize a 3-frame animated GIF per document (frame f = the 4x4
+    gray image of md5(text || f)'s digest bytes), run the production
+    ``VideoFrameSampler`` (stride=2 → frames 0 and 2; gif.py
+    ``iter_gif_frames`` does the LZW + GCE compositing, frames re-emit
+    as lossless BMP), then decode each sampled frame with
+    ``ImageDecoder``.  Every hop is lossless, so the per-frame mean is
+    exactly the per-frame digest-byte mean — DuckDB replays it with
+    hex arithmetic, value-checking the whole animate→sample→decode
+    path against an independent engine.  /16 is an exact binary
+    division (no float-order hazard)."""
+    import pandas as pd
+
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode(batches):
+        import hashlib
+
+        import numpy as np
+
+        from .gif import encode_gif_animated
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                frames = [np.frombuffer(
+                    hashlib.md5((str(t) + str(f)).encode()).digest(),
+                    dtype=np.uint8).reshape(4, 4) for f in range(3)]
+                payloads.append(encode_gif_animated(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    enc = docs.mapInPandas(encode, schema=StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType())]))
+    sampled = (mm.VideoFrameSampler(stride=2).transform(enc)
+               .withColumnRenamed("frame", "payload")
+               .withColumn("n_bytes",
+                           F.octet_length("payload").cast("long"))
+               .withColumn("digest", F.md5("payload")))
+    dec = mm.ImageDecoder(on_error="raise",
+                          keep=["frame_no"]).transform(sampled)
+    return _r6(dec.select("doc_id", "frame_no", "mean_pixel"),
+               "mean_pixel")
+
+
+SQL_MULTIMODAL_GIF_FRAMES = """
+SELECT doc_id, CAST(f AS INTEGER) AS frame_no,
+       ROUND(list_sum(list_transform(generate_series(1, 16),
+             i -> ('0x' || substr(md5(text || CAST(f AS VARCHAR)),
+                                  2*i-1, 2))::BIGINT))
+             / 16.0, 6) AS mean_pixel
+FROM documents, UNNEST([0, 2]) AS t(f)
+"""
+
+
 def q_resample_user_daily(spark, sf_dir):
     """Gap-filled resampling (timeseries.resample): per-user DAILY
     activity grid across each user's active range — zero-filled days
@@ -3471,6 +3531,8 @@ EXT_QUERIES = {
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_gif_roundtrip": (q_multimodal_gif_roundtrip,
                                  SQL_MULTIMODAL_GIF_ROUNDTRIP),
+    "multimodal_gif_frames": (q_multimodal_gif_frames,
+                              SQL_MULTIMODAL_GIF_FRAMES),
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "woe_encode": (q_woe_encode, SQL_WOE_ENCODE),
     "text_clf_score": (q_text_clf_score, _sql_text_clf_score),

@@ -580,15 +580,18 @@ class FakeFrameSampler:
 
 
 class VideoFrameSampler:
-    """REAL video frame sampling for AVI/MJPEG payloads (avi.py): every
-    ``stride``-th frame's JPEG bytes become one output row — the same
-    1→N row-expansion contract as ``FakeFrameSampler`` (``frame_no``,
-    ``frame binary``), so downstream stages compose identically, and
-    the emitted frames are real JPEGs an ``ImageDecoder`` (after
-    renaming ``frame``→``payload``) decodes.
+    """REAL video frame sampling for AVI/MJPEG **and animated GIF**
+    payloads: every ``stride``-th frame becomes one output row — the
+    same 1→N row-expansion contract as ``FakeFrameSampler``
+    (``frame_no``, ``frame binary``), so downstream stages compose
+    identically.  AVI frames are the container's JPEG bytes (avi.py);
+    GIF frames are the fully COMPOSITED canvases (gif.py
+    ``iter_gif_frames`` — transparency + disposal applied) re-encoded
+    as lossless BMP.  Either way the emitted frames are real images an
+    ``ImageDecoder`` (after renaming ``frame``→``payload``) decodes.
 
     ``on_error='null'`` yields a single NULL-frame row for payloads
-    that are not AVI / are corrupt (robust bulk ingest);
+    that are neither AVI nor GIF / are corrupt (robust bulk ingest);
     ``on_error='raise'`` propagates.
     """
 
@@ -604,10 +607,17 @@ class VideoFrameSampler:
 
     def transform(self, df: DataFrame) -> DataFrame:
         from .avi import iter_mjpeg_frames
+        from .gif import iter_gif_frames
 
         id_col, stride = self.id_col, self.stride
         max_frames, on_error = self.max_frames, self.on_error
         schema = f"{id_col} bigint, frame_no int, frame binary"
+
+        def frame_bytes(b: bytes):
+            """Per-frame encoded image bytes, lazily, by container."""
+            if b[:6] in (b"GIF87a", b"GIF89a"):
+                return (encode_bmp(fr) for fr in iter_gif_frames(b))
+            return iter_mjpeg_frames(b)
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -615,7 +625,7 @@ class VideoFrameSampler:
                 for i, b in zip(pdf[id_col], pdf["payload"]):
                     try:
                         taken = 0
-                        for fno, jb in enumerate(iter_mjpeg_frames(bytes(b))):
+                        for fno, jb in enumerate(frame_bytes(bytes(b))):
                             if fno % stride:
                                 continue
                             ids.append(i)
@@ -679,15 +689,21 @@ class ImageDecoder:
     ``on_error='raise'`` propagates undecodable payloads;
     ``on_error='null'`` yields NULL width/height/mean for them (the
     robust bulk-ingest setting).
+
+    ``keep`` lists extra input columns to carry through unchanged (e.g.
+    ``frame_no`` when decoding ``VideoFrameSampler`` output) — the
+    Arrow batch already holds them, so passthrough is free.
     """
 
-    def __init__(self, id_col: str = "doc_id", on_error: str = "raise"):
+    def __init__(self, id_col: str = "doc_id", on_error: str = "raise",
+                 keep: list[str] | None = None):
         assert on_error in ("raise", "null")
         self.id_col = id_col
         self.on_error = on_error
+        self.keep = list(keep or [])
 
     def transform(self, df: DataFrame) -> DataFrame:
-        id_col, on_error = self.id_col, self.on_error
+        id_col, on_error, keep = self.id_col, self.on_error, self.keep
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -702,14 +718,23 @@ class ImageDecoder:
                     ws.append(w)
                     hs.append(h)
                     ms.append(m)
-                yield pd.DataFrame({
-                    id_col: pdf[id_col],
+                out = {id_col: pdf[id_col]}
+                for k in keep:
+                    out[k] = pdf[k]
+                out.update({
                     "n_bytes": pdf["n_bytes"],
                     "digest": pdf["digest"],
                     "width": pd.array(ws, dtype="Int32"),
                     "height": pd.array(hs, dtype="Int32"),
                     "mean_pixel": pd.array(ms, dtype="Float64"),
                 })
+                yield pd.DataFrame(out)
 
         cols = with_payload_metadata(df, id_col=id_col) if "payload" not in df.columns else df
-        return cols.mapInPandas(decode, schema=DECODE_SCHEMA)
+        kept = ", ".join(
+            f"{n} {cols.schema[n].dataType.simpleString()}"
+            for n in self.keep)
+        schema = DECODE_SCHEMA if not kept else (
+            f"{self.id_col} bigint, {kept}, n_bytes bigint, digest string, "
+            "width int, height int, mean_pixel double")
+        return cols.mapInPandas(decode, schema=schema)

@@ -94,3 +94,114 @@ def test_interlaced_gif_decodes():
     b[packed_at] |= 0x40
     out = decode_gif(bytes(b))
     assert np.array_equal(out, img)
+
+
+def test_animated_roundtrip_lossless():
+    """encode_gif_animated -> iter_gif_frames yields every frame
+    exactly (disposal=1, full-canvas frames, shared global palette)."""
+    from dataframe_pipeline_spark.gif import (encode_gif_animated,
+                                              iter_gif_frames)
+
+    rng = np.random.RandomState(6)
+    pal = rng.randint(0, 256, (5, 3), dtype=np.uint8)
+    frames = [pal[rng.randint(0, 5, (11, 13))] for _ in range(4)]
+    b = encode_gif_animated(frames, delay_cs=7)
+    assert b[:6] == b"GIF89a" and b"NETSCAPE2.0" in b
+    got = list(iter_gif_frames(b))
+    assert len(got) == 4
+    for want, have in zip(frames, got):
+        assert np.array_equal(want, have)
+    # decode_gif still returns the FIRST frame of an animation
+    assert np.array_equal(decode_gif(b), frames[0])
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_gif_animated([])
+    with pytest.raises(ValueError, match="one shape"):
+        encode_gif_animated([frames[0], frames[0][:5]])
+
+
+def _gce(disposal, tidx=None):
+    packed = (disposal << 2) | (1 if tidx is not None else 0)
+    return (b"\x21\xf9\x04" + bytes([packed]) + b"\x00\x00"
+            + bytes([tidx or 0]) + b"\x00")
+
+
+def _img(indices, left=0, top=0, w=2, h=2):
+    import struct
+
+    from dataframe_pipeline_spark.gif import _lzw_literal_blocks
+
+    return (b"\x2c" + struct.pack("<HHHH", left, top, w, h) + b"\x00"
+            + bytes([2]) + _lzw_literal_blocks(np.array(indices), 2))
+
+
+_HDR22 = (b"GIF89a" + b"\x02\x00\x02\x00" + bytes([0x81, 3, 0])
+          + bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]))
+
+
+def test_disposal_restore_previous_and_transparency():
+    """disposal=3 restores the pre-frame canvas; transparent pixels
+    composite (leave the canvas) rather than painting palette color."""
+    from dataframe_pipeline_spark.gif import iter_gif_frames
+
+    b = (_HDR22
+         + _gce(1) + _img([0, 0, 0, 0])                 # all red
+         + _gce(3) + _img([1], 0, 0, 1, 1)              # green top-left
+         + _gce(0, tidx=3) + _img([3, 3, 3, 2])         # blue bottom-right
+         + b"\x3b")
+    f = list(iter_gif_frames(b))
+    assert len(f) == 3
+    assert (f[0] == [255, 0, 0]).all()
+    assert tuple(f[1][0, 0]) == (0, 255, 0)
+    assert tuple(f[1][1, 1]) == (255, 0, 0)
+    # frame 2: disposal=3 reverted the green; transparency shows red
+    assert tuple(f[2][0, 0]) == (255, 0, 0)
+    assert tuple(f[2][1, 1]) == (0, 0, 255)
+
+
+def test_disposal_restore_background():
+    """disposal=2 clears the frame's region to the background color
+    before the next frame composites."""
+    from dataframe_pipeline_spark.gif import iter_gif_frames
+
+    b = (_HDR22
+         + _gce(2) + _img([0, 0, 0, 0])                 # red, then wiped
+         + _gce(0, tidx=3) + _img([3, 3, 3, 1])         # green br only
+         + b"\x3b")
+    f = list(iter_gif_frames(b))
+    assert tuple(f[1][0, 0]) == (255, 255, 255)   # background (idx 3)
+    assert tuple(f[1][1, 1]) == (0, 255, 0)
+
+
+def test_video_frame_sampler_dispatches_gif(spark):
+    """VideoFrameSampler samples animated-GIF frames through the same
+    1->N contract as AVI — frames re-emitted as lossless BMP that
+    ImageDecoder round-trips exactly."""
+    import pandas as pd
+
+    import dataframe_pipeline_spark.multimodal as mm
+    from dataframe_pipeline_spark.gif import encode_gif_animated
+
+    rng = np.random.RandomState(9)
+    frames = [rng.randint(0, 4, (5, 6), dtype=np.uint8) * 80
+              for _ in range(5)]
+    gif = encode_gif_animated(frames)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [gif]}))
+    out = mm.VideoFrameSampler(stride=2).transform(df).toPandas()
+    assert list(out["frame_no"]) == [0, 2, 4]
+    dec = mm.ImageDecoder(keep=["frame_no"]).transform(
+        mm.VideoFrameSampler(stride=2, max_frames=2).transform(df)
+        .withColumnRenamed("frame", "payload")
+        .selectExpr("doc_id", "frame_no", "payload",
+                    "CAST(octet_length(payload) AS LONG) AS n_bytes",
+                    "md5(payload) AS digest")).toPandas()
+    assert list(dec["frame_no"]) == [0, 2]
+    for fno, mean in zip(dec["frame_no"], dec["mean_pixel"]):
+        gray = np.stack([frames[fno]] * 3, -1)
+        assert mean == pytest.approx(gray.mean(), abs=1e-9)
+    # non-video payload: null row under on_error='null'
+    bad = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "payload": [b"not a video"]}))
+    nul = (mm.VideoFrameSampler(on_error="null").transform(bad)
+           .collect())
+    assert len(nul) == 1 and nul[0]["frame"] is None
