@@ -36,6 +36,16 @@ except ImportError:
 # verified regardless (scripts/check_oracle.py at sf0.01).
 _NEVER_CHECKED_FIRST = [
     "multimodal_gif_frames",        # animated-GIF sampling (r6)
+    "tpch_q2_mincost",              # adapted TPC-H completions (r6)
+    "tpch_q11_value",
+    "tpch_q12_priority_class",
+    "tpch_q16_variety",
+    "tpch_q20_excess",
+    "mix_temperature",              # corpus-layout ops (r6)
+    "shard_stats",
+    "shard_layout",
+    "zorder_key_orders",
+    "corpus_curation",
 ]
 
 _MERGED = {**CORE_QUERIES, **EXT_QUERIES, **TPCH_QUERIES}

@@ -89,6 +89,23 @@ R5_EXTRAS = [
     "text_clf_score",
 ]
 
+#: Round-6 tier: the adapted TPC-H completions (Q2/Q11/Q12/Q16/Q20),
+#: the training-corpus layout ops (temperature mixing, shard
+#: assignment, Z-order key), timed under "queries_r6", NOT summed into
+#: "value"/"median_total".
+R6_EXTRAS = [
+    "tpch_q2_mincost",
+    "tpch_q11_value",
+    "tpch_q12_priority_class",
+    "tpch_q16_variety",
+    "tpch_q20_excess",
+    "mix_temperature",
+    "shard_stats",
+    "shard_layout",
+    "zorder_key_orders",
+    "corpus_curation",
+]
+
 EXT_HEADLINE = [
     "dedup_exact",
     "dedup_minhash_pairs",
@@ -287,6 +304,18 @@ def main():
         r5[name] = round(runs[0], 3)
         r5_median[name] = round(runs[len(runs) // 2], 3)
 
+    r6, r6_median = {}, {}
+    for name in [n for n in R6_EXTRAS if n in qs]:
+        runs = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        r6[name] = round(runs[0], 3)
+        r6_median[name] = round(runs[len(runs) // 2], 3)
+
     canary_after = _canary(spark)
     try:
         online_ms = _online_p50_ms(spark)
@@ -310,6 +339,9 @@ def main():
         "queries_r5": r5,
         "queries_r5_median": r5_median,
         "r5_total": round(sum(r5.values()), 3),
+        "queries_r6": r6,
+        "queries_r6_median": r6_median,
+        "r6_total": round(sum(r6.values()), 3),
         "canary_sec": [canary_before, canary_after],
         "online_p50_ms": online_ms,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -331,6 +363,7 @@ def main():
         "r4_total": detail["r4_total"],
         "tpch_total": detail["tpch_total"],
         "r5_total": detail["r5_total"],
+        "r6_total": detail["r6_total"],
         "canary_sec": detail["canary_sec"],
         "online_exec_ms": (online_ms or {}).get("exec_only"),
         "detail_file": "BENCH_DETAIL.json",

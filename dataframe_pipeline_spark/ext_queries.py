@@ -3449,7 +3449,174 @@ FROM (SELECT count(*) FILTER (o_custkey IS NOT NULL AND o_custkey NOT IN
 """
 
 
+def q_mix_temperature(spark, sf_dir):
+    """Temperature-weighted corpus mixing (new r6): thin the documents
+    table to ~250 rows with per-source rates ∝ count^0.5 — the
+    multilingual-LM mixture shape (up-sample small domains).  Rates come
+    from one tiny grouped count; the apply side is the content-addressed
+    md5 filter (map-only, partitioning-independent)."""
+    from .sources import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_mixture(docs, "source", key="doc_id",
+                              target_rows=250, alpha=0.5)
+    return out.select("doc_id", "source")
+
+
+# The oracle recomputes the rate table in SQL with the same operation
+# order (pow → share → rate → round-9), so the CASE literals the Spark
+# side folds in are bit-identical to the rates DuckDB derives.
+SQL_MIX_TEMPERATURE = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, n, pow(n::DOUBLE, 0.5) AS wt FROM c),
+r AS (SELECT source,
+             round(least(1.0, 250 * (wt / (SELECT sum(wt) FROM w)) / n), 9)
+               AS rate
+      FROM w)
+SELECT doc_id, source
+FROM documents JOIN r USING (source)
+WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT) / 4294967296.0
+      < rate
+"""
+
+
+def q_shard_stats(spark, sf_dir):
+    """Deterministic shard assignment (new r6): md5-bucket documents
+    into 8 training shards and report per-shard row/char totals — the
+    balance check a shard writer runs before committing a layout."""
+    from .sources import assign_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return (assign_shards(docs, key="doc_id", n_shards=8)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .orderBy("shard"))
+
+
+SQL_SHARD_STATS = """
+SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8)::INTEGER
+         AS shard,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+ORDER BY shard
+"""
+
+
+def q_shard_layout(spark, sf_dir):
+    """Within-shard reproducible shuffle order (new r6): the first 3
+    documents of each of 8 shards in md5 rank order — the (shard,
+    position) layout a deterministic shard writer sorts by.  One
+    shuffle on the shard key (the writer's repartition), row_number
+    state is a single counter per shard."""
+    from .sources import assign_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    out = assign_shards(docs, key="doc_id", n_shards=8,
+                        position_col="position")
+    return (out.filter(F.col("position") <= 3)
+            .select("doc_id", "shard", "position"))
+
+
+SQL_SHARD_LAYOUT = """
+WITH s AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8)::INTEGER
+           AS shard
+  FROM documents),
+p AS (
+  SELECT doc_id, shard,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY md5(doc_id::VARCHAR), doc_id)
+           AS position
+  FROM s)
+SELECT doc_id, shard, position FROM p WHERE position <= 3
+"""
+
+
+def q_zorder_key_orders(spark, sf_dir):
+    """Z-order clustering key (new r6): Morton-interleave of 8-bit
+    fixed-width buckets of (o_custkey, o_totalprice) — the key
+    ``write_zordered`` sorts by so BOTH columns get parquet row-group
+    skipping.  Map-only integer bit math after one min/max aggregate."""
+    from .sources import zorder_key
+
+    od = _t(spark, sf_dir, "orders")
+    return (zorder_key(od, ["o_custkey", "o_totalprice"], bits=8)
+            .select("o_orderkey", "zkey"))
+
+
+def _zorder_duck(bits: int, cols: list[str]) -> str:
+    """The oracle's twin of sources.zorder_key: identical bucket formula
+    and bit interleave, generated as plain SQL integer arithmetic."""
+    k, top, width = len(cols), (1 << bits) - 1, float(1 << bits)
+    st = ", ".join(
+        f"min({c}::DOUBLE) AS mn{j}, max({c}::DOUBLE) AS mx{j}"
+        for j, c in enumerate(cols))
+    bk = ", ".join(
+        f"CAST(least({top}, floor(({c}::DOUBLE - mn{j}) * {width} "
+        f"/ (mx{j} - mn{j}))) AS BIGINT) AS b{j}"
+        for j, c in enumerate(cols))
+    terms = " | ".join(
+        f"(((b{j} >> {i}) & 1) << {i * k + j})"
+        for i in range(bits) for j in range(k))
+    return st, bk, terms
+
+
+_Z_ST, _Z_BK, _Z_TERMS = _zorder_duck(8, ["o_custkey", "o_totalprice"])
+
+SQL_ZORDER_KEY_ORDERS = f"""
+WITH st AS (SELECT {_Z_ST} FROM orders),
+b AS (SELECT o_orderkey, {_Z_BK} FROM orders, st)
+SELECT o_orderkey, {_Z_TERMS} AS zkey FROM b
+"""
+
+
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end training-corpus curation (new r6): quality scoring →
+    language-ID gate → exact dedup (digest shuffle) → deterministic
+    shard assignment, composed as ONE lazy Catalyst plan — the flagship
+    shape of an LLM-data pipeline, where each stage's filter prunes the
+    next stage's work and nothing materializes in between.  All stage
+    math is the bit-identical twin of its standalone oracle query
+    (text_quality, text_langid, dedup_exact, shard_stats)."""
+    from .sources import assign_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = tx.QualityScorer().transform(docs)
+    lang = tx.LanguageIdentifier().transform(scored)
+    kept = lang.filter((F.col("quality_score") >= 0.6)
+                       & (F.col("pred_lang") == "en"))
+    deduped = dd.ExactDeduplicator().transform(
+        kept.select("doc_id", "text", "quality_score"))
+    return (assign_shards(deduped, key="doc_id", n_shards=4)
+            .select("doc_id", "shard", "quality_score"))
+
+
+def _sql_corpus_curation() -> str:
+    return f"""
+WITH q AS ({_sql_text_quality()}),
+l AS ({_sql_text_langid()}),
+f AS (SELECT d.doc_id, d.text, q.quality_score
+      FROM documents d JOIN q ON q.doc_id = d.doc_id
+      JOIN l ON l.doc_id = d.doc_id
+      WHERE q.quality_score >= 0.6 AND l.pred_lang = 'en'),
+s AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text)
+SELECT f.doc_id,
+       (('0x' || substr(md5(f.doc_id::VARCHAR), 1, 8))::BIGINT % 4)::INTEGER
+         AS shard,
+       f.quality_score
+FROM f JOIN s ON s.doc_id = f.doc_id
+"""
+
+
 EXT_QUERIES = {
+    "mix_temperature": (q_mix_temperature, SQL_MIX_TEMPERATURE),
+    "zorder_key_orders": (q_zorder_key_orders, SQL_ZORDER_KEY_ORDERS),
+    "corpus_curation": (q_corpus_curation, _sql_corpus_curation()),
+    "shard_stats": (q_shard_stats, SQL_SHARD_STATS),
+    "shard_layout": (q_shard_layout, SQL_SHARD_LAYOUT),
     "expect_orders": (q_expect_orders, SQL_EXPECT_ORDERS),
     "text_lm_score": (q_text_lm_score, SQL_TEXT_LM_SCORE),
     "drift_orders": (q_drift_orders, SQL_DRIFT_ORDERS),

@@ -168,6 +168,68 @@ def cap_per_group(df: DataFrame, group_col: str, key: str,
             .filter(F.col("__rk") <= k).drop("__rk"))
 
 
+def temperature_mixture(df: DataFrame, stratum_col: str, key: str,
+                        target_rows: int, alpha: float = 0.5,
+                        rate_decimals: int = 9) -> DataFrame:
+    """Temperature-weighted domain mixing — the data-mixing step of a
+    training corpus build: target share of stratum ``s`` is proportional
+    to ``count_s ** alpha`` (``alpha=1`` keeps natural proportions,
+    ``alpha=0`` gives uniform shares, values in between up-sample small
+    domains the way multilingual-LM mixtures do), then each stratum is
+    thinned to its share of ``target_rows`` with the same
+    content-addressed md5 filter as :func:`weighted_sample`.
+
+    Scale contract: the ONLY aggregation is a per-stratum count — one
+    tiny grouped aggregate whose result (one row per domain, dozens in
+    practice) is collected driver-side under the package's fit-scalar
+    rule; the apply side is a map-only filter with the per-stratum rate
+    folded in as a literal CASE.  Rates are rounded to
+    ``rate_decimals`` so an independent engine recomputing them (the
+    DuckDB oracle) lands on bit-identical literals.
+    """
+    if target_rows < 0:
+        raise ValueError("target_rows must be >= 0")
+    counts = {r[0]: r[1]
+              for r in df.groupBy(stratum_col).count().collect()}
+    weights = {s: float(n) ** alpha for s, n in sorted(counts.items())}
+    total_w = sum(weights[s] for s in sorted(weights))
+    rates = {
+        s: round(min(1.0, target_rows * (weights[s] / total_w) / counts[s]),
+                 rate_decimals)
+        for s in sorted(counts)}
+    return weighted_sample(df, stratum_col, rates, key, default_rate=0.0)
+
+
+def assign_shards(df: DataFrame, key: str, n_shards: int,
+                  shard_col: str = "shard",
+                  position_col: str | None = None) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the final
+    layout step before writing training shards: every row gets a shard
+    in ``[0, n_shards)`` from the md5 of its key (so shards are
+    uniformly sized and the assignment is a pure function of the data,
+    stable across retries, partitioning, and cluster size), and
+    optionally a dense ``position_col`` giving its md5-order rank
+    WITHIN the shard — i.e. a reproducible within-shard shuffle order a
+    writer can sort by.
+
+    Scale contract: the shard id is map-only; the position is one
+    row_number window partitioned by shard — a single shuffle on the
+    shard key, which is exactly the repartition a shard writer needs
+    anyway (state per partition is one counter).  No global sort, no
+    driver collection, no RNG.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    sid = (F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8),
+                  16, 10).cast("long") % F.lit(n_shards)).cast("int")
+    out = df.withColumn(shard_col, sid)
+    if position_col is not None:
+        w = (Window.partitionBy(shard_col)
+             .orderBy(F.md5(F.col(key).cast("string")), F.col(key)))
+        out = out.withColumn(position_col, F.row_number().over(w))
+    return out
+
+
 def salted_join(fact: DataFrame, dim: DataFrame, on: str,
                 how: str = "inner", salt: int = 8,
                 seed: int = 42) -> DataFrame:
@@ -178,6 +240,72 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: str,
     partitioning-dependent and so not stable across retries)."""
     from ..relational import salted_join as _sj
     return _sj(fact, dim, on, how=how, n_salts=salt)
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8,
+               out_col: str = "zkey",
+               stats: dict[str, tuple[float, float]] | None = None
+               ) -> DataFrame:
+    """Morton (Z-order) interleave key over 2+ numeric columns — the
+    multi-dimensional clustering primitive: sorting by ``out_col`` makes
+    parquet row-group min/max footers selective on EVERY participating
+    column at once, where a lexicographic sort is selective only on its
+    leading column.
+
+    Each column is bucketed to ``bits`` bits with fixed-width bins over
+    its [min, max] (one tiny aggregate, collected under the fit-scalar
+    rule, or passed in via ``stats`` to skip the job), then bucket bits
+    are interleaved round-robin.  Everything after the stats collect is
+    a map-only integer-arithmetic expression — JVM codegen, no shuffle,
+    no Python.  Bit math is exact, so an independent engine recomputing
+    the key (the DuckDB oracle) matches bit-for-bit.
+    """
+    if len(cols) < 2:
+        raise ValueError("zorder_key needs >= 2 columns")
+    if not 1 <= bits * len(cols) <= 63:
+        raise ValueError("bits * len(cols) must fit in a signed 64-bit key")
+    if stats is None:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
+                     F.max(F.col(c).cast("double")).alias(f"_mx_{c}")]
+        row = df.agg(*aggs).collect()[0]
+        stats = {c: (row[f"_mn_{c}"], row[f"_mx_{c}"]) for c in cols}
+    k, top = len(cols), (1 << bits) - 1
+    buckets = []
+    for c in cols:
+        mn, mx = stats[c]
+        if mn is None or mx is None or mx == mn:
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        # (v - mn) * 2^bits / (mx - mn), floored and clamped — the SAME
+        # operation order as the SQL oracle, so floats agree exactly.
+        buckets.append(F.least(
+            F.lit(top).cast("long"),
+            F.floor((F.col(c).cast("double") - F.lit(mn))
+                    * F.lit(float(1 << bits)) / F.lit(mx - mn))))
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)),
+                            i * k + j))
+    return df.withColumn(out_col, key)
+
+
+def write_zordered(df: DataFrame, path: str, cols: list[str],
+                   bits: int = 8, mode: str = "overwrite") -> None:
+    """Z-order-clustered parquet sink: range-partition on the Morton key
+    (so files cover disjoint key ranges — balanced output sizes via the
+    range sampler) and sort rows inside each partition by it, then drop
+    the key.  Readers filtering on ANY of ``cols`` skip row groups via
+    parquet min/max footers — the layout a 100 TB table wants when two
+    or more columns carry selective predicates."""
+    keyed = zorder_key(df, cols, bits=bits, out_col="__zkey")
+    (keyed.repartitionByRange(F.col("__zkey"))
+     .sortWithinPartitions("__zkey")
+     .drop("__zkey")
+     .write.mode(mode).parquet(path))
 
 
 def write_partitioned(df: DataFrame, path: str, partition_by: list[str],

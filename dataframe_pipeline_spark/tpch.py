@@ -9,10 +9,13 @@ pure-scan aggregate with full pushdown (Q6), multi-fact snowflake joins
 (Q7, Q8, Q9), group-then-join top-k (Q10, Q15, Q18), two-level
 aggregation over an outer join (Q13), conditional-share aggregates
 (Q8, Q14), correlated scalar-subquery-per-group (Q17), and OR-of-ANDs
-join predicates (Q19).  Q2/Q11/Q16/Q20 depend on ``partsupp``, which the
-driver's generator does not ship — their shapes (min-per-group join,
-HAVING over a scalar subquery, NOT-IN distinct count, nested semi-join
-chain) are covered by Q15/Q17/Q21/Q22 here and the profiling tier.
+join predicates (Q19).  Q2/Q11/Q16/Q20 depend on ``partsupp`` and Q12 on
+``l_shipmode``, which the driver's generator does not ship — since r6
+their shapes run ADAPTED over lineitem as the part↔supplier bridge
+(min-per-group join Q2, HAVING over a scalar subquery Q11, two-way
+conditional counts Q12, NOT-IN distinct count Q16, nested semi-join
+chain Q20), completing a named registry query for every one of the 22
+classic TPC-H shapes (Q1/Q3/Q5 live in ``ext_queries``).
 
 Scale notes (the 100 TB plan, not the sf0.01 one):
 
@@ -728,7 +731,307 @@ GROUP BY c_mktsegment
 """
 
 
+# ==========================================================================
+# Q2 — minimum-cost supplier (min-per-group correlated subquery).
+# Adapted: the schema ships no partsupp, so lineitem is the part↔supplier
+# bridge and "supply cost" is the minimum observed unit price
+# (l_extendedprice / l_quantity) a supplier ever charged for the part.
+# ==========================================================================
+
+_Q2_TYPE, _Q2_SIZE, _Q2_REGION = "SMALL", 10, "EUROPE"
+
+
+def q_tpch_q2_mincost(spark, sf_dir):
+    """TPC-H Q2 shape: per part (one type/size), the region-local
+    supplier with the minimum supply cost; top 100 by balance.
+
+    The correlated min subquery becomes ONE grouped aggregate over the
+    part/region-pruned fact joined back on exact equality — unit price
+    is a single IEEE divide and MIN is reduction-order-free, so the
+    min-cost row matches the oracle bit-for-bit.  The part and
+    supplier-in-region dims take the size-gated broadcast; the fact is
+    left-semi-pruned by both before the per-pair aggregate, so the
+    shuffle carries only surviving (part, supplier) pairs."""
+    pt = (_t(spark, sf_dir, "part")
+          .filter((F.col("p_type") == _Q2_TYPE) & (F.col("p_size") == _Q2_SIZE))
+          .select("p_partkey"))
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    re_ = (_t(spark, sf_dir, "region")
+           .filter(F.col("r_name") == _Q2_REGION).select("r_regionkey"))
+    su = (_t(spark, sf_dir, "supplier")
+          .join(maybe_broadcast(na), F.col("s_nationkey") == na.n_nationkey)
+          .join(F.broadcast(re_), na.n_regionkey == re_.r_regionkey)
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey",
+                  (F.col("l_extendedprice") / F.col("l_quantity"))
+                  .alias("_unit"))
+          .join(maybe_broadcast(pt), F.col("l_partkey") == pt.p_partkey,
+                "left_semi")
+          .join(maybe_broadcast(su.select("s_suppkey")),
+                F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"))
+    cost = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.min("_unit").alias("supply_cost")))
+    best = (cost.groupBy("l_partkey")
+            .agg(F.min("supply_cost").alias("_best"))
+            .withColumnRenamed("l_partkey", "_pk"))
+    return (
+        cost.join(maybe_broadcast(best, bound_df=pt),
+                  (F.col("l_partkey") == F.col("_pk"))
+                  & (F.col("supply_cost") == F.col("_best")))
+        .join(maybe_broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .select("s_acctbal", "s_name", "n_name",
+                F.col("l_partkey").alias("p_partkey"),
+                F.round("supply_cost", 6).alias("supply_cost"))
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q2 = f"""
+WITH su AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = '{_Q2_REGION}'),
+cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_type = '{_Q2_TYPE}' AND p_size = {_Q2_SIZE})
+    AND l_suppkey IN (SELECT s_suppkey FROM su)
+  GROUP BY l_partkey, l_suppkey)
+SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+       ROUND(supply_cost, 6) AS supply_cost
+FROM cost JOIN su ON s_suppkey = l_suppkey
+WHERE supply_cost = (SELECT min(supply_cost) FROM cost c2
+                     WHERE c2.l_partkey = cost.l_partkey)
+ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC
+LIMIT 100
+"""
+
+
+# ==========================================================================
+# Q11 — important stock value (HAVING over a scalar-subquery fraction).
+# Adapted: "stock value" = revenue shipped per part by one nation's
+# suppliers (no partsupp availqty in the schema).
+# ==========================================================================
+
+_Q11_NATION, _Q11_FRACTION = "NATION_7", 0.001
+
+
+def q_tpch_q11_value(spark, sf_dir):
+    """TPC-H Q11 shape: per-part value restricted to one nation's
+    suppliers, keeping parts whose value exceeds a fraction of the
+    total.
+
+    The scalar subquery (global total) is a second tiny aggregate OVER
+    THE GROUPED RESULT — the grouped frame is localCheckpoint-ed first,
+    because Catalyst plans the two consumers as two full subtrees and
+    (verified) AQE does NOT reuse the exchange: without the cut the
+    fact would scan twice.  Checkpoint size is bounded by |part|.  Sums
+    are exact DECIMAL on both engines, so the fraction threshold can't
+    flip on reduction order."""
+    na = (_t(spark, sf_dir, "nation")
+          .filter(F.col("n_name") == _Q11_NATION).select("n_nationkey"))
+    su = (_t(spark, sf_dir, "supplier")
+          .join(F.broadcast(na), F.col("s_nationkey") == na.n_nationkey)
+          .select("s_suppkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+          .join(maybe_broadcast(su), F.col("l_suppkey") == su.s_suppkey,
+                "left_semi"))
+    per_part = (li.groupBy("l_partkey")
+                .agg(F.sum(_rev()).alias("_val"))
+                .localCheckpoint(eager=True))
+    total = per_part.agg(F.sum("_val").alias("_tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_val").cast("double")
+                > F.lit(_Q11_FRACTION) * F.col("_tot").cast("double"))
+        .select(F.col("l_partkey").alias("p_partkey"),
+                F.col("_val").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), F.asc("p_partkey"))
+    )
+
+
+SQL_TPCH_Q11 = f"""
+WITH pv AS (
+  SELECT l_partkey, sum({_REV}) AS val
+  FROM lineitem
+  WHERE l_suppkey IN (
+      SELECT s_suppkey FROM supplier JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = '{_Q11_NATION}')
+  GROUP BY l_partkey)
+SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
+FROM pv
+WHERE CAST(val AS DOUBLE)
+      > {_Q11_FRACTION} * (SELECT CAST(sum(val) AS DOUBLE) FROM pv)
+ORDER BY part_value DESC, p_partkey ASC
+"""
+
+
+# ==========================================================================
+# Q12 — shipping-priority classes (two-way conditional counts over a
+# date-windowed join).  Adapted: the schema has no l_shipmode /
+# l_receiptdate, so lines group by l_linestatus and the window is on
+# l_shipdate.
+# ==========================================================================
+
+def q_tpch_q12_priority_class(spark, sf_dir):
+    """TPC-H Q12 shape: per line class, how many 1997 lines belong to
+    high-priority orders vs not.
+
+    One fact scan with the date filter pushed to parquet, one equi-join
+    to the orders priority column, one grouped aggregate of two
+    conditional counts — the CASE pair collapses into a single
+    map-side-combined shuffle."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+          .select("l_orderkey", "l_linestatus"))
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(F.sum(hi.cast("long")).alias("high_line_count"),
+             F.sum((~hi).cast("long")).alias("low_line_count"))
+        .orderBy("l_linestatus")
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# ==========================================================================
+# Q16 — supplier variety per part attribute (COUNT DISTINCT + NOT IN).
+# Adapted: lineitem is the part↔supplier bridge; the "customer
+# complaints" exclusion becomes negative account balance.
+# ==========================================================================
+
+_Q16_SIZES = [5, 10, 15, 20, 25, 30, 35, 40]
+
+
+def q_tpch_q16_variety(spark, sf_dir):
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size),
+    excluding one brand and blacklisted suppliers.
+
+    The NOT IN becomes a broadcast left-anti join against the tiny
+    excluded-supplier set; COUNT(DISTINCT) runs as the standard
+    two-phase partial-distinct aggregate on the (brand,type,size,supp)
+    shuffle key — no Expand, no row explosion."""
+    pt = (_t(spark, sf_dir, "part")
+          .filter((F.col("p_brand") != "Brand#1")
+                  & F.col("p_size").isin(_Q16_SIZES))
+          .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (_t(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    li = (_t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+          .join(F.broadcast(bad), F.col("l_suppkey") == bad.s_suppkey,
+                "left_anti"))
+    return (
+        li.join(maybe_broadcast(pt), F.col("l_partkey") == pt.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"),
+                 F.asc("p_type"), F.asc("p_size"))
+    )
+
+
+SQL_TPCH_Q16 = f"""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN ({', '.join(str(s) for s in _Q16_SIZES)})
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+# ==========================================================================
+# Q20 — suppliers with excess shipments (nested semi-join chain).
+# Adapted: no partsupp availqty, so "excess" = the supplier shipped more
+# than 18% of their all-years quantity of pattern-named parts in 1997
+# alone (the uniform date spread makes ~14% the neutral share, so the
+# filter selects the genuinely 1997-concentrated tail).
+# ==========================================================================
+
+_Q20_PATTERN, _Q20_SHARE = "red", 0.18
+
+
+def q_tpch_q20_excess(spark, sf_dir):
+    """TPC-H Q20 shape: name-pattern parts → per-supplier conditional
+    quantity sums → qualifying supplier keys → semi-join into the
+    supplier dim.
+
+    The nested IN-chain flattens to: one pattern-pruned part dim
+    (broadcast semi-join), ONE grouped aggregate computing both the
+    windowed and the all-years quantity sums in the same pass, a filter,
+    and a key-only semi-join into the supplier dim.  Quantities are
+    integral doubles, so both sums and the share threshold are exact."""
+    pt = (_t(spark, sf_dir, "part")
+          .filter(F.col("p_name").contains(_Q20_PATTERN))
+          .select("p_partkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+          .join(maybe_broadcast(pt), F.col("l_partkey") == pt.p_partkey,
+                "left_semi"))
+    in_97 = ((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    excess = (li.groupBy("l_suppkey")
+              .agg(F.sum(F.when(in_97, F.col("l_quantity"))
+                         .otherwise(F.lit(0.0))).alias("qty_97"),
+                   F.sum("l_quantity").alias("qty_all"))
+              .filter(F.col("qty_97") > F.lit(_Q20_SHARE) * F.col("qty_all"))
+              .select("l_suppkey"))
+    su = _t(spark, sf_dir, "supplier")
+    return (
+        su.join(excess, su.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TPCH_Q20 = f"""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM (
+      SELECT l_suppkey,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                       AND l_shipdate <  TIMESTAMP '1998-01-01'
+                      THEN l_quantity ELSE 0 END) AS qty_97,
+             sum(l_quantity) AS qty_all
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE '%{_Q20_PATTERN}%')
+      GROUP BY l_suppkey)
+    WHERE qty_97 > {_Q20_SHARE} * qty_all)
+ORDER BY s_suppkey ASC
+"""
+
+
 TPCH_QUERIES = {
+    "tpch_q2_mincost": (q_tpch_q2_mincost, SQL_TPCH_Q2),
+    "tpch_q11_value": (q_tpch_q11_value, SQL_TPCH_Q11),
+    "tpch_q12_priority_class": (q_tpch_q12_priority_class, SQL_TPCH_Q12),
+    "tpch_q16_variety": (q_tpch_q16_variety, SQL_TPCH_Q16),
+    "tpch_q20_excess": (q_tpch_q20_excess, SQL_TPCH_Q20),
     "tpch_q4_priority": (q_tpch_q4_priority, SQL_TPCH_Q4),
     "tpch_q6_revenue": (q_tpch_q6_revenue, SQL_TPCH_Q6),
     "tpch_q7_volume": (q_tpch_q7_volume, SQL_TPCH_Q7),

@@ -53,6 +53,8 @@ BNLJ_WHITELIST = {
     "sim_ann_ivf_persisted": "same probe shape off the persisted index",
     "tpch_q22_idle": "Q22 scalar subquery: crossJoin(broadcast(1-row "
                      "avg(acctbal))) (tpch.py:708)",
+    "tpch_q11_value": "Q11 scalar subquery: crossJoin(broadcast(1-row "
+                      "sum over the checkpointed grouped frame))",
 }
 
 #: queries whose PLAN CONSTRUCTION already runs Spark jobs (fits,

@@ -301,3 +301,132 @@ def test_compact_parquet(spark, tmp_path):
     files = glob.glob(f"{out}/part-*.parquet")
     assert n == 1 and len(files) == 1              # KBs -> one file
     assert spark.read.parquet(out).count() == 10000
+
+
+def test_temperature_mixture_shares_and_determinism(spark):
+    """alpha=0 gives ~uniform per-source keeps, alpha=1 keeps natural
+    proportions; the kept set is partitioning-independent; alpha
+    between up-samples small sources relative to natural sampling."""
+    from dataframe_pipeline_spark.sources import temperature_mixture
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    total = docs.count()
+
+    out = temperature_mixture(docs, "source", key="doc_id",
+                              target_rows=250, alpha=0.5)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    kept_repart = {r.doc_id for r in
+                   temperature_mixture(docs.repartition(13), "source",
+                                       key="doc_id", target_rows=250,
+                                       alpha=0.5)
+                   .select("doc_id").collect()}
+    assert kept == kept_repart
+    # target is approximate (per-row md5 thinning) but must be in range
+    assert 0.3 * 250 < len(kept) < 1.7 * 250
+
+    # alpha=1 == plain uniform thinning: every source keeps ~the same
+    # FRACTION of its rows (rate = target/total for all sources)
+    nat = temperature_mixture(docs, "source", key="doc_id",
+                              target_rows=250, alpha=1.0)
+    rates = {r.source: r.cnt for r in
+             nat.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    sizes = {r.source: r.cnt for r in
+             docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    # every kept fraction within crude binomial noise of target/total
+    for s, n in sizes.items():
+        frac = rates.get(s, 0) / n
+        assert abs(frac - 250 / total) < 0.35
+
+    with pytest.raises(ValueError):
+        temperature_mixture(docs, "source", key="doc_id", target_rows=-1)
+
+
+def test_assign_shards_balanced_stable_and_ordered(spark):
+    """Shard ids are a pure function of the key (stable under
+    repartitioning), cover [0, n), are roughly balanced, and the
+    position column is a dense 1..k md5-rank within each shard."""
+    from dataframe_pipeline_spark.sources import assign_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = assign_shards(docs, key="doc_id", n_shards=8,
+                        position_col="position")
+    rows = out.select("doc_id", "shard", "position").collect()
+    by_id = {r.doc_id: (r.shard, r.position) for r in rows}
+    rows2 = assign_shards(docs.repartition(13), key="doc_id", n_shards=8,
+                          position_col="position") \
+        .select("doc_id", "shard", "position").collect()
+    assert {r.doc_id: (r.shard, r.position) for r in rows2} == by_id
+
+    import collections
+    sizes = collections.Counter(s for s, _ in by_id.values())
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) < 2.5 * min(sizes.values())
+    # dense positions 1..k per shard
+    per_shard = collections.defaultdict(list)
+    for s, p in by_id.values():
+        per_shard[s].append(p)
+    for s, ps in per_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+    with pytest.raises(ValueError):
+        assign_shards(docs, key="doc_id", n_shards=0)
+
+
+def test_zorder_key_locality_and_determinism(spark):
+    """The Morton key is a pure function of the data (stable under
+    repartitioning), stays JVM-side (no Python eval in the plan), and
+    delivers multi-dimensional locality: sorting by zkey brings rows
+    close in BOTH dimensions, so per-chunk min/max ranges of each
+    column are far narrower than the global range."""
+    from dataframe_pipeline_spark.sources import zorder_key
+
+    od = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    out = zorder_key(od, ["o_custkey", "o_totalprice"], bits=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    rows = out.select("o_orderkey", "o_custkey", "o_totalprice", "zkey") \
+        .collect()
+    keyed = {r.o_orderkey: r.zkey for r in rows}
+    rows2 = zorder_key(od.repartition(13), ["o_custkey", "o_totalprice"],
+                       bits=8).select("o_orderkey", "zkey").collect()
+    assert {r.o_orderkey: r.zkey for r in rows2} == keyed
+
+    # locality: split the zkey-sorted rows into 64 chunks; the average
+    # per-chunk span of EACH column must be well under the global span
+    srt = sorted(rows, key=lambda r: (r.zkey, r.o_orderkey))
+    n = len(srt)
+    chunk = max(1, n // 64)
+    for col in ("o_custkey", "o_totalprice"):
+        glob = (max(getattr(r, col) for r in srt)
+                - min(getattr(r, col) for r in srt))
+        spans = []
+        for i in range(0, n - chunk + 1, chunk):
+            vals = [getattr(r, col) for r in srt[i:i + chunk]]
+            spans.append(max(vals) - min(vals))
+        assert sum(spans) / len(spans) < 0.5 * glob, col
+
+    with pytest.raises(ValueError):
+        zorder_key(od, ["o_custkey"])
+    with pytest.raises(ValueError):
+        zorder_key(od, ["o_custkey", "o_totalprice"], bits=32)
+
+
+def test_write_zordered_roundtrip_skipping(spark, tmp_path):
+    """write_zordered preserves content exactly, and a range filter on
+    either clustered column is pushed to the parquet scan (where row-
+    group min/max stats can act on the clustered layout)."""
+    from dataframe_pipeline_spark.sources import write_zordered
+
+    od = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    path = str(tmp_path / "orders_z")
+    write_zordered(od, path, ["o_custkey", "o_totalprice"], bits=8)
+    back = spark.read.parquet(path)
+    assert back.count() == od.count()
+    assert (sorted(r.o_orderkey for r in back.select("o_orderkey").collect())
+            == sorted(r.o_orderkey for r in od.select("o_orderkey").collect()))
+    assert "zkey" not in back.columns and "__zkey" not in back.columns
+    for pred in (F.col("o_custkey") < 100, F.col("o_totalprice") < 5000.0):
+        plan = (back.filter(pred)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "PushedFilters: [" in plan and "LessThan" in plan

@@ -85,3 +85,45 @@ def test_q17_inner_average_is_single_aggregate(spark, qs):
     p = _plan(qs["tpch_q17_small_qty"](spark, SF))
     assert p.count("Scan parquet") <= 4
     assert "NestedLoop" not in p
+
+
+def test_q2_min_cost_no_correlated_rescan(spark, qs):
+    """Q2's correlated min subquery must be one grouped aggregate joined
+    back — no nested loop, and the semi-join pruning keeps the pair
+    aggregate below the dim joins."""
+    p = _plan(qs["tpch_q2_mincost"](spark, SF))
+    assert "NestedLoop" not in p
+    assert "LeftSemi" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q11_total_is_reaggregated_not_rescanned(spark, qs):
+    """The Q11 global total must derive from the grouped result (a
+    second tiny aggregate over the checkpoint), not a second lineitem
+    scan — AQE does NOT reuse the per-part exchange on its own."""
+    p = _plan(qs["tpch_q11_value"](spark, SF))
+    assert p.count("FileScan parquet") == 0  # both consumers read the
+    assert p.count("Scan ExistingRDD") >= 1  # checkpointed grouped rows
+
+
+def test_q12_single_pass_conditional_counts(spark, qs):
+    """Both priority-class counts must come out of ONE grouped aggregate
+    over one join — no per-class scan."""
+    p = _plan(qs["tpch_q12_priority_class"](spark, SF))
+    assert p.count("FileScan parquet") == 2  # lineitem + orders, once each
+    assert "PushedFilters: [" in p and "l_shipdate" in p
+
+
+def test_q16_not_in_is_anti_join(spark, qs):
+    p = _plan(qs["tpch_q16_variety"](spark, SF))
+    assert "LeftAnti" in p
+    assert "NestedLoop" not in p
+
+
+def test_q20_one_pass_conditional_sums(spark, qs):
+    """Q20's windowed and all-years quantity sums must share one grouped
+    aggregate over one semi-pruned fact scan."""
+    p = _plan(qs["tpch_q20_excess"](spark, SF))
+    assert p.count("FileScan parquet") <= 4
+    assert "LeftSemi" in p
+    assert "NestedLoop" not in p
