@@ -46,6 +46,8 @@ _NEVER_CHECKED_FIRST = [
     "shard_layout",
     "zorder_key_orders",
     "corpus_curation",
+    "sim_ann_pq",                   # product-quantization ANN (r6)
+    "sim_ann_pq_rerank",
 ]
 
 _MERGED = {**CORE_QUERIES, **EXT_QUERIES, **TPCH_QUERIES}

@@ -104,6 +104,8 @@ R6_EXTRAS = [
     "shard_layout",
     "zorder_key_orders",
     "corpus_curation",
+    "sim_ann_pq",
+    "sim_ann_pq_rerank",
 ]
 
 EXT_HEADLINE = [

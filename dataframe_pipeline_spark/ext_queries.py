@@ -677,6 +677,144 @@ QUALIFY row_number() OVER (PARTITION BY b.qid
 """
 
 
+def q_sim_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (r6): vectors compressed to m=8 codes,
+    query scored by asymmetric-distance lookup tables — the whole
+    distributed plan is a projection over the codes table plus a top-k
+    heap (no join, no shuffle).  Exact-integer distances end-to-end,
+    so the generated oracle replays codes + ADC sums hash-equal."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.PQIndex(k=5, m=8, k_sub=16).fit(emb).search(query_id=0)
+
+
+def q_sim_ann_pq_rerank(spark, sf_dir):
+    """Two-stage PQ retrieval (r6): ADC over the compressed codes
+    selects a k*4 candidate pool, then ONLY those rows' original
+    vectors are re-scored with exact cosine (candidate side broadcast).
+    The deployment shape that recovers near-brute-force recall while
+    the full-corpus pass stays on 8-byte codes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = sim.PQIndex(k=5, m=8, k_sub=16).fit(emb)
+    return idx.search(query_id=0, rerank=4)
+
+
+def _pq_replay(sf_dir: str):
+    """Replay PQIndex.fit's deterministic trainer for the oracle
+    generators: same content-addressed md5-mod sample rule, same
+    id-ordered float64 sample, same per-subspace numpy Lloyd's.
+    Returns (codebooks, q_int of vec_id=0) or None if the table is
+    absent."""
+    import hashlib
+    import os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) "
+        f"FROM '{path}' ORDER BY vec_id").fetchall()
+    q_int = con.sql(
+        f"SELECT list_transform(embedding, x -> "
+        f"CAST(round(x::DOUBLE * 1000) AS BIGINT)) FROM '{path}' "
+        f"WHERE vec_id = 0").fetchone()[0]
+    con.close()
+    max_train = 65536
+    if len(rows) > max_train:
+        mod = -(-len(rows) // max_train)
+        rows = [r for r in rows if int(hashlib.md5(
+            str(int(r[0])).encode()).hexdigest()[:8], 16) % mod == 0]
+    cbs = sim.train_pq_codebooks([list(r[1]) for r in rows],
+                                 m=8, k_sub=16)
+    return cbs, [int(x) for x in q_int]
+
+
+def _pq_sql_parts(cbs, q_int):
+    """Shared SQL fragments: per-subspace distance columns d{s} and the
+    ADC sum over Python-computed lookup-table literals."""
+    sd = len(cbs[0][0])
+    d_cols = []
+    for s, cb in enumerate(cbs):
+        lits = ", ".join(
+            "[" + ", ".join(str(c) for c in cw) + "]" for cw in cb)
+        d_cols.append(
+            f"list_transform([{lits}], c -> "
+            f"list_sum(list_transform(generate_series(1, {sd}), "
+            f"i -> (q[{s * sd}+i]-c[i])*(q[{s * sd}+i]-c[i])))) AS d{s}")
+    tables = sim.pq_adc_tables(q_int, cbs)
+    adc_terms = []
+    for s, tbl in enumerate(tables):
+        tlits = ", ".join(str(t) for t in tbl)
+        adc_terms.append(f"([{tlits}])[list_position(d{s}, list_min(d{s}))]")
+    return ",\n         ".join(d_cols), " + ".join(adc_terms)
+
+
+def _sql_sim_ann_pq(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """Generated like ``_sql_sim_ann_ivf``: the fitted codebooks and the
+    query's ADC tables become SQL literals; code assignment (argmin,
+    first-occurrence ties) and the ADC integer sum replay exactly."""
+    rep = _pq_replay(sf_dir)
+    if rep is None:
+        return None
+    cbs, q_int = rep
+    d_cols, adc = _pq_sql_parts(cbs, q_int)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+d AS (
+  SELECT vec_id,
+         {d_cols}
+  FROM q)
+SELECT vec_id, CAST({adc} AS BIGINT) AS adc_dist
+FROM d
+WHERE vec_id <> 0
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT 5
+"""
+
+
+def _sql_sim_ann_pq_rerank(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """Two-stage oracle: the ADC candidate pool (k*4 by exact integer
+    distance, ties to the lower id) feeds an exact-cosine re-score
+    against the Python-quantized query literal — the identical double
+    arithmetic (dot / (nrm * qnrm_literal)) the Spark plan runs."""
+    rep = _pq_replay(sf_dir)
+    if rep is None:
+        return None
+    cbs, q_int = rep
+    d_cols, adc = _pq_sql_parts(cbs, q_int)
+    qlits = ", ".join(str(x) for x in q_int)
+    qnrm = float(sum(x * x for x in q_int)) ** 0.5
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+d AS (
+  SELECT vec_id, q,
+         {d_cols}
+  FROM q),
+cand AS (
+  SELECT vec_id, q, CAST({adc} AS BIGINT) AS adc_dist
+  FROM d
+  WHERE vec_id <> 0
+  ORDER BY adc_dist ASC, vec_id ASC
+  LIMIT 20)
+SELECT vec_id,
+       ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> q[i] * ([{qlits}])[i])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE))
+                * {qnrm!r}), 6) AS cosine
+FROM cand
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 5
+"""
+
+
 def q_sim_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return sim.HyperplaneLSHIndex(k=5, n_planes=4).search(emb, query_id=0)
@@ -3681,6 +3819,8 @@ EXT_QUERIES = {
     "sim_ann_ivf": (q_sim_ann_ivf, _sql_sim_ann_ivf),
     "sim_ann_ivf_persisted": (q_sim_ann_ivf_persisted, _sql_sim_ann_ivf),
     "sim_ann_ivf_batch": (q_sim_ann_ivf_batch, _sql_sim_ann_ivf_batch),
+    "sim_ann_pq": (q_sim_ann_pq, _sql_sim_ann_pq),
+    "sim_ann_pq_rerank": (q_sim_ann_pq_rerank, _sql_sim_ann_pq_rerank),
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
     "embed_project": (q_embed_project, _sql_embed_project()),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),

@@ -562,3 +562,252 @@ def ann_recall_report(df: DataFrame, query_ids: list, k: int = 5,
                               vec_col=vec_col)
         out.append((qid, recall_at_k(ap.limit(k), ex.limit(k), id_col)))
     return out
+
+
+# ==========================================================================
+# Product quantization (PQ)
+# ==========================================================================
+
+def train_pq_codebooks(vectors, m: int, k_sub: int, iters: int = 10,
+                       scale: int = 1000) -> list[list[list[int]]]:
+    """Per-subspace deterministic k-means: slice every sample vector
+    into ``m`` contiguous sub-vectors and run :func:`train_centroids`
+    independently on each slice.  Returns ``m`` codebooks of ``k_sub``
+    integer-quantized codewords each.  Same determinism contract as the
+    IVF trainer — id-ordered float64 sample, single-threaded numpy,
+    first-occurrence argmin ties — so a SQL oracle generated from this
+    trainer replays the fitted codebooks bit-for-bit."""
+    dim = len(vectors[0])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sd = dim // m
+    return [
+        train_centroids([v[s * sd:(s + 1) * sd] for v in vectors],
+                        k_sub, iters=iters, scale=scale)
+        for s in range(m)
+    ]
+
+
+def pq_encode_py(q_int: list[int], codebooks) -> list[int]:
+    """Pure-Python PQ encode of one quantized vector — the driver/oracle
+    twin of the distributed codegen encoder (exact integer distances,
+    ties to the lowest code)."""
+    sd = len(codebooks[0][0])
+    codes = []
+    for s, cb in enumerate(codebooks):
+        sub = q_int[s * sd:(s + 1) * sd]
+        d = [(sum((int(x) - int(c)) ** 2 for x, c in zip(sub, cw)), j)
+             for j, cw in enumerate(cb)]
+        codes.append(min(d)[1])
+    return codes
+
+
+def pq_adc_tables(q_int: list[int], codebooks) -> list[list[int]]:
+    """Asymmetric-distance lookup tables for one query: per subspace,
+    the exact integer squared distance from the query's sub-vector to
+    every codeword.  m x k_sub ints — tiny, computed driver-side."""
+    sd = len(codebooks[0][0])
+    return [
+        [sum((int(x) - int(c)) ** 2 for x, c in zip(q_int[s * sd:(s + 1) * sd], cw))
+         for cw in cb]
+        for s, cb in enumerate(codebooks)
+    ]
+
+
+class PQIndex:
+    """Product-quantization ANN: each vector is compressed to ``m``
+    codebook ids (one byte-scale code per contiguous sub-vector) and
+    queries score candidates with asymmetric distance computation (ADC)
+    — a per-query lookup table replaces every float arithmetic op.
+
+    THE memory/IO story for vector search at corpus scale (Jegou et
+    al., "Product Quantization for Nearest Neighbor Search", TPAMI
+    2011 — the scheme under FAISS's IVFPQ): a 64-dim float32 embedding
+    is 256 bytes; its PQ code at m=8 is 8 SMALL ints.  At 100 TB of
+    raw embeddings the codes table is ~3 TB — the difference between
+    an index that fits in cluster page cache and one that doesn't.
+
+    Spark mapping, all scan-shaped:
+      * fit    = driver-side codebook training on a bounded
+                 content-addressed sample (fitted params, like IVF
+                 centroids) + ONE map-only codegen pass encoding every
+                 vector (argmin over codeword literals inside a single
+                 bound HOF expression — no UDF, no shuffle);
+      * search = the m x k_sub ADC tables are computed driver-side from
+                 the query and inlined as literals, so scoring is a
+                 map-only projection over the codes table followed by
+                 ``orderBy().limit(k)`` (TakeOrderedAndProject's
+                 per-partition k-heaps).  No join of any kind.
+
+    Distances are exact integer sums end-to-end (quantized vectors,
+    quantized codewords), so the approximation itself is replayable by
+    a generated DuckDB oracle — same codes, same ADC sums, hash-equal.
+
+    Reference parity note: the reference has no ANN surface; this is
+    driver-requested scale infrastructure
+    (cf. /root/reference/dfpipeline/DataframePipeline.py:109-141 for
+    the fit/export contract the write()/read() pair mirrors).
+    """
+
+    def __init__(self, k: int = 10, m: int = 8, k_sub: int = 16,
+                 scale: int = 1000, max_train: int = 65536):
+        self.k = k
+        self.m = m
+        self.k_sub = k_sub
+        self.scale = scale
+        self.max_train = max_train
+        self.codebooks = None        # list[m][k_sub][sub_dim] int
+        self._codes = None           # DataFrame(id, __codes array<int>)
+        self._id_col = None
+        self._src = None             # source frame, for search-by-id
+
+    # -- fit ---------------------------------------------------------
+
+    def _encode_expr(self, vec_col: str) -> str:
+        """One bound HOF expression computing the full code array:
+        zip the m codebook literal arrays with their subspace index,
+        slice the quantized vector, argmin exact integer distances.
+        Single expression => single evaluation of the quantization,
+        whole-stage-codegen friendly (see RandomProjector's CSE note).
+        """
+        sd = len(self.codebooks[0][0])
+        cbs = ", ".join(
+            "array(" + ", ".join(
+                "array(" + ", ".join(f"{c}L" for c in cw) + ")"
+                for cw in cb) + ")"
+            for cb in self.codebooks)
+        q = (f"transform({vec_col}, x -> "
+             f"cast(round(cast(x as double) * {self.scale}) as bigint))")
+        return (
+            f"zip_with(array({cbs}), sequence(0, {self.m - 1}), (cb, s) -> "
+            f"transform(array(transform(cb, c -> "
+            f"aggregate(zip_with(slice({q}, s * {sd} + 1, {sd}), c, "
+            f"(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v))), "
+            f"dd -> cast(array_position(dd, array_min(dd)) - 1 as int))[0])"
+        )
+
+    def fit(self, df: DataFrame, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> "PQIndex":
+        arr = df.select(
+            F.col(id_col),
+            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__arr"),
+        )
+        # bounded deterministic sample — identical rule to IVFIndex.fit
+        # (content-addressed md5-mod, cardinality from parquet footers)
+        n = cheap_row_count(arr)
+        sample = arr
+        if n > self.max_train:
+            mod = -(-n // self.max_train)
+            sample = arr.filter(F.expr(
+                f"conv(substring(md5(cast({id_col} as string)), 1, 8), 16, 10)"
+                f" % {mod} = 0"))
+        rows = sample.orderBy(id_col).collect()
+        self.codebooks = train_pq_codebooks(
+            [list(r["__arr"]) for r in rows], self.m, self.k_sub,
+            scale=self.scale)
+        self._id_col = id_col
+        self._src = df.select(F.col(id_col), F.col(vec_col))
+        self._codes = (
+            df.select(F.col(id_col),
+                      F.expr(self._encode_expr(vec_col)).alias("__codes"))
+            .persist()
+        )
+        self._codes.count()
+        return self
+
+    # -- search ------------------------------------------------------
+
+    def _adc_expr(self, tables: list[list[int]]) -> str:
+        tbls = ", ".join(
+            "array(" + ", ".join(f"{t}L" for t in tbl) + ")"
+            for tbl in tables)
+        return (f"aggregate(zip_with(__codes, array({tbls}), "
+                f"(c, t) -> element_at(t, c + 1)), 0L, "
+                f"(acc, v) -> acc + v)")
+
+    def search_vec(self, vec, id_col: str | None = None,
+                   exclude_id=None, rerank: int = 0) -> DataFrame:
+        """Approximate top-k for an external query vector.
+
+        ADC tables are m x k_sub ints computed driver-side and inlined
+        as literals — the distributed plan is a PROJECTION over the
+        codes table plus a top-k heap: no join, no shuffle beyond the
+        k-row merge.  Returns (id, adc_dist) with exact-integer
+        distances (ascending = nearest).
+
+        ``rerank=f > 0`` runs the standard two-stage deployment shape:
+        the compressed scan selects a candidate pool of ``k * f`` ids
+        by ADC, then ONLY those rows' original vectors are re-scored
+        with exact integer cosine (the pool is tiny, so its side of
+        the join broadcasts; the big-table side is an equi-join probe,
+        never a second full scoring pass).  Returns
+        (id, cosine) like the exact searchers — recall approaches
+        brute force as f grows while the full-corpus work stays on the
+        8-byte codes."""
+        assert self._codes is not None, "call fit or read first"
+        id_col = id_col or self._id_col
+        q_int = quantize_centroid(vec, self.scale)
+        tables = pq_adc_tables(q_int, self.codebooks)
+        out = self._codes
+        if exclude_id is not None:
+            out = out.filter(F.col(id_col) != exclude_id)
+        adc = (
+            out.withColumn("adc_dist", F.expr(self._adc_expr(tables)))
+            .select(id_col, "adc_dist")
+            .orderBy(F.asc("adc_dist"), F.asc(id_col))
+            .limit(self.k * rerank if rerank > 0 else self.k)
+        )
+        if rerank <= 0:
+            return adc
+        assert self._src is not None, "rerank needs the source vectors"
+        vec_col = self._src.columns[1]
+        qlits = ", ".join(f"{x}L" for x in q_int)
+        qnrm = float(sum(x * x for x in q_int)) ** 0.5
+        dot = (f"aggregate(zip_with("
+               f"transform({vec_col}, x -> "
+               f"cast(round(cast(x as double) * {self.scale}) as bigint)), "
+               f"array({qlits}), (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+        nrm = (f"sqrt(aggregate(transform({vec_col}, x -> "
+               f"cast(round(cast(x as double) * {self.scale}) as bigint)), "
+               f"0L, (acc, x) -> acc + x * x))")
+        return (
+            self._src.join(F.broadcast(adc.select(id_col)), id_col)
+            .withColumn("cosine",
+                        F.round(F.expr(dot) / (F.expr(nrm) * F.lit(qnrm)), 6))
+            .select(id_col, "cosine")
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(self.k)
+        )
+
+    def search(self, query_id, id_col: str | None = None,
+               rerank: int = 0) -> DataFrame:
+        """Top-k for an in-table vector: one 1-row driver lookup of the
+        ORIGINAL vector (the codes table alone cannot reconstruct the
+        query exactly), then the same literal-table ADC scan."""
+        assert self._src is not None, "call fit first"
+        id_col = id_col or self._id_col
+        vec_col = self._src.columns[1]
+        row = self._src.filter(F.col(id_col) == query_id).head()
+        return self.search_vec(list(row[vec_col]), id_col=id_col,
+                               exclude_id=query_id, rerank=rerank)
+
+    # -- persistence -------------------------------------------------
+
+    def write(self, path: str) -> None:
+        """Persist codebooks + the codes table (the compressed index —
+        the ~3 TB artifact standing in for 100 TB of raw vectors)."""
+        from .persistence import save_operator
+
+        assert self._codes is not None, "call fit first"
+        src, self._src = self._src, None   # raw vectors are NOT the index
+        try:
+            save_operator(self, path)
+        finally:
+            self._src = src
+
+    @classmethod
+    def read(cls, spark, path: str) -> "PQIndex":
+        from .persistence import load_operator
+
+        idx = load_operator(spark, path)
+        assert isinstance(idx, cls)
+        return idx

@@ -208,3 +208,110 @@ def test_ivf_search_batch_plan(spark, tmp_path):
     assert "EvalPython" not in plan
     # the probed cells join keyed on the partition column of the layout
     assert "__list" in plan
+
+
+# ==========================================================================
+# Product quantization (r6)
+# ==========================================================================
+
+@pytest.fixture(scope="module")
+def pq_fitted(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    return emb, sim.PQIndex(k=5, m=8, k_sub=16).fit(emb)
+
+
+def test_pq_encode_matches_python_replay(pq_fitted):
+    """The distributed codegen encoder and the pure-Python twin assign
+    identical codes (exact integer distances, first-occurrence ties)."""
+    emb, idx = pq_fitted
+    rows = emb.filter(F.col("vec_id") < 20).collect()
+    got = {r["vec_id"]: list(r["__codes"]) for r in
+           idx._codes.filter(F.col("vec_id") < 20).collect()}
+    for r in rows:
+        q_int = sim.quantize_centroid(list(r["embedding"]))
+        assert got[r["vec_id"]] == sim.pq_encode_py(q_int, idx.codebooks)
+
+
+def test_pq_codes_are_partition_invariant(spark, pq_fitted):
+    emb, idx = pq_fitted
+    shuffled = emb.repartition(7)
+    idx2 = sim.PQIndex(k=5, m=8, k_sub=16).fit(shuffled)
+    assert idx2.codebooks == idx.codebooks
+    a = {r["vec_id"]: list(r["__codes"]) for r in idx._codes.collect()}
+    b = {r["vec_id"]: list(r["__codes"]) for r in idx2._codes.collect()}
+    assert a == b
+
+
+def test_pq_adc_matches_python_tables(pq_fitted):
+    """ADC distances from the plan equal table-lookup sums computed
+    from the Python-side tables over the Python-side codes."""
+    emb, idx = pq_fitted
+    qrow = emb.filter(F.col("vec_id") == 0).head()
+    q_int = sim.quantize_centroid(list(qrow["embedding"]))
+    tables = sim.pq_adc_tables(q_int, idx.codebooks)
+    out = {r["vec_id"]: r["adc_dist"]
+           for r in idx.search_vec(list(qrow["embedding"]),
+                                   exclude_id=0).collect()}
+    codes = {r["vec_id"]: list(r["__codes"]) for r in
+             idx._codes.filter(F.col("vec_id").isin(*out)).collect()}
+    for vid, dist in out.items():
+        assert dist == sum(t[c] for t, c in zip(tables, codes[vid]))
+
+
+def test_pq_rerank_recall_beats_adc(pq_fitted):
+    """Two-stage retrieval recovers recall: rerank>=ADC-only, and the
+    reranked result reaches near-brute-force on this corpus."""
+    emb, idx = pq_fitted
+    ex = sim.CosineTopK(k=5).search(emb, 0)
+    adc_only = idx.search(query_id=0)
+    reranked = idx.search(query_id=0, rerank=8)
+    r_adc = sim.recall_at_k(adc_only, ex)
+    r_rr = sim.recall_at_k(reranked, ex)
+    assert r_rr >= r_adc
+    assert r_rr >= 0.6
+    # reranked output is exact cosine, descending
+    rows = reranked.collect()
+    assert [r.cosine for r in rows] == sorted(
+        (r.cosine for r in rows), reverse=True)
+
+
+def test_pq_adc_plan_is_scan_only(pq_fitted):
+    """The compressed-scan path must be a projection + top-k heap:
+    no join, no exchange beyond the k-row ordered merge."""
+    emb, idx = pq_fitted
+    qrow = emb.filter(F.col("vec_id") == 0).head()
+    plan = idx.search_vec(list(qrow["embedding"]),
+                          exclude_id=0)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_rerank_plan_broadcasts_candidates(pq_fitted):
+    """Stage 2 joins the tiny candidate pool broadcast-side against the
+    source vectors — a BroadcastHashJoin, never a nested loop."""
+    emb, idx = pq_fitted
+    plan = idx.search(query_id=0, rerank=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_persistence_roundtrip(spark, pq_fitted, tmp_path):
+    """write/read restores codebooks + codes; a reloaded probe returns
+    bit-identical ADC results.  The raw vectors are NOT persisted —
+    the codes table IS the index."""
+    emb, idx = pq_fitted
+    qrow = emb.filter(F.col("vec_id") == 0).head()
+    vec = list(qrow["embedding"])
+    path = str(tmp_path / "pq_idx")
+    idx.write(path)
+    idx2 = sim.PQIndex.read(spark, path)
+    assert idx2.codebooks == idx.codebooks
+    assert idx2._src is None
+    a = [(r["vec_id"], r["adc_dist"])
+         for r in idx.search_vec(vec, exclude_id=0).collect()]
+    b = [(r["vec_id"], r["adc_dist"])
+         for r in idx2.search_vec(vec, exclude_id=0, id_col="vec_id").collect()]
+    assert a == b
