@@ -48,6 +48,7 @@ _NEVER_CHECKED_FIRST = [
     "corpus_curation",
     "sim_ann_pq",                   # product-quantization ANN (r6)
     "sim_ann_pq_rerank",
+    "dedup_semantic",               # SemDeDup cluster-bucketed dedup (r6)
 ]
 
 _MERGED = {**CORE_QUERIES, **EXT_QUERIES, **TPCH_QUERIES}

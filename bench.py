@@ -106,6 +106,7 @@ R6_EXTRAS = [
     "corpus_curation",
     "sim_ann_pq",
     "sim_ann_pq_rerank",
+    "dedup_semantic",
 ]
 
 EXT_HEADLINE = [

@@ -649,6 +649,134 @@ class QuantizedCosineDeduplicator:
         )
 
 
+class SemanticDeduplicator:
+    """Cluster-bucketed embedding dedup — the SemDeDup recipe (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): k-means the embeddings, compare cosine
+    ONLY within a cluster, and inside each near-duplicate neighborhood
+    keep the item FARTHEST from its cluster centroid (the paper's
+    keep-the-outlier rule — it preserves example diversity where the
+    naive keep-any rule collapses a cluster onto its mode).
+
+    Drop semantics (deterministic, engine-replayable): an item ``b`` is
+    dropped iff some same-cluster item ``a`` exists with
+    ``cos(a, b) >= threshold`` and ``(a.centroid_sim, a.id) <
+    (b.centroid_sim, b.id)`` — i.e. anything beaten by a more-outlying
+    (or tie-broken lower-id) semantic duplicate goes.  Pair-local and
+    transitive-free, so it needs no connected-components pass.
+
+    Scale shape: the quantizer is a driver-fitted parameter (same
+    deterministic sample + numpy Lloyd's as :class:`~.similarity.IVFIndex`);
+    assignment and centroid similarity are ONE map-only codegen pass
+    over centroid literals; the only shuffle is the cluster-keyed
+    self-join, whose work is Σ n_c² — choose ``n_clusters ∝ n`` (the
+    paper runs 50k clusters for LAION-scale corpora) to keep expected
+    cluster size, and therefore per-cluster work, constant as the
+    corpus grows.  All similarities are exact integer dots on quantized
+    vectors rounded to 6 dp, so the generated SQL oracle replays the
+    decisions bit-for-bit.
+    """
+
+    def __init__(self, threshold: float = 0.7, n_clusters: int = 8,
+                 scale: int = 1000, max_train: int = 65536):
+        self.threshold = threshold
+        self.n_clusters = n_clusters
+        self.scale = scale
+        self.max_train = max_train
+        self.centroids_int = None
+        self._cnrms = None           # python-float centroid norms (literals)
+
+    def fit(self, df: DataFrame, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> "SemanticDeduplicator":
+        """Train the cluster centroids on a bounded content-addressed
+        sample (identical rule to IVFIndex.fit)."""
+        from .similarity import train_centroids
+
+        arr = df.select(
+            F.col(id_col),
+            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__arr"))
+        n = cheap_row_count(arr)
+        sample = arr
+        if n > self.max_train:
+            mod = -(-n // self.max_train)
+            sample = arr.filter(F.expr(
+                f"conv(substring(md5(cast({id_col} as string)), 1, 8), 16, 10)"
+                f" % {mod} = 0"))
+        rows = sample.orderBy(id_col).collect()
+        self.centroids_int = train_centroids(
+            [list(r["__arr"]) for r in rows], self.n_clusters,
+            scale=self.scale)
+        self._cnrms = [float(sum(c * c for c in cj)) ** 0.5
+                       for cj in self.centroids_int]
+        return self
+
+    def assign(self, df: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+        """(id, __q, __nrm, __cluster, __csim) — one map-only codegen
+        pass: nearest-centroid assignment by exact integer distance
+        (ties to the lower cluster id) plus cosine-to-own-centroid."""
+        assert self.centroids_int is not None, "call fit first"
+        cent_lits = ", ".join(
+            "array(" + ", ".join(f"{c}L" for c in cj) + ")"
+            for cj in self.centroids_int)
+        cnrm_lits = ", ".join(repr(v) + "D" for v in self._cnrms)
+        qexpr = (f"transform({vec_col}, x -> "
+                 f"cast(round(cast(x as double) * {self.scale}) as bigint))")
+        dists = (f"transform(array({cent_lits}), c -> "
+                 f"aggregate(zip_with(__q, c, (x, y) -> (x-y)*(x-y)), 0L, "
+                 f"(acc, v) -> acc + v))")
+        cdot = (f"aggregate(zip_with(__q, "
+                f"element_at(array({cent_lits}), __cluster + 1), "
+                f"(x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+        return (
+            df.select(F.col(id_col), F.expr(qexpr).alias("__q"))
+            .withColumn("__nrm", F.expr(
+                "sqrt(aggregate(__q, 0L, (acc, x) -> acc + x*x))"))
+            .withColumn("__dists", F.expr(dists))
+            .withColumn("__cluster", (F.expr(
+                "array_position(__dists, array_min(__dists))") - 1).cast("int"))
+            .drop("__dists")
+            .withColumn("__csim", F.round(
+                F.expr(cdot) /
+                (F.col("__nrm") *
+                 F.expr(f"element_at(array({cnrm_lits}), __cluster + 1)")), 6))
+        )
+
+    def flag_duplicates(self, df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+        """(id, cluster, centroid_sim) of every DROPPED item — rows for
+        which a dominating same-cluster semantic duplicate exists."""
+        assigned = self.assign(spread(df), id_col, vec_col) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        assigned.count()
+        a, b = assigned.alias("a"), assigned.alias("b")
+        dominates = (
+            (F.col("a.__csim") < F.col("b.__csim")) |
+            ((F.col("a.__csim") == F.col("b.__csim")) &
+             (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        )
+        dot = ("aggregate(zip_with(a.__q, b.__q, (x, y) -> x*y), 0L, "
+               "(acc, v) -> acc + v)")
+        cos = F.round(F.expr(dot) / (F.col("a.__nrm") * F.col("b.__nrm")), 6)
+        return (
+            a.join(b, (F.col("a.__cluster") == F.col("b.__cluster")) & dominates)
+            .filter(cos >= self.threshold)
+            .select(F.col(f"b.{id_col}").alias(id_col),
+                    F.col("b.__cluster").alias("cluster"),
+                    F.col("b.__csim").alias("centroid_sim"))
+            .distinct()
+        )
+
+    def dedup(self, df: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+        """The corpus minus dropped items (left-anti on the flagged
+        set; the flagged side is the small one and broadcasts under
+        AQE when it fits)."""
+        flagged = self.flag_duplicates(df, id_col, vec_col) \
+            .select(id_col)
+        return df.join(flagged, id_col, "left_anti")
+
+
 class RecordLinker:
     """Entity resolution over STRUCTURED records — the record-linkage
     counterpart of this module's document deduplicators: find pairs of

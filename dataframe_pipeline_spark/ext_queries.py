@@ -388,6 +388,81 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {maxh}
 """
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style cluster-bucketed embedding dedup (r6): k-means
+    the corpus (deterministic driver-fitted centroids), compare cosine
+    only within a cluster, drop anything dominated by a more-outlying
+    (lower centroid-similarity) semantic duplicate — the paper's
+    keep-the-outlier rule.  One map-only assignment pass + ONE
+    cluster-keyed self-join; n_clusters ∝ n keeps per-cluster work
+    constant at corpus scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = dd.SemanticDeduplicator(threshold=0.35, n_clusters=8).fit(emb)
+    return d.flag_duplicates(emb)
+
+
+def _sql_dedup_semantic(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """Generated oracle: replay the deterministic trainer (same sample
+    rule + numpy Lloyd's as the IVF oracle), inline fitted centroids +
+    python-float centroid norms as literals, then replicate assignment
+    (first-occurrence argmin), centroid similarity, and the dominance
+    rule in SQL — exact integer dots, 6-dp rounding, hash-equal."""
+    import hashlib
+    import os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    from dataframe_pipeline_spark.similarity import train_centroids
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) "
+        f"FROM '{path}' ORDER BY vec_id").fetchall()
+    con.close()
+    max_train = 65536
+    if len(rows) > max_train:
+        mod = -(-len(rows) // max_train)
+        rows = [r for r in rows if int(hashlib.md5(
+            str(int(r[0])).encode()).hexdigest()[:8], 16) % mod == 0]
+    cents = train_centroids([list(r[1]) for r in rows], 8)
+    cnrms = [float(sum(c * c for c in cj)) ** 0.5 for cj in cents]
+    cent_lits = ", ".join(
+        "[" + ", ".join(str(c) for c in cj) + "]" for cj in cents)
+    cnrm_lits = ", ".join(repr(v) for v in cnrms)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (
+  SELECT vec_id, q,
+         sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS nrm,
+         list_transform([{cent_lits}], c ->
+             list_sum(list_transform(generate_series(1, 64),
+                 i -> (q[i]-c[i])*(q[i]-c[i])))) AS d
+  FROM q),
+asg AS (
+  SELECT vec_id, q, nrm,
+         CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS cl
+  FROM n),
+s AS (
+  SELECT vec_id, q, nrm, cl,
+         ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
+                   i -> q[i] * ([{cent_lits}])[cl+1][i])) AS DOUBLE)
+               / (nrm * ([{cnrm_lits}])[cl+1]), 6) AS csim
+  FROM asg)
+SELECT DISTINCT b.vec_id, b.cl AS cluster, b.csim AS centroid_sim
+FROM s a JOIN s b
+  ON a.cl = b.cl
+ AND (a.csim < b.csim OR (a.csim = b.csim AND a.vec_id < b.vec_id))
+WHERE ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
+          i -> a.q[i] * b.q[i])) AS DOUBLE) / (a.nrm * b.nrm), 6) >= 0.35
+"""
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Fixed-plane PARITY variant (n_planes=4 pinned so the static
     oracle replays the buckets).  Small plane counts mean n²/16
@@ -3807,6 +3882,7 @@ EXT_QUERIES = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
     "dedup_simhash_capped": (q_dedup_simhash_capped, _sql_simhash_capped()),
+    "dedup_semantic": (q_dedup_semantic, _sql_dedup_semantic),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, _sql_embedding_cosine()),
     "dedup_embedding_auto": (q_dedup_embedding_auto, _sql_embedding_cosine_auto),
     "sim_topk_cosine": (q_sim_topk_cosine, SQL_SIM_TOPK),

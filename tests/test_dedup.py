@@ -326,3 +326,74 @@ def test_incremental_minhash_index_roundtrip(spark, docs, tmp_path):
                 for r in idx.candidates(
                     batch, IncrementalMinHashIndex.read(spark, p)).collect()}
     assert reloaded == live
+
+
+# ==========================================================================
+# SemanticDeduplicator (SemDeDup recipe, r6)
+# ==========================================================================
+
+def test_semantic_dedup_drops_dominated_duplicates(spark):
+    """Two tight semantic groups + singletons: within every cluster the
+    most-outlying member (lowest centroid_sim, ties to lower id) of a
+    duplicate neighborhood survives; its dominated near-copies drop."""
+    from dataframe_pipeline_spark.dedup import SemanticDeduplicator
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),     # near-copy of 0
+        (2, [0.98, 0.02, 0.01, 0.0]),    # near-copy of 0/1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.01, 0.99, 0.0, 0.0]),     # near-copy of 3
+        (5, [0.0, 0.0, 1.0, 0.0]),       # singleton direction
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    d = SemanticDeduplicator(threshold=0.95, n_clusters=2).fit(emb)
+    assigned = {r["vec_id"]: (r["__cluster"], r["centroid_sim"]
+                              if "centroid_sim" in r else r["__csim"])
+                for r in d.assign(emb).collect()}
+    flagged = d.flag_duplicates(emb).collect()
+    dropped = {r["vec_id"] for r in flagged}
+    kept = {r["vec_id"] for r in d.dedup(emb).collect()}
+    assert dropped and dropped | kept == {0, 1, 2, 3, 4, 5}
+    assert dropped & kept == set()
+    # per cluster, the minimum (csim, id) member is never dropped
+    by_cluster = {}
+    for vid, (cl, csim) in assigned.items():
+        by_cluster.setdefault(cl, []).append((csim, vid))
+    for members in by_cluster.values():
+        best = min(members)[1]
+        assert best not in dropped
+    # every dropped row reports its cluster + centroid_sim
+    for r in flagged:
+        assert r["cluster"] == assigned[r["vec_id"]][0]
+
+
+def test_semantic_dedup_partition_invariant(spark):
+    from dataframe_pipeline_spark.dedup import SemanticDeduplicator
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d1 = SemanticDeduplicator(threshold=0.35, n_clusters=8).fit(emb)
+    d2 = SemanticDeduplicator(threshold=0.35, n_clusters=8) \
+        .fit(emb.repartition(7))
+    assert d1.centroids_int == d2.centroids_int
+    a = {r["vec_id"] for r in d1.flag_duplicates(emb).collect()}
+    b = {r["vec_id"] for r in d2.flag_duplicates(emb.repartition(5)).collect()}
+    assert a == b
+
+
+def test_semantic_dedup_plan_is_cluster_keyed(spark):
+    """The only join is the cluster-keyed self-join: equi-join on
+    __cluster (never a nested loop / cartesian), assignment itself is
+    a map-only projection."""
+    from dataframe_pipeline_spark.dedup import SemanticDeduplicator
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = SemanticDeduplicator(threshold=0.35, n_clusters=8).fit(emb)
+    assign_plan = d.assign(emb)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in assign_plan and "Join" not in assign_plan
+    plan = d.flag_duplicates(emb)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
