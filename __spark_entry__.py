@@ -49,6 +49,7 @@ _NEVER_CHECKED_FIRST = [
     "sim_ann_pq",                   # product-quantization ANN (r6)
     "sim_ann_pq_rerank",
     "dedup_semantic",               # SemDeDup cluster-bucketed dedup (r6)
+    "cluster_embeddings",           # k-means clustering profile (r6)
 ]
 
 _MERGED = {**CORE_QUERIES, **EXT_QUERIES, **TPCH_QUERIES}

@@ -107,6 +107,7 @@ R6_EXTRAS = [
     "sim_ann_pq",
     "sim_ann_pq_rerank",
     "dedup_semantic",
+    "cluster_embeddings",
 ]
 
 EXT_HEADLINE = [

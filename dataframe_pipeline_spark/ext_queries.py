@@ -463,6 +463,86 @@ WHERE ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
 """
 
 
+def q_cluster_embeddings(spark, sf_dir):
+    """K-means corpus clustering profile (r6): the deterministic
+    trainer behind IVF/SemDeDup exposed as a first-class op — assign
+    every embedding to its nearest fitted centroid (map-only codegen
+    over centroid literals) and profile each cluster in ONE hash
+    aggregate: size, mean cosine-to-centroid (cohesion), min/max id.
+    The corpus-organization primitive under curriculum buckets, domain
+    discovery, and stratified subsampling of training data."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = dd.SemanticDeduplicator(n_clusters=8).fit(emb)
+    # cohesion: sum the 6-dp csims in exact DECIMAL (reduction-order
+    # independent), divide once in double — engine-portable
+    return (d.assign(emb)
+            .groupBy(F.col("__cluster").alias("cluster"))
+            .agg(F.count("*").alias("n_members"),
+                 F.round(
+                     F.sum(F.col("__csim").cast("decimal(16,6)"))
+                     .cast("double") / F.count("*"), 6)
+                 .alias("avg_centroid_sim"),
+                 F.min("vec_id").alias("min_id"),
+                 F.max("vec_id").alias("max_id")))
+
+
+def _sql_cluster_embeddings(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """Generated oracle sharing `_sql_dedup_semantic`'s replayed
+    trainer: same centroid/assignment/csim SQL, one GROUP BY."""
+    import hashlib
+    import os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    from dataframe_pipeline_spark.similarity import train_centroids
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) "
+        f"FROM '{path}' ORDER BY vec_id").fetchall()
+    con.close()
+    max_train = 65536
+    if len(rows) > max_train:
+        mod = -(-len(rows) // max_train)
+        rows = [r for r in rows if int(hashlib.md5(
+            str(int(r[0])).encode()).hexdigest()[:8], 16) % mod == 0]
+    cents = train_centroids([list(r[1]) for r in rows], 8)
+    cnrms = [float(sum(c * c for c in cj)) ** 0.5 for cj in cents]
+    cent_lits = ", ".join(
+        "[" + ", ".join(str(c) for c in cj) + "]" for cj in cents)
+    cnrm_lits = ", ".join(repr(v) for v in cnrms)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (
+  SELECT vec_id, q,
+         sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS nrm,
+         list_transform([{cent_lits}], c ->
+             list_sum(list_transform(generate_series(1, 64),
+                 i -> (q[i]-c[i])*(q[i]-c[i])))) AS d
+  FROM q),
+s AS (
+  SELECT vec_id, nrm, q,
+         CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS cl
+  FROM n)
+SELECT cl AS cluster,
+       COUNT(*) AS n_members,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
+                 i -> q[i] * ([{cent_lits}])[cl+1][i])) AS DOUBLE)
+             / (nrm * ([{cnrm_lits}])[cl+1]), 6) AS DECIMAL(16,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_centroid_sim,
+       MIN(vec_id) AS min_id,
+       MAX(vec_id) AS max_id
+FROM s
+GROUP BY cl
+"""
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Fixed-plane PARITY variant (n_planes=4 pinned so the static
     oracle replays the buckets).  Small plane counts mean n²/16
@@ -3883,6 +3963,7 @@ EXT_QUERIES = {
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
     "dedup_simhash_capped": (q_dedup_simhash_capped, _sql_simhash_capped()),
     "dedup_semantic": (q_dedup_semantic, _sql_dedup_semantic),
+    "cluster_embeddings": (q_cluster_embeddings, _sql_cluster_embeddings),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, _sql_embedding_cosine()),
     "dedup_embedding_auto": (q_dedup_embedding_auto, _sql_embedding_cosine_auto),
     "sim_topk_cosine": (q_sim_topk_cosine, SQL_SIM_TOPK),
