@@ -50,6 +50,7 @@ _NEVER_CHECKED_FIRST = [
     "sim_ann_pq_rerank",
     "dedup_semantic",               # SemDeDup cluster-bucketed dedup (r6)
     "cluster_embeddings",           # k-means clustering profile (r6)
+    "sim_ann_ivfpq",                # IVF-PQ composite ANN (r6)
 ]
 
 _MERGED = {**CORE_QUERIES, **EXT_QUERIES, **TPCH_QUERIES}

@@ -108,6 +108,7 @@ R6_EXTRAS = [
     "sim_ann_pq_rerank",
     "dedup_semantic",
     "cluster_embeddings",
+    "sim_ann_ivfpq",
 ]
 
 EXT_HEADLINE = [

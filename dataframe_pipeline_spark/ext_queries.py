@@ -970,6 +970,110 @@ LIMIT 5
 """
 
 
+def q_sim_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composite ANN (r6): coarse cells prune the probe to
+    n_probe/n_lists of the corpus AND candidates are scored from
+    m-byte residual codes via per-cell ADC tables — the FAISS
+    ``IVF8,PQ8`` shape.  Exact-integer end-to-end, so the generated
+    oracle replays cells, residual codes and ADC sums hash-equal."""
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = sim.IVFPQIndex(k=5, n_lists=8, n_probe=2, m=8, k_sub=16).fit(emb)
+    return idx.search(query_id=0)
+
+
+def _sql_sim_ann_ivfpq(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """Generated oracle: replay the deterministic trainer (coarse
+    centroids on the sample, residual codebooks on sample residuals),
+    then replicate in SQL: coarse assignment (first-occurrence
+    argmin), probed-cell restriction, residual computation against the
+    centroid literal, per-subspace code argmin, and a per-cell CASE
+    over the query's residual ADC table literals."""
+    import hashlib
+    import os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) "
+        f"FROM '{path}' ORDER BY vec_id").fetchall()
+    q_int = [int(x) for x in con.sql(
+        f"SELECT list_transform(embedding, x -> "
+        f"CAST(round(x::DOUBLE * 1000) AS BIGINT)) FROM '{path}' "
+        f"WHERE vec_id = 0").fetchone()[0]]
+    con.close()
+    max_train = 65536
+    if len(rows) > max_train:
+        mod = -(-len(rows) // max_train)
+        rows = [r for r in rows if int(hashlib.md5(
+            str(int(r[0])).encode()).hexdigest()[:8], 16) % mod == 0]
+    vecs = [list(r[1]) for r in rows]
+    coarse = sim.train_centroids(vecs, 8)
+    residuals = []
+    for v in vecs:
+        qv = sim.quantize_centroid(v)
+        cell = sim.probe_cells(qv, coarse, 1)[0]
+        residuals.append([float(x - c) for x, c in zip(qv, coarse[cell])])
+    cbs = sim.train_pq_codebooks(residuals, m=8, k_sub=16, scale=1)
+    sd = len(cbs[0][0])
+    cells = sim.probe_cells(q_int, coarse, 2)
+    coarse_lits = ", ".join(
+        "[" + ", ".join(str(c) for c in cj) + "]" for cj in coarse)
+    d_cols = []
+    for s, cb in enumerate(cbs):
+        lits = ", ".join(
+            "[" + ", ".join(str(c) for c in cw) + "]" for cw in cb)
+        d_cols.append(
+            f"list_transform([{lits}], c -> "
+            f"list_sum(list_transform(generate_series(1, {sd}), "
+            f"i -> (res[{s * sd}+i]-c[i])*(res[{s * sd}+i]-c[i])))) AS d{s}")
+    branches = []
+    for cell in cells:
+        res_q = [x - c for x, c in zip(q_int, coarse[cell])]
+        tables = sim.pq_adc_tables(res_q, cbs)
+        terms = " + ".join(
+            f"([{', '.join(str(t) for t in tbl)}])"
+            f"[list_position(d{s}, list_min(d{s}))]"
+            for s, tbl in enumerate(tables))
+        branches.append(f"WHEN cl = {cell} THEN {terms}")
+    in_list = ", ".join(str(c) for c in cells)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (
+  SELECT vec_id, q,
+         list_transform([{coarse_lits}], c ->
+             list_sum(list_transform(generate_series(1, 64),
+                 i -> (q[i]-c[i])*(q[i]-c[i])))) AS d
+  FROM q),
+asg AS (
+  SELECT vec_id, q,
+         CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS cl
+  FROM n
+  WHERE vec_id <> 0),
+r AS (
+  SELECT vec_id, cl,
+         list_transform(generate_series(1, 64),
+             i -> q[i] - ([{coarse_lits}])[cl+1][i]) AS res
+  FROM asg
+  WHERE cl IN ({in_list})),
+d2 AS (
+  SELECT vec_id, cl,
+         {(',' + chr(10) + '         ').join(d_cols)}
+  FROM r)
+SELECT vec_id,
+       CAST(CASE {' '.join(branches)} END AS BIGINT) AS adc_dist
+FROM d2
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT 5
+"""
+
+
 def q_sim_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return sim.HyperplaneLSHIndex(k=5, n_planes=4).search(emb, query_id=0)
@@ -3978,6 +4082,7 @@ EXT_QUERIES = {
     "sim_ann_ivf_batch": (q_sim_ann_ivf_batch, _sql_sim_ann_ivf_batch),
     "sim_ann_pq": (q_sim_ann_pq, _sql_sim_ann_pq),
     "sim_ann_pq_rerank": (q_sim_ann_pq_rerank, _sql_sim_ann_pq_rerank),
+    "sim_ann_ivfpq": (q_sim_ann_ivfpq, _sql_sim_ann_ivfpq),
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
     "embed_project": (q_embed_project, _sql_embed_project()),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),

@@ -811,3 +811,210 @@ class PQIndex:
         idx = load_operator(spark, path)
         assert isinstance(idx, cls)
         return idx
+
+
+class IVFPQIndex:
+    """IVF-PQ: coarse inverted-file cells + product-quantized RESIDUALS
+    — the composite that powers billion-vector ANN deployments
+    (FAISS ``IVFxx,PQyy``): the coarse quantizer prunes the search to
+    ``n_probe`` of ``n_lists`` cells, and within a cell candidates are
+    scored from m-byte residual codes via per-cell ADC tables.
+
+    Why residuals: vectors in a cell share their centroid, so encoding
+    ``vec - centroid`` spends the codebook's resolution on the part
+    that distinguishes cell members — materially better recall than
+    plain PQ at the same code size.
+
+    Spark shape, combining this module's two scale stories:
+      * fit    = driver-trained coarse centroids + residual codebooks
+                 (one bounded sample, all deterministic), then ONE
+                 map-only codegen pass emitting (id, __list, __codes);
+      * layout = codes table written partitioned by ``__list`` — at
+                 100 TB the compressed index is ~3 TB AND a probe reads
+                 only n_probe/n_lists of it (partition-pruned scan);
+      * search = per-probed-cell ADC tables inlined as literals over a
+                 ``__list``-filtered scan, unioned, top-k heap.  No
+                 joins; optional exact-cosine rerank like PQIndex.
+
+    All arithmetic is exact integers (quantized vectors, integer
+    residuals, integer codewords), so the generated DuckDB oracle
+    replays cells, codes, and ADC sums hash-equal.
+
+    Honest recall note: ADC is a LOSSY ranking — on corpora whose
+    pairwise distances are nearly uniform (the synthetic testdata's
+    spread between the 1st and 50th neighbor is smaller than the PQ
+    reconstruction error at m=8/k_sub=16) the compressed ordering is
+    noise and ``rerank`` is mandatory; on separable corpora (tight
+    clusters, the regime PQ is built for — see
+    test_ivfpq_recall_on_separable_corpus) ADC alone recovers the
+    true neighbors.  More codewords (k_sub) or finer subspaces
+    (larger m) buy precision linearly in code size, exactly the
+    FAISS tuning surface.
+    """
+
+    _dfp_partition_hints = {"_table": ("__list",)}
+
+    def __init__(self, k: int = 10, n_lists: int = 8, n_probe: int = 2,
+                 m: int = 8, k_sub: int = 16, scale: int = 1000,
+                 max_train: int = 65536):
+        self.k = k
+        self.n_lists = n_lists
+        self.n_probe = n_probe
+        self.m = m
+        self.k_sub = k_sub
+        self.scale = scale
+        self.max_train = max_train
+        self.coarse_int = None       # list[n_lists][dim] int
+        self.codebooks = None        # list[m][k_sub][sub_dim] int (residual domain)
+        self._table = None           # DataFrame(id, __list, __codes)
+        self._id_col = None
+        self._src = None
+
+    def fit(self, df: DataFrame, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> "IVFPQIndex":
+        arr = df.select(
+            F.col(id_col),
+            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__arr"))
+        n = cheap_row_count(arr)
+        sample = arr
+        if n > self.max_train:
+            mod = -(-n // self.max_train)
+            sample = arr.filter(F.expr(
+                f"conv(substring(md5(cast({id_col} as string)), 1, 8), 16, 10)"
+                f" % {mod} = 0"))
+        rows = sample.orderBy(id_col).collect()
+        vecs = [list(r["__arr"]) for r in rows]
+        self.coarse_int = train_centroids(vecs, self.n_lists,
+                                          scale=self.scale)
+        # residuals in the QUANTIZED-integer domain: q_int - centroid_int
+        # per sample row, assigned with the same argmin rule the
+        # distributed encoder uses — exact, so codebooks replay.
+        residuals = []
+        for v in vecs:
+            q_int = quantize_centroid(v, self.scale)
+            cell = probe_cells(q_int, self.coarse_int, 1)[0]
+            residuals.append([float(x - c) for x, c in
+                              zip(q_int, self.coarse_int[cell])])
+        self.codebooks = train_pq_codebooks(residuals, self.m, self.k_sub,
+                                            scale=1)
+        sd = len(self.codebooks[0][0])
+        coarse_lits = ", ".join(
+            "array(" + ", ".join(f"{c}L" for c in cj) + ")"
+            for cj in self.coarse_int)
+        cbs = ", ".join(
+            "array(" + ", ".join(
+                "array(" + ", ".join(f"{c}L" for c in cw) + ")"
+                for cw in cb) + ")"
+            for cb in self.codebooks)
+        qexpr = (f"transform({vec_col}, x -> "
+                 f"cast(round(cast(x as double) * {self.scale}) as bigint))")
+        dists = (f"transform(array({coarse_lits}), c -> "
+                 f"aggregate(zip_with(__q, c, (x, y) -> (x-y)*(x-y)), 0L, "
+                 f"(acc, v) -> acc + v))")
+        res = (f"zip_with(__q, element_at(array({coarse_lits}), "
+               f"__list + 1), (x, y) -> x - y)")
+        codes = (
+            f"zip_with(array({cbs}), sequence(0, {self.m - 1}), (cb, s) -> "
+            f"transform(array(transform(cb, c -> "
+            f"aggregate(zip_with(slice(__res, s * {sd} + 1, {sd}), c, "
+            f"(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v))), "
+            f"dd -> cast(array_position(dd, array_min(dd)) - 1 as int))[0])")
+        self._id_col = id_col
+        self._src = df.select(F.col(id_col), F.col(vec_col))
+        self._table = (
+            df.select(F.col(id_col), F.expr(qexpr).alias("__q"))
+            .withColumn("__dists", F.expr(dists))
+            .withColumn("__list", (F.expr(
+                "array_position(__dists, array_min(__dists))") - 1).cast("int"))
+            .withColumn("__res", F.expr(res))
+            .withColumn("__codes", F.expr(codes))
+            .select(F.col(id_col), "__list", "__codes")
+            .persist()
+        )
+        self._table.count()
+        return self
+
+    def _adc_expr(self, tables: list[list[int]]) -> str:
+        tbls = ", ".join(
+            "array(" + ", ".join(f"{t}L" for t in tbl) + ")"
+            for tbl in tables)
+        return (f"aggregate(zip_with(__codes, array({tbls}), "
+                f"(c, t) -> element_at(t, c + 1)), 0L, "
+                f"(acc, v) -> acc + v)")
+
+    def search_vec(self, vec, id_col: str | None = None,
+                   exclude_id=None, rerank: int = 0) -> DataFrame:
+        """Probe the ``n_probe`` nearest cells; each probe is a
+        ``__list``-filtered scan (partition-pruned over the persisted
+        layout) scored with that cell's residual ADC tables; the union
+        feeds one top-k heap.  ``rerank=f`` re-scores the k*f pool
+        with exact cosine as in :class:`PQIndex`."""
+        assert self._table is not None, "call fit or read first"
+        id_col = id_col or self._id_col
+        q_int = quantize_centroid(vec, self.scale)
+        cells = probe_cells(q_int, self.coarse_int, self.n_probe)
+        parts = []
+        for cell in cells:
+            res_q = [x - c for x, c in zip(q_int, self.coarse_int[cell])]
+            tables = pq_adc_tables(res_q, self.codebooks)
+            part = self._table.filter(F.col("__list") == cell)
+            if exclude_id is not None:
+                part = part.filter(F.col(id_col) != exclude_id)
+            parts.append(part.withColumn(
+                "adc_dist", F.expr(self._adc_expr(tables))))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        adc = (out.select(id_col, "adc_dist")
+               .orderBy(F.asc("adc_dist"), F.asc(id_col))
+               .limit(self.k * rerank if rerank > 0 else self.k))
+        if rerank <= 0:
+            return adc
+        assert self._src is not None, "rerank needs the source vectors"
+        vec_col = self._src.columns[1]
+        qlits = ", ".join(f"{x}L" for x in q_int)
+        qnrm = float(sum(x * x for x in q_int)) ** 0.5
+        dot = (f"aggregate(zip_with("
+               f"transform({vec_col}, x -> "
+               f"cast(round(cast(x as double) * {self.scale}) as bigint)), "
+               f"array({qlits}), (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+        nrm = (f"sqrt(aggregate(transform({vec_col}, x -> "
+               f"cast(round(cast(x as double) * {self.scale}) as bigint)), "
+               f"0L, (acc, x) -> acc + x * x))")
+        return (
+            self._src.join(F.broadcast(adc.select(id_col)), id_col)
+            .withColumn("cosine",
+                        F.round(F.expr(dot) / (F.expr(nrm) * F.lit(qnrm)), 6))
+            .select(id_col, "cosine")
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(self.k)
+        )
+
+    def search(self, query_id, id_col: str | None = None,
+               rerank: int = 0) -> DataFrame:
+        assert self._src is not None, "call fit first"
+        id_col = id_col or self._id_col
+        vec_col = self._src.columns[1]
+        row = self._src.filter(F.col(id_col) == query_id).head()
+        return self.search_vec(list(row[vec_col]), id_col=id_col,
+                               exclude_id=query_id, rerank=rerank)
+
+    def write(self, path: str) -> None:
+        """Persist coarse centroids + codebooks + the codes table
+        partitioned by ``__list`` (probe = pruned scan)."""
+        from .persistence import save_operator
+
+        assert self._table is not None, "call fit first"
+        src, self._src = self._src, None
+        try:
+            save_operator(self, path)
+        finally:
+            self._src = src
+
+    @classmethod
+    def read(cls, spark, path: str) -> "IVFPQIndex":
+        from .persistence import load_operator
+
+        idx = load_operator(spark, path)
+        assert isinstance(idx, cls)
+        return idx

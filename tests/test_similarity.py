@@ -315,3 +315,92 @@ def test_pq_persistence_roundtrip(spark, pq_fitted, tmp_path):
     b = [(r["vec_id"], r["adc_dist"])
          for r in idx2.search_vec(vec, exclude_id=0, id_col="vec_id").collect()]
     assert a == b
+
+
+# ==========================================================================
+# IVF-PQ (r6)
+# ==========================================================================
+
+def _separable_corpus(spark, per_cluster=25, noise=0.02, dim=8, seed=7):
+    """Tight, well-separated clusters — the regime PQ codes are built
+    for (within-cluster distances << between-cluster distances)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = np.eye(4, dim) * 10.0
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            rows.append((vid, [float(x) for x in
+                               c + rng.normal(0, noise, dim)]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivfpq_encode_matches_python_replay(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = sim.IVFPQIndex(k=5, n_lists=8, n_probe=2, m=8, k_sub=16).fit(emb)
+    rows = emb.filter(F.col("vec_id") < 15).collect()
+    got = {r["vec_id"]: (r["__list"], list(r["__codes"])) for r in
+           idx._table.filter(F.col("vec_id") < 15).collect()}
+    for r in rows:
+        q_int = sim.quantize_centroid(list(r["embedding"]))
+        cell = sim.probe_cells(q_int, idx.coarse_int, 1)[0]
+        res = [x - c for x, c in zip(q_int, idx.coarse_int[cell])]
+        assert got[r["vec_id"]] == (cell, sim.pq_encode_py(res, idx.codebooks))
+
+
+def test_ivfpq_recall_on_separable_corpus(spark):
+    """On clustered data the coarse quantizer is exact (every retrieved
+    id comes from the query's cluster — the structural IVF guarantee)
+    and ADC alone recovers most of the brute-force top-k even though
+    within-cluster members are near-equidistant; a small rerank pool
+    closes the rest."""
+    emb = _separable_corpus(spark)
+    idx = sim.IVFPQIndex(k=5, n_lists=4, n_probe=1, m=4, k_sub=16).fit(emb)
+    ex = sim.CosineTopK(k=5).search(emb, 0)
+    got = idx.search(query_id=0)
+    # structural: probe-pruned retrieval stays inside cluster 0 (ids 0-24)
+    assert all(r["vec_id"] < 25 for r in got.collect())
+    assert sim.recall_at_k(got, ex) >= 0.4
+    assert sim.recall_at_k(idx.search(query_id=0, rerank=5), ex) >= 0.8
+
+
+def test_ivfpq_adc_plan_has_no_join(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = sim.IVFPQIndex(k=5, n_lists=8, n_probe=2, m=8, k_sub=16).fit(emb)
+    qvec = list(emb.filter("vec_id = 0").head()["embedding"])
+    plan = idx.search_vec(qvec, exclude_id=0)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivfpq_probe_from_disk_is_partition_pruned(spark, tmp_path):
+    """A reloaded IVF-PQ probe is a PartitionFilter scan on __list —
+    the compressed index AND the pruned read compose: a probe touches
+    n_probe/n_lists of a codes table that is itself ~30x smaller than
+    the raw vectors."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = list(emb.filter("vec_id = 0").head()["embedding"])
+    idx = sim.IVFPQIndex(k=5, n_lists=4, n_probe=2, m=8, k_sub=16).fit(emb)
+    path = str(tmp_path / "ivfpq")
+    idx.write(path)
+    idx2 = sim.IVFPQIndex.read(spark, path)
+    assert idx2.coarse_int == idx.coarse_int
+    assert idx2.codebooks == idx.codebooks
+    plan = idx2.search_vec(qvec, id_col="vec_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    scans = [l for l in plan.splitlines()
+             if "FileScan" in l and "PartitionFilters: [" in l]
+    assert scans and all("__list" in s.split("PartitionFilters: [", 1)[1]
+                         for s in scans)
+    # reloaded results == in-session results
+    a = [(r["vec_id"], r["adc_dist"])
+         for r in idx.search_vec(qvec, exclude_id=0).collect()]
+    b = [(r["vec_id"], r["adc_dist"])
+         for r in idx2.search_vec(qvec, exclude_id=0,
+                                  id_col="vec_id").collect()]
+    assert a == b
