@@ -677,7 +677,8 @@ class SemanticDeduplicator:
     decisions bit-for-bit.
     """
 
-    def __init__(self, threshold: float = 0.7, n_clusters: int = 8,
+    def __init__(self, threshold: float = 0.7,
+                 n_clusters: int | str = 8,
                  scale: int = 1000, max_train: int = 65536):
         self.threshold = threshold
         self.n_clusters = n_clusters
@@ -685,6 +686,23 @@ class SemanticDeduplicator:
         self.max_train = max_train
         self.centroids_int = None
         self._cnrms = None           # python-float centroid norms (literals)
+
+    @staticmethod
+    def clusters_for(n_rows: int, target: int = 256) -> int:
+        """``n_clusters="auto"``: ``ceil(n / target)`` clusters (min 8)
+        — expected cluster size, and therefore the within-cluster
+        self-join work Σ n_c², stays CONSTANT per row as the corpus
+        grows.  This is the SemDeDup paper's regime (50k clusters at
+        LAION scale); a pinned cluster count is quadratic in n and
+        must not survive a 100x scale-up.
+
+        Capped at 4096 because assignment ships the centroids as a
+        codegen literal (k x dim ints — ~1 MB of plan text at the
+        cap); past that the centroid table should ride as a broadcast
+        join against an exploded (row, cell) candidate frame instead —
+        the same literal-vs-broadcast boundary HashedTextClassifier
+        draws at 64k features (textclf.py)."""
+        return max(8, min(4096, -(-n_rows // target)))
 
     def fit(self, df: DataFrame, id_col: str = "vec_id",
             vec_col: str = "embedding") -> "SemanticDeduplicator":
@@ -696,6 +714,8 @@ class SemanticDeduplicator:
             F.col(id_col),
             F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__arr"))
         n = cheap_row_count(arr)
+        if self.n_clusters == "auto":
+            self.n_clusters = self.clusters_for(n)
         sample = arr
         if n > self.max_train:
             mod = -(-n // self.max_train)

@@ -397,7 +397,7 @@ def q_dedup_semantic(spark, sf_dir):
     cluster-keyed self-join; n_clusters ∝ n keeps per-cluster work
     constant at corpus scale."""
     emb = _t(spark, sf_dir, "embeddings")
-    d = dd.SemanticDeduplicator(threshold=0.35, n_clusters=8).fit(emb)
+    d = dd.SemanticDeduplicator(threshold=0.35, n_clusters="auto").fit(emb)
     return d.flag_duplicates(emb)
 
 
@@ -422,12 +422,15 @@ def _sql_dedup_semantic(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
         f"SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) "
         f"FROM '{path}' ORDER BY vec_id").fetchall()
     con.close()
+    from dataframe_pipeline_spark.dedup import SemanticDeduplicator
+
+    n_clusters = SemanticDeduplicator.clusters_for(len(rows))
     max_train = 65536
     if len(rows) > max_train:
         mod = -(-len(rows) // max_train)
         rows = [r for r in rows if int(hashlib.md5(
             str(int(r[0])).encode()).hexdigest()[:8], 16) % mod == 0]
-    cents = train_centroids([list(r[1]) for r in rows], 8)
+    cents = train_centroids([list(r[1]) for r in rows], n_clusters)
     cnrms = [float(sum(c * c for c in cj)) ** 0.5 for cj in cents]
     cent_lits = ", ".join(
         "[" + ", ".join(str(c) for c in cj) + "]" for cj in cents)

@@ -397,3 +397,16 @@ def test_semantic_dedup_plan_is_cluster_keyed(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_semantic_dedup_auto_cluster_count(spark):
+    """n_clusters='auto' keeps expected cluster size constant (the
+    anti-quadratic knob) and resolves against the corpus row count."""
+    from dataframe_pipeline_spark.dedup import SemanticDeduplicator
+
+    assert SemanticDeduplicator.clusters_for(500) == 8
+    assert SemanticDeduplicator.clusters_for(50_000) == 196
+    assert SemanticDeduplicator.clusters_for(10**9) == 4096  # literal cap
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = SemanticDeduplicator(threshold=0.35, n_clusters="auto").fit(emb)
+    assert d.n_clusters == 8   # 50 rows -> floor of 8
