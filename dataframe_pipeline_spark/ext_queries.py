@@ -454,9 +454,9 @@ asg AS (
 s AS (
   SELECT vec_id, q, nrm, cl,
          ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
-                   i -> q[i] * ([{cent_lits}])[cl+1][i])) AS DOUBLE)
+                   i -> q[i] * cent[i])) AS DOUBLE)
                / (nrm * ([{cnrm_lits}])[cl+1]), 6) AS csim
-  FROM asg)
+  FROM (SELECT *, ([{cent_lits}])[cl+1] AS cent FROM asg))
 SELECT DISTINCT b.vec_id, b.cl AS cluster, b.csim AS centroid_sim
 FROM s a JOIN s b
   ON a.cl = b.cl
@@ -536,12 +536,12 @@ s AS (
 SELECT cl AS cluster,
        COUNT(*) AS n_members,
        ROUND(CAST(SUM(CAST(ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
-                 i -> q[i] * ([{cent_lits}])[cl+1][i])) AS DOUBLE)
+                 i -> q[i] * cent[i])) AS DOUBLE)
              / (nrm * ([{cnrm_lits}])[cl+1]), 6) AS DECIMAL(16,6))) AS DOUBLE)
              / COUNT(*), 6) AS avg_centroid_sim,
        MIN(vec_id) AS min_id,
        MAX(vec_id) AS max_id
-FROM s
+FROM (SELECT *, ([{cent_lits}])[cl+1] AS cent FROM s)
 GROUP BY cl
 """
 
@@ -1062,8 +1062,8 @@ asg AS (
 r AS (
   SELECT vec_id, cl,
          list_transform(generate_series(1, 64),
-             i -> q[i] - ([{coarse_lits}])[cl+1][i]) AS res
-  FROM asg
+             i -> q[i] - cent[i]) AS res
+  FROM (SELECT *, ([{coarse_lits}])[cl+1] AS cent FROM asg)
   WHERE cl IN ({in_list})),
 d2 AS (
   SELECT vec_id, cl,
