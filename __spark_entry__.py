@@ -51,6 +51,12 @@ _NEVER_CHECKED_FIRST = [
     "dedup_semantic",               # SemDeDup cluster-bucketed dedup (r6)
     "cluster_embeddings",           # k-means clustering profile (r6)
     "sim_ann_ivfpq",                # IVF-PQ composite ANN (r6)
+    "dedup_substring",              # ExactSubstr span dedup (r6)
+    "dedup_substring_trim",
+    "text_bm25_topk",               # BM25 lexical retrieval (r6)
+    "cms_user_counts",              # composed Count-Min sketch (r6)
+    "join_bloom_prune",             # bloom-pruned fact join (r6)
+    "sim_ann_ivf_append",           # incremental IVF maintenance (r6)
 ]
 
 _MERGED = {**CORE_QUERIES, **EXT_QUERIES, **TPCH_QUERIES}

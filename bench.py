@@ -109,6 +109,12 @@ R6_EXTRAS = [
     "dedup_semantic",
     "cluster_embeddings",
     "sim_ann_ivfpq",
+    "dedup_substring",
+    "dedup_substring_trim",
+    "text_bm25_topk",
+    "cms_user_counts",
+    "join_bloom_prune",
+    "sim_ann_ivf_append",
 ]
 
 EXT_HEADLINE = [

@@ -4011,7 +4011,278 @@ FROM f JOIN s ON s.doc_id = f.doc_id
 """
 
 
+# ==========================================================================
+# ExactSubstr-style substring dedup + BM25 retrieval (round 6)
+# ==========================================================================
+
+_SUBSTR_K = 5
+
+#: shared CTE chain: window sites -> corpus-frequency filter -> islands
+#: -> maximal spans; the DuckDB replay of SubstringDeduplicator.spans().
+_SQL_SUBSTR_SPANS = f"""
+tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+pos AS (SELECT doc_id, unnest(range(1, len(ts)-{_SUBSTR_K}+2)) AS p, ts
+        FROM tok),
+grams AS (SELECT doc_id, p,
+                 {_h60_duck(f"array_to_string(ts[p:p+{_SUBSTR_K}-1], ' ')")}
+                   AS h
+          FROM pos),
+dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+hits AS (SELECT doc_id, p FROM grams WHERE h IN (SELECT h FROM dup)),
+isl AS (SELECT doc_id, p,
+               CASE WHEN lag(p) OVER w IS NULL
+                      OR p > lag(p) OVER w + {_SUBSTR_K}
+                    THEN 1 ELSE 0 END AS nw
+        FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+isl2 AS (SELECT doc_id, p,
+                sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS island
+         FROM isl),
+spans AS (SELECT doc_id,
+                 CAST(min(p) - 1 AS INTEGER) AS span_start,
+                 CAST(max(p) - 1 + {_SUBSTR_K} AS INTEGER) AS span_end,
+                 count(*) AS n_windows
+          FROM isl2 GROUP BY doc_id, island)
+"""
+
+
+def q_dedup_substring(spark, sf_dir):
+    """ExactSubstr repeated-span detection (dedup.SubstringDeduplicator,
+    after Lee et al. 2022): maximal spans whose every k-token window
+    occurs >= 2 times corpus-wide.  Never materializes pairs — ONE
+    groupBy on a 60-bit gram digest + a digest semi-join, O(total
+    tokens) at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.SubstringDeduplicator(k=_SUBSTR_K).spans(docs)
+
+
+SQL_DEDUP_SUBSTRING = f"""
+WITH {_SQL_SUBSTR_SPANS}
+SELECT doc_id, span_start, span_end, n_windows FROM spans
+"""
+
+
+def q_dedup_substring_trim(spark, sf_dir):
+    """The ExactSubstr REWRITE: every document with its duplicated
+    spans cut out (codegen filter with an index lambda — no Python, no
+    second text shuffle) plus the removed-token count."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dd.SubstringDeduplicator(k=_SUBSTR_K).transform(docs)
+    return out.select("doc_id", "text", "n_removed")
+
+
+SQL_DEDUP_SUBSTRING_TRIM = f"""
+WITH {_SQL_SUBSTR_SPANS},
+toks AS (SELECT doc_id, unnest(ts) AS tok,
+                unnest(range(1, len(ts)+1)) AS p
+         FROM tok),
+kept AS (SELECT t.doc_id, t.tok, t.p FROM toks t
+         WHERE NOT EXISTS (SELECT 1 FROM spans s
+                           WHERE s.doc_id = t.doc_id
+                             AND t.p - 1 >= s.span_start
+                             AND t.p - 1 < s.span_end)),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.text, '') AS text,
+       CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0)
+            AS INTEGER) AS n_removed
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+_BM25_TERMS = ("spark", "join", "window")
+
+
+def q_text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-20 (text.BM25Retriever) for a literal 3-term
+    query: one corpus scan in whole-stage codegen (per-term tf via
+    array filter, no explode), corpus stats as a 1-row broadcast,
+    top-k as a TakeOrderedAndProject heap."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.BM25Retriever(list(_BM25_TERMS)).topk(docs, 20)
+
+
+def _sql_text_bm25_topk():
+    tf = {t: f"len(list_filter(ts, x -> x = '{t}'))::DOUBLE"
+          for t in _BM25_TERMS}
+    dfs = ", ".join(
+        f"sum((tf{i} > 0)::INT)::DOUBLE AS df{i}"
+        for i in range(len(_BM25_TERMS)))
+    parts = []
+    for i in range(len(_BM25_TERMS)):
+        parts.append(
+            f"(ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * 2.2"
+            f" / (tf{i} + 1.2 * (0.25 + 0.75 * dl / avgdl)))")
+    total = " + ".join(parts)
+    tfs = ", ".join(f"{e} AS tf{i}" for i, (_t_, e) in
+                    enumerate(tf.items()))
+    return f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+base AS (SELECT doc_id, len(ts)::DOUBLE AS dl, {tfs} FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, {dfs} FROM base),
+scored AS (SELECT doc_id, ROUND({total}, 6) AS score FROM base, stats)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q_sim_ann_ivf_append(spark, sf_dir):
+    """Incremental IVF index maintenance (similarity.IVFIndex.append_write):
+    fit on 80% of the corpus, persist, APPEND the held-out 20% into the
+    ``__list``-partitioned layout (assign-only — no retrain, no corpus
+    rescan, writes touch only the batch's cells), reload, and search a
+    query that itself arrived in the appended batch.  Completes the
+    incremental-maintenance family (exact-digest, MinHash-band, rollup
+    — now ANN)."""
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    idx = sim.IVFIndex(k=5, n_lists=8, n_probe=2).fit(corpus)
+    path = os.path.join(_ivf_scratch_dir(), "append_idx")
+    idx.write(path)                   # overwrite: idempotent across runs
+    idx.append_write(batch, path)
+    return sim.IVFIndex.read(spark, path).search(query_id=0)
+
+
+def _sql_sim_ann_ivf_append(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """Generated oracle: replay the trainer on the CORPUS SUBSET only
+    (vec_id % 5 <> 0 — appended vectors never influence the fitted
+    cells), then assign ALL vectors against those centroids and probe
+    the query's cells — exactly what fit + append_write + read
+    produces."""
+    import os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    con = duckdb.connect()
+    vecs = [r[0] for r in con.sql(
+        f"SELECT list_transform(embedding, x -> x::DOUBLE) AS v "
+        f"FROM '{path}' WHERE vec_id % 5 <> 0 ORDER BY vec_id").fetchall()]
+    cents = sim.train_centroids(vecs, n_lists=8)
+    q_int = con.sql(
+        f"SELECT list_transform(embedding, x -> "
+        f"CAST(round(x::DOUBLE * 1000) AS BIGINT)) FROM '{path}' "
+        f"WHERE vec_id = 0").fetchone()[0]
+    con.close()
+    probe = sim.probe_cells([int(x) for x in q_int], cents, n_probe=2)
+    cent_lits = ", ".join(
+        "[" + ", ".join(str(c) for c in cj) + "]" for cj in cents)
+    in_list = ", ".join(str(p) for p in probe)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (
+  SELECT vec_id, q,
+         sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS nrm,
+         list_transform([{cent_lits}], c ->
+             list_sum(list_transform(generate_series(1, 64),
+                 i -> (q[i]-c[i])*(q[i]-c[i])))) AS d
+  FROM q),
+a AS (SELECT vec_id, q, nrm, list_position(d, list_min(d)) - 1 AS lst FROM n)
+SELECT a.vec_id,
+       ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> a.q[i] * b.q[i])) AS DOUBLE) / (a.nrm * b.nrm), 6) AS cosine
+FROM a, (SELECT q, nrm FROM a WHERE vec_id = 0) b
+WHERE a.vec_id <> 0 AND a.lst IN ({in_list})
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT 5
+"""
+
+
+_CMS_PROBES = (1, 2, 3, 5, 8)
+
+
+def q_cms_user_counts(spark, sf_dir):
+    """Count-Min Sketch heavy-hitter estimates (sketches.CountMinSketch,
+    Cormode & Muthukrishnan 2005) vs true counts for a literal probe
+    set.  The sketch is COMPOSED relational algebra over md5 hashes —
+    the DuckDB oracle re-derives the whole sketch from scratch,
+    collisions included (no fitted-literal replay): build = one groupBy
+    into <= depth*width rows, estimate never rescans the data."""
+    from . import sketches as sk
+
+    ev = _t(spark, sf_dir, "events")
+    cms = sk.CountMinSketch(depth=4, width=512)
+    est = cms.estimate(cms.build(ev, "user_id"), list(_CMS_PROBES))
+    probes = list(_CMS_PROBES)
+    true = (ev.filter(F.col("user_id").isin(probes))
+            .groupBy(F.col("user_id").alias("key"))
+            .agg(F.count(F.lit(1)).alias("true_cnt")))
+    return (est.join(true, "key", "left")
+            .select(F.col("key").cast("long").alias("key"),
+                    F.col("est"),
+                    F.coalesce("true_cnt", F.lit(0)).alias("true_cnt")))
+
+
+def _sql_cms_cell(key: str) -> str:
+    return (f"(('0x' || substr(md5(i::VARCHAR || ':' || {key}::VARCHAR),"
+            f" 1, 8))::BIGINT % 512)")
+
+
+SQL_CMS_USER_COUNTS = f"""
+WITH pairs AS (
+  SELECT i, {_sql_cms_cell('user_id')} AS c
+  FROM events, range(4) t(i) WHERE user_id IS NOT NULL),
+sketch AS (SELECT i, c, count(*) AS cnt FROM pairs GROUP BY i, c),
+probes AS (SELECT CAST(unnest([{', '.join(map(str, _CMS_PROBES))}])
+                       AS BIGINT) AS key),
+pcell AS (SELECT key, i, {_sql_cms_cell('key')} AS c
+          FROM probes, range(4) t(i)),
+est AS (SELECT key, min(coalesce(cnt, 0)) AS est
+        FROM pcell LEFT JOIN sketch USING (i, c) GROUP BY key),
+tru AS (SELECT user_id AS key, count(*) AS true_cnt FROM events
+        WHERE user_id IN ({', '.join(map(str, _CMS_PROBES))})
+        GROUP BY user_id)
+SELECT e.key, e.est, coalesce(t.true_cnt, 0) AS true_cnt
+FROM est e LEFT JOIN tru t USING (key)
+"""
+
+
+def q_join_bloom_prune(spark, sf_dir):
+    """Bloom-pruned fact⋈dim join (relational.bloom_prune_join): a
+    1 KB literal bloom fitted on the filtered dim keys drops
+    non-matching orders INSIDE the scan stage, before the shuffle; the
+    exact join then removes the bloom's false positives, so the result
+    — and the oracle — is the plain join.  The explicit twin of
+    Spark's runtime row-level bloom join."""
+    from .relational import bloom_prune_join
+
+    od = _t(spark, sf_dir, "orders")
+    cust = (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select(F.col("c_custkey").alias("o_custkey")))
+    j = bloom_prune_join(od, cust, on="o_custkey")
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("total_price")))
+
+
+SQL_JOIN_BLOOM_PRUNE = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+"""
+
+
 EXT_QUERIES = {
+    "sim_ann_ivf_append": (q_sim_ann_ivf_append, _sql_sim_ann_ivf_append),
+    "cms_user_counts": (q_cms_user_counts, SQL_CMS_USER_COUNTS),
+    "join_bloom_prune": (q_join_bloom_prune, SQL_JOIN_BLOOM_PRUNE),
+    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
+    "dedup_substring_trim": (q_dedup_substring_trim,
+                             SQL_DEDUP_SUBSTRING_TRIM),
+    "text_bm25_topk": (q_text_bm25_topk, _sql_text_bm25_topk()),
     "mix_temperature": (q_mix_temperature, SQL_MIX_TEMPERATURE),
     "zorder_key_orders": (q_zorder_key_orders, SQL_ZORDER_KEY_ORDERS),
     "corpus_curation": (q_corpus_curation, _sql_corpus_curation()),

@@ -350,3 +350,89 @@ class IncrementalRollup:
                 sel.append((F.col(f"__s_{o}").cast("double")
                             / F.col("__cnt")).alias(f"{o}_mean"))
         return state.select(*sel)
+
+
+class BloomFilter:
+    """Deterministic k-hash Bloom filter over a key column, built by ONE
+    aggregate and applied as literal bit-array arithmetic in the probe
+    side's scan stage — the explicit, engine-independent variant of
+    Spark's runtime row-level bloom join
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``).
+
+    Build: every key contributes ``k_hashes`` bit positions (md5-derived
+    ``h32(i ':' key) % bits`` — deterministic across engines and runs);
+    positions fold into ``bits/64`` longs with ``bit_or`` in a single
+    groupBy, and the driver collects AT MOST ``bits/64`` rows (1 KB for
+    8192 bits) — the fit-scalar pattern, never the key set itself.
+
+    Apply: membership is ``k_hashes`` literal-array lookups + shift/AND
+    per probe row, inside whole-stage codegen — no join, no shuffle, no
+    broadcast exchange.  False positives pass (rate ~(1-e^{-kn/m})^k);
+    false negatives never.  Downstream exact joins stay correct and do
+    strictly less work.
+    """
+
+    def __init__(self, bits: int = 8192, k_hashes: int = 3):
+        if bits % 64:
+            raise ValueError("bits must be a multiple of 64")
+        self.bits = bits
+        self.k_hashes = k_hashes
+        self.words_: list[int] | None = None
+
+    def _positions(self, col: str) -> list[str]:
+        from .dedup import h32_expr
+
+        out = []
+        for i in range(self.k_hashes):
+            seeded = h32_expr(f"concat('{i}:', {col})")
+            out.append(f"({seeded} % {self.bits})")
+        return out
+
+    def fit(self, df: DataFrame, col: str) -> "BloomFilter":
+        pos = ", ".join(self._positions(col))
+        folded = (df.filter(F.col(col).isNotNull())
+                  .select(F.explode(F.expr(f"array({pos})")).alias("__p"))
+                  .groupBy((F.col("__p") / 64).cast("int").alias("__w"))
+                  .agg(F.expr(
+                      "bit_or(shiftleft(cast(1 as bigint), "
+                      "cast(__p % 64 as int)))").alias("__bits"))
+                  .collect())
+        words = [0] * (self.bits // 64)
+        for r in folded:
+            words[r["__w"]] = r["__bits"]
+        self.words_ = words
+        return self
+
+    def might_contain(self, col: str):
+        """Boolean Column: all k bit positions set (literal arithmetic,
+        NULL keys -> false like an inner join would drop them)."""
+        if self.words_ is None:
+            raise ValueError("fit() the bloom filter first")
+        arr = "array(" + ", ".join(f"{w}L" for w in self.words_) + ")"
+        cond = F.col(col).isNotNull()
+        for p in self._positions(col):
+            word = f"element_at({arr}, cast({p} div 64 as int) + 1)"
+            cond = cond & F.expr(
+                f"(shiftright({word}, cast({p} % 64 as int)) & 1) = 1")
+        return cond
+
+
+def bloom_prune_join(fact: DataFrame, dim: DataFrame, on: str,
+                     bits: int = 8192, k_hashes: int = 3,
+                     how: str = "inner") -> DataFrame:
+    """Equi-join with a Bloom pre-filter on the fact side: fit a bloom
+    over the dim's join keys, drop fact rows that cannot match BEFORE
+    the shuffle, then run the exact join (which removes the bloom's
+    false positives — the result is row-identical to the plain join,
+    so the oracle is the plain SQL join).
+
+    At 100 TB this is the difference between shuffling the full fact
+    table and shuffling only the ~selectivity fraction that can match a
+    filtered dim; the bloom rides in the scan stage's codegen, so the
+    pruned rows never leave the mapper."""
+    if how not in ("inner", "left_semi"):
+        raise ValueError("bloom pruning is sound for inner/semi joins "
+                         "only (outer joins need the unpruned side)")
+    bf = BloomFilter(bits=bits, k_hashes=k_hashes).fit(dim, on)
+    pruned = fact.filter(bf.might_contain(on))
+    return pruned.join(dim, on, how)

@@ -257,6 +257,17 @@ class IVFIndex:
         self.centroids_int = train_centroids(
             [list(r["__arr"]) for r in rows], self.n_lists, scale=self.scale)
 
+        self._id_col = id_col
+        self._assigned = self._assign(df, id_col, vec_col).persist()
+        self._assigned.count()
+        return self
+
+    def _assign(self, df: DataFrame, id_col: str,
+                vec_col: str = "embedding") -> DataFrame:
+        """Map-only cell assignment against the FITTED centroid
+        literals — shared by fit, and by append (incremental
+        maintenance never retrains the quantizer)."""
+        assert self.centroids_int is not None, "call fit first"
         cent_lits = ", ".join(
             "array(" + ", ".join(f"{c}L" for c in cj) + ")"
             for cj in self.centroids_int)
@@ -265,8 +276,7 @@ class IVFIndex:
         dists = (f"transform(array({cent_lits}), c -> "
                  f"aggregate(zip_with(__q, c, (x, y) -> (x-y)*(x-y)), 0L, "
                  f"(acc, v) -> acc + v))")
-        self._id_col = id_col
-        self._assigned = (
+        return (
             df.select(F.col(id_col), F.expr(qexpr).alias("__q"))
             .withColumn("__nrm", F.expr(
                 "sqrt(aggregate(__q, 0L, (acc, x) -> acc + x*x))"))
@@ -274,10 +284,38 @@ class IVFIndex:
             .withColumn("__list", (F.expr(
                 "array_position(__dists, array_min(__dists))") - 1).cast("int"))
             .drop("__dists")
-            .persist()
         )
+
+    def append(self, batch: DataFrame,
+               vec_col: str = "embedding") -> "IVFIndex":
+        """Incremental maintenance: assign a NEW batch to the fitted
+        cells (same literal-centroid codegen as fit — no retrain, no
+        corpus rescan) and extend the in-session cell table.  Searches
+        immediately see the appended vectors.  FAISS semantics: cell
+        boundaries stay frozen; periodic refit is a policy decision
+        above this API (recall drifts only if the data distribution
+        does)."""
+        assert self._assigned is not None, "call fit or read first"
+        old = self._assigned
+        self._assigned = old.unionByName(
+            self._assign(batch, self._id_col, vec_col)).persist()
         self._assigned.count()
+        old.unpersist()
         return self
+
+    def append_write(self, batch: DataFrame, path: str,
+                     vec_col: str = "embedding") -> None:
+        """Incremental maintenance of a PERSISTED index (written by
+        :meth:`write`): append the batch's assignments into the
+        ``__list``-partitioned cell layout — touches only the batch's
+        cells, never rewrites the corpus; a subsequent :meth:`read`
+        probe partition-prunes over old + new files alike."""
+        import os as _os
+
+        assert self.centroids_int is not None, "call fit or read first"
+        (self._assign(batch, self._id_col, vec_col)
+         .write.mode("append").partitionBy("__list")
+         .parquet(_os.path.join(path, "frames", "s0_f0")))
 
     def search(self, query_id, id_col: str = "vec_id") -> DataFrame:
         assert self._assigned is not None, "call fit first"

@@ -607,3 +607,84 @@ class NgramScorer:
         return (joined.groupBy(id_col)
                 .agg(F.round(F.sum(logp).cast("double")
                              / F.count(F.lit(1)), 6).alias(out)))
+
+
+class BM25Retriever:
+    """Okapi BM25 scoring + top-k retrieval for a literal term query.
+
+    Beyond-reference surface (the reference has no retrieval tier); the
+    lexical-search baseline every corpus-curation pipeline needs next to
+    the embedding ANN tier (similarity.py) — e.g. for contamination
+    audits ("which documents score highest for this benchmark prompt")
+    and targeted corpus slicing.
+
+    ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))``;
+    ``score  = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
+
+    Scale design: the query is a FIXED handful of literal terms, so
+    everything stays in whole-stage codegen over one corpus scan —
+    per-document ``tf`` is ``size(filter(tokens, x -> x = term))`` per
+    term (no explode, no per-term join), and the corpus statistics
+    (N, avgdl, per-term document frequencies) are ONE global aggregate
+    producing a 1-row frame that broadcast-crossJoins back.  Top-k is
+    ``orderBy(...).limit(k)`` — Spark's TakeOrderedAndProject, a
+    per-partition heap + driver merge of k rows, never a global sort.
+    """
+
+    def __init__(self, terms: list[str], k1: float = 1.2, b: float = 0.75,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        if not terms:
+            raise ValueError("BM25Retriever needs at least one query term")
+        if len(set(terms)) != len(terms):
+            raise ValueError("query terms must be distinct (a repeated "
+                             "term would double-count its partial score)")
+        self.terms = list(terms)
+        self.k1 = float(k1)
+        self.b = float(b)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def _tf(self, i: int) -> Column:
+        t = self.terms[i].replace("'", "\\'")
+        return F.expr(f"size(filter(split({self.text_col}, ' '), "
+                      f"x -> x = '{t}'))").cast("double")
+
+    def score(self, df: DataFrame) -> DataFrame:
+        """(id, score) for every document matching >= 1 term, score
+        rounded to 6 dp (deterministic across engines)."""
+        from .relational import maybe_broadcast
+
+        dl = F.size(F.split(F.col(self.text_col), " ")).cast("double")
+        with_tf = df.select(
+            self.id_col, dl.alias("__dl"),
+            *[self._tf(i).alias(f"__tf{i}") for i in range(len(self.terms))])
+        stats = with_tf.agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.avg("__dl").alias("__avgdl"),
+            *[F.sum((F.col(f"__tf{i}") > 0).cast("double"))
+              .alias(f"__df{i}") for i in range(len(self.terms))])
+        j = with_tf.crossJoin(maybe_broadcast(stats))
+        k1, b = self.k1, self.b
+        parts = []
+        for i in range(len(self.terms)):
+            idf = F.log(F.lit(1.0) + (F.col("__n") - F.col(f"__df{i}")
+                                      + F.lit(0.5))
+                        / (F.col(f"__df{i}") + F.lit(0.5)))
+            denom = (F.col(f"__tf{i}")
+                     + F.lit(k1) * (F.lit(1.0 - b)
+                                    + F.lit(b) * F.col("__dl")
+                                    / F.col("__avgdl")))
+            parts.append(idf * F.col(f"__tf{i}") * F.lit(k1 + 1.0) / denom)
+        total = parts[0]
+        for p in parts[1:]:
+            total = total + p
+        return (j.select(self.id_col, F.round(total, 6).alias("score"))
+                .filter(F.col("score") > 0))
+
+    def topk(self, df: DataFrame, k: int = 20) -> DataFrame:
+        """Top-k by (score desc, id asc) — the id tiebreak makes the
+        kept set partition-independent."""
+        return (self.score(df)
+                .orderBy(F.col("score").desc(),
+                         F.col(self.id_col).asc())
+                .limit(k))

@@ -410,3 +410,81 @@ def test_semantic_dedup_auto_cluster_count(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     d = SemanticDeduplicator(threshold=0.35, n_clusters="auto").fit(emb)
     assert d.n_clusters == 8   # 50 rows -> floor of 8
+
+
+# -- SubstringDeduplicator (ExactSubstr-style spans) ------------------------
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    # "one two three four five" appears in docs 10 and 11 at different
+    # offsets; doc 12 repeats a window inside ITSELF; doc 13 is clean;
+    # doc 14 is shorter than k and must contribute nothing.
+    rows = [
+        (10, "one two three four five alpha beta gamma delta epsilon"),
+        (11, "zeta one two three four five eta theta iota kappa"),
+        (12, "a b c d e x y a b c d e"),
+        (13, "unrelated words that never repeat anywhere else here"),
+        (14, "tiny doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_spans(span_docs):
+    sp = dd.SubstringDeduplicator(k=5).spans(span_docs)
+    got = {(r.doc_id, r.span_start, r.span_end, r.n_windows)
+           for r in sp.collect()}
+    # docs 10/11: the shared 5-gram is one window each (offset 0 vs 1);
+    # doc 12: "a b c d e" at offsets 0 and 7, one window each (the two
+    # windows are 7 apart > k, so they do NOT merge).
+    assert got == {(10, 0, 5, 1), (11, 1, 6, 1),
+                   (12, 0, 5, 1), (12, 7, 12, 1)}
+
+
+def test_substring_span_merge_overlap_and_touch(spark):
+    # two copies of an 8-token run: windows at offsets 0..3 all
+    # duplicated -> ONE maximal span [0, 8) with 4 windows.
+    run = "p q r s t u v w"
+    df = spark.createDataFrame(
+        [(1, run + " filler1 filler2"), (2, "lead " + run)],
+        "doc_id long, text string")
+    got = {(r.doc_id, r.span_start, r.span_end, r.n_windows)
+           for r in dd.SubstringDeduplicator(k=5).spans(df).collect()}
+    assert got == {(1, 0, 8, 4), (2, 1, 9, 4)}
+
+
+def test_substring_transform_trims_and_passthrough(span_docs):
+    out = dd.SubstringDeduplicator(k=5).transform(span_docs)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[10].text == "alpha beta gamma delta epsilon"
+    assert rows[10].n_removed == 5
+    assert rows[11].text == "zeta eta theta iota kappa"
+    assert rows[12].text == "x y"
+    assert rows[12].n_removed == 10
+    # untouched docs pass through byte-identical with n_removed 0
+    assert rows[13].text.startswith("unrelated") and rows[13].n_removed == 0
+    assert rows[14].text == "tiny doc" and rows[14].n_removed == 0
+    assert set(out.columns) == {"doc_id", "text", "n_removed"}
+
+
+def test_substring_partition_invariance(span_docs):
+    base = {(r.doc_id, r.span_start, r.span_end)
+            for r in dd.SubstringDeduplicator(k=5).spans(span_docs).collect()}
+    shuffled = {(r.doc_id, r.span_start, r.span_end)
+                for r in dd.SubstringDeduplicator(k=5)
+                .spans(span_docs.repartition(7)).collect()}
+    assert base == shuffled
+
+
+def test_substring_no_pair_join_in_plan(span_docs):
+    """The scale property: the plan must contain no cartesian/BNLJ —
+    duplicated windows are found by digest groupBy + semi-join, never
+    by pairing documents."""
+    plan = (dd.SubstringDeduplicator(k=5).spans(span_docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_k_guard():
+    with pytest.raises(ValueError):
+        dd.SubstringDeduplicator(k=1)

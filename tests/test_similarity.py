@@ -404,3 +404,54 @@ def test_ivfpq_probe_from_disk_is_partition_pruned(spark, tmp_path):
          for r in idx2.search_vec(qvec, exclude_id=0,
                                   id_col="vec_id").collect()]
     assert a == b
+
+
+def test_ivf_append_equals_fit_assignment_of_union(spark):
+    """append() assigns the batch with the SAME fitted centroids, so an
+    appended index's cell table equals assigning the union against
+    those centroids — and search sees appended vectors."""
+    from dataframe_pipeline_spark.similarity import IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter("vec_id % 5 != 0")
+    batch = emb.filter("vec_id % 5 = 0")
+    idx = IVFIndex(k=5, n_lists=4, n_probe=4).fit(corpus)
+    cents_before = [list(c) for c in idx.centroids_int]
+    idx.append(batch)
+    assert idx.centroids_int == cents_before      # never retrains
+    whole = idx._assign(emb, "vec_id")
+    assert (sorted((r.vec_id, r.__list if hasattr(r, '__list') else r['__list'])
+                   for r in idx._assigned.select("vec_id", "__list").collect())
+            == sorted((r.vec_id, r['__list'])
+                      for r in whole.select("vec_id", "__list").collect()))
+    # a query id that only exists in the appended batch is searchable
+    got = idx.search(query_id=0)
+    assert 0 < got.count() <= 5
+
+
+def test_ivf_append_write_roundtrip(spark, tmp_path):
+    """append_write extends the persisted __list-partitioned layout:
+    reload sees corpus + batch, and the append touches only partition
+    subdirs (no manifest rewrite)."""
+    import os
+
+    from dataframe_pipeline_spark.similarity import IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter("vec_id % 5 != 0")
+    batch = emb.filter("vec_id % 5 = 0")
+    idx = IVFIndex(k=5, n_lists=4, n_probe=2).fit(corpus)
+    path = str(tmp_path / "idx")
+    idx.write(path)
+    manifest_mtime = os.path.getmtime(os.path.join(path, "manifest.pkl"))
+    idx.append_write(batch, path)
+    assert os.path.getmtime(
+        os.path.join(path, "manifest.pkl")) == manifest_mtime
+    reloaded = IVFIndex.read(spark, path)
+    assert reloaded._assigned.count() == emb.count()
+    # in-session append == persisted append, row for row
+    idx2 = IVFIndex(k=5, n_lists=4, n_probe=2).fit(corpus).append(batch)
+    assert (sorted(map(tuple, reloaded._assigned
+                       .select("vec_id", "__list").collect()))
+            == sorted(map(tuple, idx2._assigned
+                          .select("vec_id", "__list").collect())))

@@ -335,3 +335,39 @@ def test_ngram_scorer_plan_no_python_broadcast_joins(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan       # gated count-table joins
+
+
+# -- BM25Retriever -----------------------------------------------------------
+
+def test_bm25_scores_and_topk(spark):
+    import math
+
+    from dataframe_pipeline_spark.text import BM25Retriever
+
+    rows = [(0, "spark join window"), (1, "spark spark spark spark"),
+            (2, "nothing relevant here"), (3, "join the window please")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = BM25Retriever(["spark", "join"], k1=1.2, b=0.75)
+    got = {x.doc_id: x.score for x in r.score(df).collect()}
+    assert set(got) == {0, 1, 3}          # doc 2 matches nothing
+
+    # replicate the formula in plain python for doc 0
+    n, avgdl = 4.0, (3 + 4 + 3 + 4) / 4.0
+    def part(tf, dfreq, dl):
+        idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    exp0 = round(part(1, 2, 3) + part(1, 2, 3), 6)
+    assert got[0] == pytest.approx(exp0, abs=1e-6)
+
+    top = r.topk(df, 2).collect()
+    assert [t.doc_id for t in top] == sorted(
+        got, key=lambda d: (-got[d], d))[:2]
+
+
+def test_bm25_guards():
+    from dataframe_pipeline_spark.text import BM25Retriever
+
+    with pytest.raises(ValueError):
+        BM25Retriever([])
+    with pytest.raises(ValueError):
+        BM25Retriever(["a", "a"])
