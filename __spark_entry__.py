@@ -57,6 +57,8 @@ _NEVER_CHECKED_FIRST = [
     "cms_user_counts",              # composed Count-Min sketch (r6)
     "join_bloom_prune",             # bloom-pruned fact join (r6)
     "sim_ann_ivf_append",           # incremental IVF maintenance (r6)
+    "text_unigram_tokens",          # unigram-LM tokenizer (r6)
+    "text_unigram_vocab",
 ]
 
 _MERGED = {**CORE_QUERIES, **EXT_QUERIES, **TPCH_QUERIES}

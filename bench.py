@@ -115,6 +115,7 @@ R6_EXTRAS = [
     "cms_user_counts",
     "join_bloom_prune",
     "sim_ann_ivf_append",
+    "text_unigram_tokens",
 ]
 
 EXT_HEADLINE = [

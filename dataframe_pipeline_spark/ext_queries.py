@@ -4196,6 +4196,73 @@ LIMIT 5
 """
 
 
+_UNIGRAM_PARAMS = dict(vocab_size=80, seed_size=300, max_piece_len=4,
+                       n_iters=2)
+
+
+def q_text_unigram_tokens(spark, sf_dir):
+    """Unigram-LM subword tokenization at corpus scale
+    (unigram.UnigramTrainer + UnigramTokenizer, Kudo 2018): top-20
+    subword tokens by frequency.  Segmentation runs on DISTINCT words
+    only (one corpus shuffle); the Viterbi DP is a single codegen
+    aggregate per word with quantized-integer scores, so the
+    independent pure-Python oracle replays it bit-for-bit."""
+    from .unigram import UnigramTokenizer, UnigramTrainer
+
+    docs = _t(spark, sf_dir, "documents")
+    tr = UnigramTrainer(**_UNIGRAM_PARAMS).fit(docs, "text")
+    counts = UnigramTokenizer(
+        tr.scores_, _UNIGRAM_PARAMS["max_piece_len"]).token_counts(
+        docs, "text")
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(20)
+
+
+def q_text_unigram_vocab(spark, sf_dir):
+    """The fitted unigram vocabulary itself: top-20 pieces by final
+    EM count — the tokenizer's model card."""
+    from .unigram import UnigramTrainer
+
+    docs = _t(spark, sf_dir, "documents")
+    tr = UnigramTrainer(**_UNIGRAM_PARAMS).fit(docs, "text")
+    items = sorted(tr.counts_.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = [(p, int(c)) for p, c in items]
+    return (docs.sparkSession.createDataFrame(rows, "piece string, cnt long")
+            .orderBy(F.desc("cnt"), F.asc("piece")))
+
+
+def _sql_quoted(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _unigram_reference(sf_dir):
+    import duckdb
+
+    from .unigram import reference_unigram
+
+    texts = [r[0] for r in duckdb.connect().execute(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()]
+    return reference_unigram(texts, **_UNIGRAM_PARAMS)
+
+
+def _sql_text_unigram_tokens(sf_dir):
+    _final, toks = _unigram_reference(sf_dir)
+    top = sorted(toks.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    vals = ", ".join(f"({_sql_quoted(t)}, CAST({n} AS BIGINT))"
+                     for t, n in top)
+    return (f"SELECT * FROM (VALUES {vals}) AS t(token, n) "
+            f"ORDER BY n DESC, token ASC")
+
+
+def _sql_text_unigram_vocab(sf_dir):
+    final, _toks = _unigram_reference(sf_dir)
+    top = sorted(final.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    vals = ", ".join(f"({_sql_quoted(p)}, CAST({c} AS BIGINT))"
+                     for p, c in top)
+    return (f"SELECT * FROM (VALUES {vals}) AS t(piece, cnt) "
+            f"ORDER BY cnt DESC, piece ASC")
+
+
 _CMS_PROBES = (1, 2, 3, 5, 8)
 
 
@@ -4276,6 +4343,9 @@ GROUP BY o_orderpriority
 
 
 EXT_QUERIES = {
+    "text_unigram_tokens": (q_text_unigram_tokens,
+                            _sql_text_unigram_tokens),
+    "text_unigram_vocab": (q_text_unigram_vocab, _sql_text_unigram_vocab),
     "sim_ann_ivf_append": (q_sim_ann_ivf_append, _sql_sim_ann_ivf_append),
     "cms_user_counts": (q_cms_user_counts, SQL_CMS_USER_COUNTS),
     "join_bloom_prune": (q_join_bloom_prune, SQL_JOIN_BLOOM_PRUNE),

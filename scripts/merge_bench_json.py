@@ -1,0 +1,52 @@
+"""Merge two bench_vs_duckdb JSONs: base + rerun.  For queries present
+in both, keep the per-engine MIN (the rerun exists to re-measure
+queries whose first timing was contended); queries only in either side
+pass through.  Totals and the over-2x list are recomputed.
+
+Usage: python scripts/merge_bench_json.py BASE.json RERUN.json OUT.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main():
+    base_p, rerun_p, out_p = sys.argv[1:4]
+    with open(base_p) as f:
+        base = json.load(f)
+    with open(rerun_p) as f:
+        rerun = json.load(f)
+    q = dict(base["queries"])
+    for name, r in rerun["queries"].items():
+        if name in q:
+            b = q[name]
+            merged = {
+                "spark_s": min(b["spark_s"], r["spark_s"]),
+                "duck_s": min(b["duck_s"], r["duck_s"]),
+            }
+            merged["ratio"] = round(
+                merged["spark_s"] / merged["duck_s"], 2) \
+                if merged["duck_s"] > 0 else float("inf")
+            q[name] = merged
+        else:
+            q[name] = r
+    over = sorted(n for n, e in q.items()
+                  if e["ratio"] > 2.0 and e["spark_s"] > 0.5)
+    out = {
+        "sf_dir": base["sf_dir"],
+        "merged_from": [base_p, rerun_p],
+        "spark_total_s": round(sum(e["spark_s"] for e in q.values()), 3),
+        "duckdb_total_s": round(sum(e["duck_s"] for e in q.values()), 3),
+        "over_2x_nontrivial": over,
+        "queries": dict(sorted(q.items())),
+    }
+    with open(out_p, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"{len(q)} queries -> {out_p}; spark {out['spark_total_s']}s "
+          f"duck {out['duckdb_total_s']}s; over2x: {over}")
+
+
+if __name__ == "__main__":
+    main()
