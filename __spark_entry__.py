@@ -79,15 +79,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _sql) in _ALL.items()}
 
 
-def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
+               names=None) -> dict[str, str]:
     """Oracle SQL per query.  Most oracles are static strings (or
     parameter-generated at import); data-dependent ones (sim_ann_ivf,
     whose fitted centroids are literals) are registered as callables and
     resolved here against ``sf_dir`` — the driver calls with no args and
     gets its correctness scale (sf0.01); scripts pass their actual
-    sf_dir so the generated literals match the data they benchmark."""
+    sf_dir so the generated literals match the data they benchmark.
+
+    ``names`` (optional, scripts only — the driver passes nothing)
+    restricts resolution to a subset: generator oracles re-run their
+    fit (k-means, PQ codebooks) against sf_dir, so resolving all ~15
+    of them costs minutes at sf1+ — wasteful when a script benchmarks
+    three queries."""
     out: dict[str, str] = {}
     for name, (_fn, sql) in _ALL.items():
+        if names is not None and name not in names:
+            continue
         if callable(sql):
             sql = sql(sf_dir)
         if sql is not None:

@@ -697,9 +697,20 @@ def _sql_sim_ann_ivf(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
     import duckdb
 
     con = duckdb.connect()
-    vecs = [r[0] for r in con.sql(
-        f"SELECT list_transform(embedding, x -> x::DOUBLE) AS v "
-        f"FROM '{path}' ORDER BY vec_id").fetchall()]
+    rows = con.sql(
+        f"SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v "
+        f"FROM '{path}' ORDER BY vec_id").fetchall()
+    # replicate IVFIndex.fit's bounded sample above max_train: the
+    # modulus derives from the parquet-footer total (cheap_row_count),
+    # the filter is the content-addressed md5-mod of the id
+    import hashlib
+
+    n_total = con.sql(f"SELECT count(*) FROM '{path}'").fetchone()[0]
+    if n_total > 65536:
+        mod = -(-n_total // 65536)
+        rows = [r for r in rows if int(hashlib.md5(
+            str(int(r[0])).encode()).hexdigest()[:8], 16) % mod == 0]
+    vecs = [r[1] for r in rows]
     cents = sim.train_centroids(vecs, n_lists=8)
     q_int = con.sql(
         f"SELECT list_transform(embedding, x -> "
@@ -4160,9 +4171,22 @@ def _sql_sim_ann_ivf_append(sf_dir: str = "/root/testdata/sf0.01") -> str | None
     import duckdb
 
     con = duckdb.connect()
-    vecs = [r[0] for r in con.sql(
-        f"SELECT list_transform(embedding, x -> x::DOUBLE) AS v "
-        f"FROM '{path}' WHERE vec_id % 5 <> 0 ORDER BY vec_id").fetchall()]
+    rows = con.sql(
+        f"SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v "
+        f"FROM '{path}' WHERE vec_id % 5 <> 0 ORDER BY vec_id").fetchall()
+    # replicate the fit's bounded sample: cheap_row_count on the
+    # FILTERED corpus frame still reads the parquet-footer total (an
+    # upper bound — filters are not visible to footers), so the
+    # modulus derives from the WHOLE table's count even though only
+    # corpus rows are candidates
+    import hashlib
+
+    n_total = con.sql(f"SELECT count(*) FROM '{path}'").fetchone()[0]
+    if n_total > 65536:
+        mod = -(-n_total // 65536)
+        rows = [r for r in rows if int(hashlib.md5(
+            str(int(r[0])).encode()).hexdigest()[:8], 16) % mod == 0]
+    vecs = [r[1] for r in rows]
     cents = sim.train_centroids(vecs, n_lists=8)
     q_int = con.sql(
         f"SELECT list_transform(embedding, x -> "

@@ -35,7 +35,8 @@ def main():
     do_assert = "--assert" in sys.argv
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     only = set(argv[1:])
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql(sf_dir)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql(sf_dir, names=only or None)
     names = [n for n in sorted(oracles) if not only or n in only]
 
     spark = get_spark("bench-vs-duck")

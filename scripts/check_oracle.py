@@ -55,7 +55,8 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql(sf_dir)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql(sf_dir, names=only or None)
     ok = bad = skipped = 0
     for name in sorted(qs):
         if only and name not in only:
