@@ -122,6 +122,17 @@ class BpeTrainer:
     symbolized vocab table (unpersisted on refit).
     """
 
+    #: vocab tables at or under this many DISTINCT words take the
+    #: driver fast path: one collect, merge rounds in Python.  A BPE
+    #: merge round over the vocab TABLE costs a full driver round-trip
+    #: (aggregate job + deep-HOF plan re-analysis) — n_merges of them
+    #: dominated `text_bpe_tokens` at sf1 (94s for 12 rounds over a
+    #: 31-word vocab).  The collected state is symbols+freq per distinct
+    #: word — fitted-parameter-sized at this gate, the same collect
+    #: class as the encoder dictionaries.  Real corpora with
+    #: million-word vocabularies keep the distributed loop.
+    FAST_VOCAB_ROWS = 8192
+
     def __init__(self, n_merges: int = 32, lowercase: bool = False,
                  min_pair_freq: int = 2, checkpoint_every: int = 4):
         self.n_merges = n_merges
@@ -137,8 +148,56 @@ class BpeTrainer:
                 .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
                 .select(_word_symbols(F.col("w")).alias("symbols"), "freq"))
 
+    def _fit_rows(self, rows) -> list[tuple[str, str, int]]:
+        """Driver-side merge rounds over collected (symbols, freq)
+        pairs — the identical algorithm and (count DESC, left ASC,
+        right ASC) tie-break as the distributed loop and
+        :func:`reference_bpe` (differential-tested)."""
+        from collections import Counter
+
+        vocab = [list(s) for s, _ in rows]
+        freqs = [f for _, f in rows]
+        merges: list[tuple[str, str, int]] = []
+        for _ in range(self.n_merges):
+            pc: Counter = Counter()
+            for s, f in zip(vocab, freqs):
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += f
+            if not pc:
+                break
+            (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if c < self.min_pair_freq:
+                break
+            merges.append((l, r, int(c)))
+            for k, s in enumerate(vocab):
+                out, i = [], 0
+                while i < len(s):
+                    if i < len(s) - 1 and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                vocab[k] = out
+        return merges
+
     def fit(self, df: DataFrame, col: str = "text") -> "BpeTrainer":
-        words = self._words(df, col).localCheckpoint(eager=True)
+        words0 = self._words(df, col)
+        # size-gated fast path: limit(N+1) early-exits on large vocabs,
+        # so the probe costs one cheap job either way
+        head = words0.limit(self.FAST_VOCAB_ROWS + 1).collect()
+        if len(head) <= self.FAST_VOCAB_ROWS:
+            self.merges_ = self._fit_rows(
+                [(list(r["symbols"]), int(r["freq"])) for r in head])
+            # lazy symbolized-vocab frame for any words_ consumer —
+            # built from the fitted rules, no jobs until referenced
+            words = words0
+            for l, r, _c in self.merges_:
+                words = words.withColumn(
+                    "symbols", _merge_fold(F.col("symbols"), l, r))
+            self.words_ = words
+            return self
+        words = words0.localCheckpoint(eager=True)
         self.merges_ = []
         for i in range(self.n_merges):
             top = (_pair_counts(words)

@@ -116,3 +116,20 @@ def test_empty_and_null_text(spark):
     assert rows[0]["tokens"] == []
     assert rows[1]["tokens"] is None or rows[1]["tokens"] == []
     assert rows[2]["tokens"] == ["ab" + EOW, "ab" + EOW]
+
+
+def test_fast_path_equals_distributed_path(spark):
+    """The size-gated driver fast path and the distributed merge loop
+    must learn the identical merge table (same tie-breaks) — forcing
+    the distributed path by zeroing the gate on one instance."""
+    from dataframe_pipeline_spark.bpe import BpeTrainer
+
+    df = spark.createDataFrame(
+        [("low lower lowest newest newer wide widest low low new",),
+         ("slow slower slowest wide wider new newest low lowest",)],
+        "text string")
+    fast = BpeTrainer(n_merges=8).fit(df, "text")
+    dist = BpeTrainer(n_merges=8)
+    dist.FAST_VOCAB_ROWS = 0          # instance shadow: force the loop
+    dist.fit(df, "text")
+    assert fast.merges_ == dist.merges_
