@@ -804,9 +804,19 @@ def _sql_sim_ann_ivf_batch(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
     import duckdb
 
     con = duckdb.connect()
-    vecs = [r[0] for r in con.sql(
-        f"SELECT list_transform(embedding, x -> x::DOUBLE) AS v "
-        f"FROM '{path}' ORDER BY vec_id").fetchall()]
+    rows = con.sql(
+        f"SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v "
+        f"FROM '{path}' ORDER BY vec_id").fetchall()
+    # replicate IVFIndex.fit's bounded sample (same rule as
+    # _sql_sim_ann_ivf): footer-count modulus + md5-mod of the id
+    import hashlib
+
+    n_total = con.sql(f"SELECT count(*) FROM '{path}'").fetchone()[0]
+    if n_total > 65536:
+        mod = -(-n_total // 65536)
+        rows = [r for r in rows if int(hashlib.md5(
+            str(int(r[0])).encode()).hexdigest()[:8], 16) % mod == 0]
+    vecs = [r[1] for r in rows]
     cents = sim.train_centroids(vecs, n_lists=8)
     qrows = con.sql(
         f"SELECT vec_id, list_transform(embedding, x -> "
