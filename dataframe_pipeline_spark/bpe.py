@@ -280,12 +280,23 @@ class BpeTokenizer:
 
     def token_counts(self, df: DataFrame, col: str = "text") -> DataFrame:
         """Corpus token frequencies: ONE word shuffle, merges applied to
-        distinct words only, counts re-weighted by word frequency."""
+        distinct words only, counts re-weighted by word frequency.
+
+        The token table is MATERIALIZED (localCheckpoint) before the
+        explode: fusing the n_merges-deep fold chain into the
+        ``Generate`` disables whole-stage codegen for the fused stages,
+        and the corpus-scale word scan then runs interpreted — measured
+        71.6s vs 2.3s at sf1, growing linearly with corpus size (the
+        same failure class as the MinHash band explode, dedup.py
+        ``_bands``).  The materialized frame is vocab-sized (one row
+        per DISTINCT word — bounded state, the thing a production
+        tokenizer persists anyway), so the checkpoint is cheap at any
+        corpus scale."""
         text = F.lower(F.col(col)) if self.lowercase else F.col(col)
         words = (df.select(F.explode(F.split(text, r"\s+")).alias("w"))
                  .filter(F.col("w") != "")
                  .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
-        toks = self.word_tokens(words, "w")
+        toks = self.word_tokens(words, "w").localCheckpoint(eager=True)
         return (toks.select("freq", F.explode("tokens").alias("token"))
                 .groupBy("token").agg(F.sum("freq").alias("n")))
 

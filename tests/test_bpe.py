@@ -90,16 +90,23 @@ def test_token_counts_match_reference(spark, corpus_df):
 
 
 def test_token_counts_single_corpus_shuffle(spark, corpus_df):
-    """The scale path must aggregate words BEFORE applying merges: the
-    merge folds appear above the first aggregate, and the corpus is
-    scanned once."""
+    """The scale path must aggregate words BEFORE applying merges, scan
+    the corpus exactly once, and materialize the vocab-sized token
+    table so the explode never drags the fold chain into the corpus
+    stage (the codegen-loss regression: 71.6s vs 2.3s at sf1)."""
     trainer = BpeTrainer(n_merges=4).fit(corpus_df, "text")
     tok = BpeTokenizer(trainer.merges_)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    plan = (tok.token_counts(docs, "text")
-            ._jdf.queryExecution().executedPlan().toString())
-    assert plan.count("Scan parquet") == 1
+    out = tok.token_counts(docs, "text")
+    out.collect()  # finalize AQE on THIS QueryExecution (not a writer's)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the visible plan starts at the materialized (checkpointed) token
+    # table: the corpus parquet scan happened ONCE, inside that job
+    assert "Scan ExistingRDD" in plan and plan.count("Scan parquet") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # and the stages stay in whole-stage codegen ("*(n)" markers in the
+    # finalized AQE plan string)
+    assert "*(" in plan
 
 
 def test_native_tier_caps_to_pandas(spark):
