@@ -118,6 +118,12 @@ R6_EXTRAS = [
     "text_unigram_tokens",
 ]
 
+#: Round-7 tier: persisted-PQ retrieval (search-without-refit as the
+#: measured deployment shape) — timed under "queries_r7", NOT summed.
+R7_EXTRAS = [
+    "sim_ann_pq_persisted",
+]
+
 EXT_HEADLINE = [
     "dedup_exact",
     "dedup_minhash_pairs",
@@ -140,6 +146,54 @@ def _canary(spark) -> float:
     t0 = time.perf_counter()
     spark.range(200_000_000).selectExpr("sum(id)").collect()
     return round(time.perf_counter() - t0, 3)
+
+
+#: Canary reading above which the machine is considered contaminated
+#: (idle local[32] measures ~0.20 s; the two contaminated committed
+#: benches, r4 and r6, read 0.33-0.40 s).
+CANARY_GATE_SEC = 0.30
+
+
+def _wait_for_idle(spark, max_tries: int = 6,
+                   sleep_s: float = 20.0) -> list[float]:
+    """Don't START measuring on a contended machine: two of six
+    committed benches (r4, r6) were contaminated runs — every unchanged
+    query uniformly 15-45% slower with a dirty canary — which the
+    driver then records as a regression.  Probe the canary; while it
+    exceeds CANARY_GATE_SEC, sleep and re-probe (bounded).  Returns the
+    probe history so the artifact shows the gate's evidence."""
+    history = []
+    for i in range(max_tries):
+        c = _canary(spark)
+        history.append(c)
+        if c <= CANARY_GATE_SEC:
+            break
+        if i < max_tries - 1:
+            print(f"canary {c}s > {CANARY_GATE_SEC}s gate; "
+                  f"sleeping {sleep_s}s before retry", file=sys.stderr)
+            time.sleep(sleep_s)
+    return history
+
+
+def _time_tier(spark, qs, names, sf_dir, n_runs: int = 3):
+    """min + median of n_runs per query (min = steady state, median =
+    the load-noise tell); each run clears the cache first so it pays
+    its own full cost and leaves nothing behind for neighbors."""
+    mins, meds = {}, {}
+    for name in names:
+        if name not in qs:
+            continue
+        runs = []
+        for _ in range(n_runs):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        mins[name] = round(runs[0], 3)
+        meds[name] = round(runs[len(runs) // 2], 3)
+    return mins, meds
 
 
 def _online_p50_ms(spark, n_iter: int = 15) -> dict:
@@ -260,75 +314,27 @@ def main():
     except Exception:
         pass
 
-    canary_before = _canary(spark)
+    gate_history = _wait_for_idle(spark)
+    canary_before = gate_history[-1]
 
-    times, medians = {}, {}
-    for name in names:
-        # min of 3 runs: steady-state time (first run pays one-time JIT /
-        # codegen / cache-population costs that a long-lived cluster
-        # session amortizes away); the median is the load-noise tell.
-        runs = []
-        for _ in range(3):
-            # each measurement pays its own full cost (incl. any persist
-            # the query does) and leaves no cache behind for neighbors
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
-        times[name] = round(runs[0], 3)
-        medians[name] = round(runs[len(runs) // 2], 3)
-
-    extras, extras_median = {}, {}
-    for name in [n for n in R4_EXTRAS if n in qs]:
-        runs = []
-        for _ in range(3):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
-        extras[name] = round(runs[0], 3)
-        extras_median[name] = round(runs[len(runs) // 2], 3)
-
-    tpch, tpch_median = {}, {}
-    for name in [n for n in TPCH_EXTRAS if n in qs]:
-        runs = []
-        for _ in range(3):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
-        tpch[name] = round(runs[0], 3)
-        tpch_median[name] = round(runs[len(runs) // 2], 3)
-
-    r5, r5_median = {}, {}
-    for name in [n for n in R5_EXTRAS if n in qs]:
-        runs = []
-        for _ in range(3):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
-        r5[name] = round(runs[0], 3)
-        r5_median[name] = round(runs[len(runs) // 2], 3)
-
-    r6, r6_median = {}, {}
-    for name in [n for n in R6_EXTRAS if n in qs]:
-        runs = []
-        for _ in range(3):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
-        r6[name] = round(runs[0], 3)
-        r6_median[name] = round(runs[len(runs) // 2], 3)
+    times, medians = _time_tier(spark, qs, names, sf_dir)
+    extras, extras_median = _time_tier(spark, qs, R4_EXTRAS, sf_dir)
+    tpch, tpch_median = _time_tier(spark, qs, TPCH_EXTRAS, sf_dir)
+    r5, r5_median = _time_tier(spark, qs, R5_EXTRAS, sf_dir)
+    r6, r6_median = _time_tier(spark, qs, R6_EXTRAS, sf_dir)
+    r7, r7_median = _time_tier(spark, qs, R7_EXTRAS, sf_dir)
 
     canary_after = _canary(spark)
+    if canary_after > CANARY_GATE_SEC:
+        # the run went dirty mid-measurement: re-time the headline tier
+        # once (it is the driver's cross-round signal of record) after
+        # waiting the machine back to idle
+        gate_history += _wait_for_idle(spark)
+        retimes, remedians = _time_tier(spark, qs, names, sf_dir)
+        for n, v in retimes.items():
+            if v < times.get(n, float("inf")):
+                times[n], medians[n] = v, remedians[n]
+        canary_after = _canary(spark)
     try:
         online_ms = _online_p50_ms(spark)
     except Exception:
@@ -354,7 +360,11 @@ def main():
         "queries_r6": r6,
         "queries_r6_median": r6_median,
         "r6_total": round(sum(r6.values()), 3),
+        "queries_r7": r7,
+        "queries_r7_median": r7_median,
+        "r7_total": round(sum(r7.values()), 3),
         "canary_sec": [canary_before, canary_after],
+        "canary_gate_history": gate_history,
         "online_p50_ms": online_ms,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -376,6 +386,7 @@ def main():
         "tpch_total": detail["tpch_total"],
         "r5_total": detail["r5_total"],
         "r6_total": detail["r6_total"],
+        "r7_total": detail["r7_total"],
         "canary_sec": detail["canary_sec"],
         "online_exec_ms": (online_ms or {}).get("exec_only"),
         "detail_file": "BENCH_DETAIL.json",

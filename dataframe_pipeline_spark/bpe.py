@@ -182,22 +182,26 @@ class BpeTrainer:
         return merges
 
     def fit(self, df: DataFrame, col: str = "text") -> "BpeTrainer":
-        words0 = self._words(df, col)
+        # checkpoint FIRST so the size probe and whichever path follows
+        # share ONE corpus aggregation: probing the lazy frame and then
+        # checkpointing it would re-run the word shuffle from scratch
+        # on exactly the corpora where the distributed loop is expensive
+        words0 = self._words(df, col).localCheckpoint(eager=True)
         # size-gated fast path: limit(N+1) early-exits on large vocabs,
-        # so the probe costs one cheap job either way
+        # so the probe costs one cheap block read either way
         head = words0.limit(self.FAST_VOCAB_ROWS + 1).collect()
         if len(head) <= self.FAST_VOCAB_ROWS:
             self.merges_ = self._fit_rows(
                 [(list(r["symbols"]), int(r["freq"])) for r in head])
             # lazy symbolized-vocab frame for any words_ consumer —
-            # built from the fitted rules, no jobs until referenced
+            # built from the fitted rules over the checkpointed vocab
             words = words0
             for l, r, _c in self.merges_:
                 words = words.withColumn(
                     "symbols", _merge_fold(F.col("symbols"), l, r))
             self.words_ = words
             return self
-        words = words0.localCheckpoint(eager=True)
+        words = words0
         self.merges_ = []
         for i in range(self.n_merges):
             top = (_pair_counts(words)

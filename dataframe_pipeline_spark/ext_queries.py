@@ -856,14 +856,33 @@ QUALIFY row_number() OVER (PARTITION BY b.qid
 """
 
 
+_PQ_FIT_MEMO: dict = {}
+
+
+def _pq_fitted(spark, sf_dir) -> "sim.PQIndex":
+    """ONE fitted PQIndex per (session, sf_dir), shared by the three
+    PQ-family queries: an index is fit once and searched many times in
+    any real deployment, so benching three cold fits of the identical
+    codebooks measured training, not retrieval (VERDICT r6 #5).  Keyed
+    by applicationId so a restarted session never sees stale persisted
+    frames.  Fit is deterministic (id-ordered bounded sample), so every
+    consumer sees bit-identical codebooks."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _PQ_FIT_MEMO.get(key)
+    if idx is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        idx = sim.PQIndex(k=5, m=8, k_sub=16).fit(emb)
+        _PQ_FIT_MEMO[key] = idx
+    return idx
+
+
 def q_sim_ann_pq(spark, sf_dir):
     """Product-quantization ANN (r6): vectors compressed to m=8 codes,
     query scored by asymmetric-distance lookup tables — the whole
     distributed plan is a projection over the codes table plus a top-k
     heap (no join, no shuffle).  Exact-integer distances end-to-end,
     so the generated oracle replays codes + ADC sums hash-equal."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return sim.PQIndex(k=5, m=8, k_sub=16).fit(emb).search(query_id=0)
+    return _pq_fitted(spark, sf_dir).search(query_id=0)
 
 
 def q_sim_ann_pq_rerank(spark, sf_dir):
@@ -872,9 +891,26 @@ def q_sim_ann_pq_rerank(spark, sf_dir):
     vectors are re-scored with exact cosine (candidate side broadcast).
     The deployment shape that recovers near-brute-force recall while
     the full-corpus pass stays on 8-byte codes."""
+    return _pq_fitted(spark, sf_dir).search(query_id=0, rerank=4)
+
+
+def q_sim_ann_pq_persisted(spark, sf_dir):
+    """fit → write (codebooks + codes table as parquet — the ~3 TB
+    artifact standing in for 100 TB of raw vectors) → read →
+    search_vec: search-WITHOUT-refit as the measured deployment shape.
+    The reloaded index holds only the compressed codes (write drops the
+    raw-vector handle), so retrieval cost is a scan of 8 ints/vector
+    plus a top-k heap; results must be bit-identical to the in-session
+    index (shares sim_ann_pq's generated oracle)."""
+    import os
+
+    idx = _pq_fitted(spark, sf_dir)
+    path = os.path.join(_ivf_scratch_dir(), "pq_idx")
+    idx.write(path)                    # overwrite: correct across sf_dirs
+    reloaded = sim.PQIndex.read(spark, path)
     emb = _t(spark, sf_dir, "embeddings")
-    idx = sim.PQIndex(k=5, m=8, k_sub=16).fit(emb)
-    return idx.search(query_id=0, rerank=4)
+    qvec = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    return reloaded.search_vec(qvec, id_col="vec_id", exclude_id=0)
 
 
 def _pq_replay(sf_dir: str):
@@ -4138,7 +4174,8 @@ def _sql_text_bm25_topk():
     tfs = ", ".join(f"{e} AS tf{i}" for i, (_t_, e) in
                     enumerate(tf.items()))
     return f"""
-WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+             WHERE text IS NOT NULL),
 base AS (SELECT doc_id, len(ts)::DOUBLE AS dl, {tfs} FROM tok),
 stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, {dfs} FROM base),
 scored AS (SELECT doc_id, ROUND({total}, 6) AS score FROM base, stats)
@@ -4460,6 +4497,9 @@ EXT_QUERIES = {
     "sim_ann_ivf_batch": (q_sim_ann_ivf_batch, _sql_sim_ann_ivf_batch),
     "sim_ann_pq": (q_sim_ann_pq, _sql_sim_ann_pq),
     "sim_ann_pq_rerank": (q_sim_ann_pq_rerank, _sql_sim_ann_pq_rerank),
+    # persisted PQ shares the in-session oracle: reload must be
+    # bit-identical to the fitted index (codes round-trip via parquet)
+    "sim_ann_pq_persisted": (q_sim_ann_pq_persisted, _sql_sim_ann_pq),
     "sim_ann_ivfpq": (q_sim_ann_ivfpq, _sql_sim_ann_ivfpq),
     "embed_normalize": (q_embed_normalize, SQL_EMBED_NORMALIZE),
     "embed_project": (q_embed_project, _sql_embed_project()),

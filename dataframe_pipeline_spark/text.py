@@ -655,7 +655,10 @@ class BM25Retriever:
         from .relational import maybe_broadcast
 
         dl = F.size(F.split(F.col(self.text_col), " ")).cast("double")
-        with_tf = df.select(
+        # NULL text must not enter the corpus statistics: Spark's
+        # size(NULL) = -1 would poison N / avgdl / df with dl = tf = -1
+        # (DuckDB's avg/sum skip NULLs, so the oracle would diverge too).
+        with_tf = df.filter(F.col(self.text_col).isNotNull()).select(
             self.id_col, dl.alias("__dl"),
             *[self._tf(i).alias(f"__tf{i}") for i in range(len(self.terms))])
         stats = with_tf.agg(

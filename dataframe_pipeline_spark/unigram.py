@@ -227,9 +227,16 @@ class UnigramTokenizer:
     def transform(self, df: DataFrame, text_col: str = "text",
                   out_col: str = "tokens") -> DataFrame:
         """Per-row token array: each whitespace word segmented in place
-        (flatten of per-word Viterbi — still zero Python)."""
+        (flatten of per-word Viterbi — still zero Python).
+
+        Empty words (consecutive / leading / trailing spaces make
+        ``split`` emit '') are filtered BEFORE segmenting: the Viterbi
+        expression's ``sequence(1, length(w))`` would otherwise become
+        ``[1, 0]`` and index ``element_at(acc, 0)`` — matching the
+        ``word_freqs`` discipline the trainer already applies."""
         per_word = self._pieces_expr("wd")
-        expr = (f"flatten(transform(split({text_col}, ' '), "
+        expr = (f"flatten(transform("
+                f"filter(split({text_col}, ' '), wd -> length(wd) > 0), "
                 f"wd -> {per_word}))")
         return df.withColumn(out_col, F.expr(expr))
 

@@ -21,19 +21,27 @@ def main():
     q = dict(base["queries"])
     for name, r in rerun["queries"].items():
         if name in q:
+            # keep the RUN PAIR with the lower spark_s (one coherent
+            # measurement) rather than mixing per-engine mins across
+            # runs, which would produce a ratio no single run exhibited
             b = q[name]
-            merged = {
-                "spark_s": min(b["spark_s"], r["spark_s"]),
-                "duck_s": min(b["duck_s"], r["duck_s"]),
-            }
+            picked = b if b["spark_s"] <= r["spark_s"] else r
+            merged = {"spark_s": picked["spark_s"],
+                      "duck_s": picked["duck_s"]}
+            # null, not inf: json's Infinity is non-standard and a
+            # zero-denominator ratio is a measurement artifact anyway
             merged["ratio"] = round(
                 merged["spark_s"] / merged["duck_s"], 2) \
-                if merged["duck_s"] > 0 else float("inf")
+                if merged["duck_s"] > 0 else None
             q[name] = merged
         else:
             q[name] = r
+    # zero-denominator rows (ratio null) are excluded: a duck_s of 0.00
+    # means the oracle generator resolved the fitted state before
+    # timing, so "over 2x" would compare against nothing
     over = sorted(n for n, e in q.items()
-                  if e["ratio"] > 2.0 and e["spark_s"] > 0.5)
+                  if e.get("ratio") is not None and e["ratio"] > 2.0
+                  and e["spark_s"] > 0.5 and e["duck_s"] >= 0.05)
     out = {
         "sf_dir": base["sf_dir"],
         "merged_from": [base_p, rerun_p],
@@ -43,7 +51,7 @@ def main():
         "queries": dict(sorted(q.items())),
     }
     with open(out_p, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(out, f, indent=1, allow_nan=False)
     print(f"{len(q)} queries -> {out_p}; spark {out['spark_total_s']}s "
           f"duck {out['duckdb_total_s']}s; over2x: {over}")
 

@@ -371,3 +371,20 @@ def test_bm25_guards():
         BM25Retriever([])
     with pytest.raises(ValueError):
         BM25Retriever(["a", "a"])
+
+
+def test_bm25_null_text_excluded_from_stats(spark):
+    """A NULL text row must not poison N / avgdl / df: Spark's
+    size(NULL) = -1 would otherwise enter the corpus statistics with
+    dl = tf = -1 (ADVICE r6) — scores must equal the null-free corpus."""
+    from dataframe_pipeline_spark.text import BM25Retriever
+
+    rows = [(0, "spark join window"), (1, "spark spark spark spark"),
+            (2, "nothing relevant here"), (3, "join the window please")]
+    clean = spark.createDataFrame(rows, "doc_id long, text string")
+    dirty = spark.createDataFrame(rows + [(4, None)],
+                                  "doc_id long, text string")
+    r = BM25Retriever(["spark", "join"], k1=1.2, b=0.75)
+    want = {x.doc_id: x.score for x in r.score(clean).collect()}
+    got = {x.doc_id: x.score for x in r.score(dirty).collect()}
+    assert got == want            # identical stats => identical scores

@@ -68,3 +68,26 @@ def test_guards():
         ug.UnigramTrainer(vocab_size=50, seed_size=10)
     with pytest.raises(ValueError):
         ug.UnigramTokenizer({})
+
+
+def test_transform_irregular_whitespace(spark):
+    """Consecutive / leading / trailing spaces make split() emit empty
+    words; the Viterbi expr would index element_at(acc, 0) on them
+    (ADVICE r6) — they must be filtered, and the non-empty words must
+    tokenize exactly as in single-spaced text."""
+    tr = ug.UnigramTrainer(vocab_size=30, seed_size=80, max_piece_len=4,
+                           n_iters=1).fit(spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)],
+        "doc_id long, text string"), "text")
+    tok = ug.UnigramTokenizer(tr.scores_, 4)
+    messy = spark.createDataFrame(
+        [(0, "  low  lower "), (1, "new   newest"), (2, " "), (3, "")],
+        "doc_id long, text string")
+    rows = {r.doc_id: list(r.tokens)
+            for r in tok.transform(messy, "text").collect()}
+    clean = spark.createDataFrame(
+        [(0, "low lower"), (1, "new newest")], "doc_id long, text string")
+    want = {r.doc_id: list(r.tokens)
+            for r in tok.transform(clean, "text").collect()}
+    assert rows[0] == want[0] and rows[1] == want[1]
+    assert rows[2] == [] and rows[3] == []
