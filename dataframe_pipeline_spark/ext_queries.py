@@ -1035,9 +1035,16 @@ def q_sim_ann_ivfpq(spark, sf_dir):
     n_probe/n_lists of the corpus AND candidates are scored from
     m-byte residual codes via per-cell ADC tables — the FAISS
     ``IVF8,PQ8`` shape.  Exact-integer end-to-end, so the generated
-    oracle replays cells, residual codes and ADC sums hash-equal."""
-    emb = _t(spark, sf_dir, "embeddings")
-    idx = sim.IVFPQIndex(k=5, n_lists=8, n_probe=2, m=8, k_sub=16).fit(emb)
+    oracle replays cells, residual codes and ADC sums hash-equal.
+    Fit is shared per (session, sf_dir) like the PQ family — an index
+    is fit once and searched many times in deployment."""
+    key = (spark.sparkContext.applicationId, sf_dir, "ivfpq")
+    idx = _PQ_FIT_MEMO.get(key)
+    if idx is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        idx = sim.IVFPQIndex(k=5, n_lists=8, n_probe=2,
+                             m=8, k_sub=16).fit(emb)
+        _PQ_FIT_MEMO[key] = idx
     return idx.search(query_id=0)
 
 

@@ -73,6 +73,20 @@ def quantize_centroid(vec, scale: int = 1000) -> list[int]:
             * (1 if float(x) >= 0 else -1) for x in vec]
 
 
+def spread_for_cpu(df: DataFrame) -> DataFrame:
+    """Ensure a CPU-heavy map stage (HOF encode passes: ~2k interpreted
+    ops per row) gets the session's full parallelism: a small parquet
+    (one row-group) reads as a SINGLE partition, which would serialize
+    the encode on one core.  Repartitions only when the scan is
+    under-partitioned — at real scale the input already carries more
+    partitions than cores and this is a no-op (no shuffle added)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 class VectorNormalizer:
     """L2-normalize an embedding column — the prerequisite for treating
     dot product as cosine downstream (ANN indexes, centroid assignment,
@@ -700,32 +714,36 @@ class PQIndex:
 
     # -- fit ---------------------------------------------------------
 
-    def _encode_expr(self, q_col: str = "__q") -> str:
+    def _encode_expr(self, q_expr: str) -> str:
         """One bound HOF expression computing the full code array:
         zip the m codebook literal arrays with their subspace index,
-        slice the pre-quantized vector COLUMN ``q_col``, argmin exact
-        integer distances.
+        slice the quantized vector, argmin exact integer distances.
 
-        ``q_col`` must be materialized by a prior ``withColumn`` — if
-        the quantization `transform(...)` were textually inlined here
-        it would be re-evaluated once per codeword (m * k_sub = 128x
-        per row in Spark's interpreted HOF evaluator; measured 54.5s
-        -> 0.95s at sf1 when hoisted, bit-identical codes).  This is
-        exactly the layout :meth:`IVFPQIndex.fit` uses for __q/__res.
-        """
+        Every intermediate is LET-bound via the 1-element ``transform``
+        idiom (``transform(array(e), v -> body)[0]`` — see
+        VectorNormalizer's CSE note): a plain ``withColumn`` hoist is
+        NOT enough because CollapseProject re-inlines a single-use
+        alias into the consuming lambda, where the interpreted HOF
+        evaluator re-runs it once per codeword — m * k_sub = 128x per
+        row (measured 52s at sf1 for 20k rows; lambda-bound: the
+        quantization runs once per row and each subspace slice once
+        per subspace, bit-identical codes)."""
         sd = len(self.codebooks[0][0])
         cbs = ", ".join(
             "array(" + ", ".join(
                 "array(" + ", ".join(f"{c}L" for c in cw) + ")"
                 for cw in cb) + ")"
             for cb in self.codebooks)
-        return (
-            f"zip_with(array({cbs}), sequence(0, {self.m - 1}), (cb, s) -> "
-            f"transform(array(transform(cb, c -> "
-            f"aggregate(zip_with(slice({q_col}, s * {sd} + 1, {sd}), c, "
-            f"(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v))), "
-            f"dd -> cast(array_position(dd, array_min(dd)) - 1 as int))[0])"
-        )
+        dist = ("aggregate(zip_with(sub, c, (x, y) -> (x - y) * (x - y)), "
+                "0L, (acc, v) -> acc + v)")
+        per_sub = (
+            f"transform(array(slice(qv, s * {sd} + 1, {sd})), sub -> "
+            f"transform(array(transform(cb, c -> {dist})), "
+            f"dd -> cast(array_position(dd, array_min(dd)) - 1 as int))[0]"
+            f")[0]")
+        return (f"transform(array({q_expr}), qv -> "
+                f"zip_with(array({cbs}), sequence(0, {self.m - 1}), "
+                f"(cb, s) -> {per_sub}))[0]")
 
     def fit(self, df: DataFrame, id_col: str = "vec_id",
             vec_col: str = "embedding") -> "PQIndex":
@@ -751,9 +769,9 @@ class PQIndex:
         qexpr = (f"transform({vec_col}, x -> "
                  f"cast(round(cast(x as double) * {self.scale}) as bigint))")
         self._codes = (
-            df.select(F.col(id_col), F.expr(qexpr).alias("__q"))
-            .withColumn("__codes", F.expr(self._encode_expr("__q")))
-            .select(F.col(id_col), "__codes")
+            spread_for_cpu(df)
+            .select(F.col(id_col),
+                    F.expr(self._encode_expr(qexpr)).alias("__codes"))
             .persist()
         )
         self._codes.count()
@@ -961,26 +979,40 @@ class IVFPQIndex:
                 "array(" + ", ".join(f"{c}L" for c in cw) + ")"
                 for cw in cb) + ")"
             for cb in self.codebooks)
+        # Every intermediate is LET-bound (1-element transform idiom —
+        # see PQIndex._encode_expr): plain withColumn aliases are NOT a
+        # CSE guarantee, CollapseProject re-inlines single-use aliases
+        # into the consuming lambda where the interpreted HOF evaluator
+        # re-runs them per element (the quantization would run 8x per
+        # row inside the centroid-distance lambda, the residual 128x
+        # inside the per-codeword lambda).
         qexpr = (f"transform({vec_col}, x -> "
                  f"cast(round(cast(x as double) * {self.scale}) as bigint))")
-        dists = (f"transform(array({coarse_lits}), c -> "
-                 f"aggregate(zip_with(__q, c, (x, y) -> (x-y)*(x-y)), 0L, "
-                 f"(acc, v) -> acc + v))")
+        dists = (f"transform(array(__q), qv -> "
+                 f"transform(array({coarse_lits}), c -> "
+                 f"aggregate(zip_with(qv, c, (x, y) -> (x-y)*(x-y)), 0L, "
+                 f"(acc, v) -> acc + v)))[0]")
+        lst = (f"transform(array(__dists), dd -> "
+               f"cast(array_position(dd, array_min(dd)) - 1 as int))[0]")
         res = (f"zip_with(__q, element_at(array({coarse_lits}), "
                f"__list + 1), (x, y) -> x - y)")
-        codes = (
-            f"zip_with(array({cbs}), sequence(0, {self.m - 1}), (cb, s) -> "
-            f"transform(array(transform(cb, c -> "
-            f"aggregate(zip_with(slice(__res, s * {sd} + 1, {sd}), c, "
-            f"(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v))), "
-            f"dd -> cast(array_position(dd, array_min(dd)) - 1 as int))[0])")
+        cdist = ("aggregate(zip_with(sub, c, (x, y) -> (x - y) * (x - y)), "
+                 "0L, (acc, v) -> acc + v)")
+        per_sub = (
+            f"transform(array(slice(rv, s * {sd} + 1, {sd})), sub -> "
+            f"transform(array(transform(cb, c -> {cdist})), "
+            f"dd -> cast(array_position(dd, array_min(dd)) - 1 as int))[0]"
+            f")[0]")
+        codes = (f"transform(array(__res), rv -> "
+                 f"zip_with(array({cbs}), sequence(0, {self.m - 1}), "
+                 f"(cb, s) -> {per_sub}))[0]")
         self._id_col = id_col
         self._src = df.select(F.col(id_col), F.col(vec_col))
         self._table = (
-            df.select(F.col(id_col), F.expr(qexpr).alias("__q"))
+            spread_for_cpu(df)
+            .select(F.col(id_col), F.expr(qexpr).alias("__q"))
             .withColumn("__dists", F.expr(dists))
-            .withColumn("__list", (F.expr(
-                "array_position(__dists, array_min(__dists))") - 1).cast("int"))
+            .withColumn("__list", F.expr(lst))
             .withColumn("__res", F.expr(res))
             .withColumn("__codes", F.expr(codes))
             .select(F.col(id_col), "__list", "__codes")
