@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .base import cheap_row_count
-from .dedup import QuantizedCosineDeduplicator
+from .dedup import QuantizedCosineDeduplicator, spread
 
 
 class CosineTopK:
@@ -73,18 +73,21 @@ def quantize_centroid(vec, scale: int = 1000) -> list[int]:
             * (1 if float(x) >= 0 else -1) for x in vec]
 
 
-def spread_for_cpu(df: DataFrame) -> DataFrame:
-    """Ensure a CPU-heavy map stage (HOF encode passes: ~2k interpreted
-    ops per row) gets the session's full parallelism: a small parquet
-    (one row-group) reads as a SINGLE partition, which would serialize
-    the encode on one core.  Repartitions only when the scan is
-    under-partitioned — at real scale the input already carries more
-    partitions than cores and this is a no-op (no shuffle added)."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+def collect_vectors(sample: DataFrame, id_col: str,
+                    vec_col: str = "__arr") -> list:
+    """id-ordered driver-side vector sample via Arrow ``toPandas`` —
+    ~2x faster than row ``collect()`` for array columns (no per-row
+    pickling), bit-identical float64 values, same deterministic order.
+    Shared by every bounded-sample trainer (IVF/PQ/IVFPQ/SemDeDup)."""
+    pdf = sample.orderBy(id_col).toPandas()
+    return [list(v) for v in pdf[vec_col]]
+
+
+# the PQ/IVFPQ encode passes are CPU-heavy (~2k interpreted HOF ops per
+# row): a single-row-group parquet reads as ONE partition, serializing
+# the encode on one core — spread() is a no-op at real scale where the
+# scan already carries more partitions than cores
+spread_for_cpu = spread
 
 
 class VectorNormalizer:
@@ -267,9 +270,8 @@ class IVFIndex:
             sample = arr.filter(F.expr(
                 f"conv(substring(md5(cast({id_col} as string)), 1, 8), 16, 10)"
                 f" % {mod} = 0"))
-        rows = sample.orderBy(id_col).collect()
         self.centroids_int = train_centroids(
-            [list(r["__arr"]) for r in rows], self.n_lists, scale=self.scale)
+            collect_vectors(sample, id_col), self.n_lists, scale=self.scale)
 
         self._id_col = id_col
         self._assigned = self._assign(df, id_col, vec_col).persist()
@@ -760,9 +762,8 @@ class PQIndex:
             sample = arr.filter(F.expr(
                 f"conv(substring(md5(cast({id_col} as string)), 1, 8), 16, 10)"
                 f" % {mod} = 0"))
-        rows = sample.orderBy(id_col).collect()
         self.codebooks = train_pq_codebooks(
-            [list(r["__arr"]) for r in rows], self.m, self.k_sub,
+            collect_vectors(sample, id_col), self.m, self.k_sub,
             scale=self.scale)
         self._id_col = id_col
         self._src = df.select(F.col(id_col), F.col(vec_col))
@@ -945,8 +946,7 @@ class IVFPQIndex:
             sample = arr.filter(F.expr(
                 f"conv(substring(md5(cast({id_col} as string)), 1, 8), 16, 10)"
                 f" % {mod} = 0"))
-        rows = sample.orderBy(id_col).collect()
-        vecs = [list(r["__arr"]) for r in rows]
+        vecs = collect_vectors(sample, id_col)
         self.coarse_int = train_centroids(vecs, self.n_lists,
                                           scale=self.scale)
         # residuals in the QUANTIZED-integer domain: q_int - centroid_int
