@@ -4047,7 +4047,10 @@ def q_corpus_curation(spark, sf_dir):
     (text_quality, text_langid, dedup_exact, shard_stats)."""
     from .sources import assign_shards
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread first: quality + langid are map-stage CPU over every doc,
+    # and the corpus file may carry fewer splits than cores (no-op at
+    # real scale; the dedup shuffle later redistributes regardless)
+    docs = dd.spread(_t(spark, sf_dir, "documents"))
     scored = tx.QualityScorer().transform(docs)
     lang = tx.LanguageIdentifier().transform(scored)
     kept = lang.filter((F.col("quality_score") >= 0.6)

@@ -48,11 +48,16 @@ class CountMinSketch:
 
     def build(self, df: DataFrame, col: str) -> DataFrame:
         """The sketch table: (__row, __col, __cnt), <= depth*width rows.
-        NULL keys are skipped (SQL aggregation convention)."""
+        NULL keys are skipped (SQL aggregation convention).  The input
+        is spread first: the depth md5 hashes per row are map-stage CPU
+        ahead of the (tiny) count shuffle, and a few-split file would
+        serialize them (no-op at real scale)."""
+        from .dedup import spread
+
         cells = ", ".join(
             f"named_struct('r', {i}, 'c', {self._cell(i, col)})"
             for i in range(self.depth))
-        return (df.filter(F.col(col).isNotNull())
+        return (spread(df).filter(F.col(col).isNotNull())
                 .select(F.explode(F.expr(f"array({cells})")).alias("__s"))
                 .groupBy(F.col("__s.r").alias("__row"),
                          F.col("__s.c").alias("__col"))

@@ -112,25 +112,29 @@ class LanguageIdentifier:
 
         df = spread(df)
         toks = f"split({self.text_col}, ' ')"
-        scores = {}
-        for lang, words in sorted(self.markers.items()):
-            lst = ", ".join(f"'{w}'" for w in words)
-            scores[lang] = F.expr(f"size(filter({toks}, x -> x in ({lst})))")
-        # argmax with alphabetical tie-break: fold over sorted langs,
-        # strictly-greater replaces — first (alphabetical) max wins.
-        pred = None
-        best = None
-        for lang in sorted(scores):
-            if pred is None:
-                pred, best = F.lit(lang), scores[lang]
-            else:
-                cond = scores[lang] > best
-                pred = F.when(cond, F.lit(lang)).otherwise(pred)
-                best = F.when(cond, scores[lang]).otherwise(best)
+        langs = sorted(self.markers)
         out = df
-        for lang in sorted(scores):
-            out = out.withColumn(f"score_{lang}", scores[lang].cast("long"))
-        return out.withColumn("pred_lang", pred)
+        for lang in langs:
+            lst = ", ".join(f"'{w}'" for w in self.markers[lang])
+            out = out.withColumn(
+                f"score_{lang}",
+                F.expr(f"size(filter({toks}, x -> x in ({lst})))")
+                .cast("long"))
+        # argmax with alphabetical tie-break: array_position returns the
+        # FIRST index of the max over the lang-sorted score array — the
+        # same winner as a strictly-greater-replaces fold.  The score
+        # array is LET-bound (1-element transform idiom) so each score
+        # column is referenced exactly once: the previous nested
+        # when-chain embedded every score expression O(L^2) times,
+        # which CollapseProject then re-inlined into downstream
+        # consumers (a fused quality->langid->filter plan re-ran the
+        # token filters ~30x per row — 11.6s -> 3.9s at sf1).
+        lang_lits = ", ".join(f"'{la}'" for la in langs)
+        score_cols = ", ".join(f"score_{la}" for la in langs)
+        pred = (f"transform(array(array({score_cols})), s -> "
+                f"element_at(array({lang_lits}), "
+                f"cast(array_position(s, array_max(s)) as int)))[0]")
+        return out.withColumn("pred_lang", F.expr(pred))
 
 
 #: PII patterns: ERE-only (no lookarounds/shorthand), portable across
@@ -564,11 +568,17 @@ class NgramScorer:
         return F.filter(F.split(text, r"\s+"), lambda w: w != "")
 
     def fit(self, df: DataFrame, col: str = "text") -> "NgramScorer":
+        from .dedup import spread
+
         # refit: release the previous fit's cached tables first so
         # repeated fits don't accumulate executor storage (ADVICE r4)
         for prev in (self.uni_, self.bi_):
             if prev is not None:
                 prev.unpersist()
+        # tokenize+explode happens in the map stage BEFORE the count
+        # shuffle redistributes: a single-row-group corpus file would
+        # serialize it on 1-2 cores (spread is a no-op at real scale)
+        df = spread(df)
         toks = df.select(F.explode(self._tokens(F.col(col))).alias("w"))
         self.uni_ = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
                      .persist())
@@ -586,8 +596,10 @@ class NgramScorer:
     def score(self, df: DataFrame, id_col: str = "doc_id",
               col: str = "text", out: str = "avg_logprob") -> DataFrame:
         assert self.uni_ is not None, "call fit first"
+        from .dedup import spread
         from .relational import maybe_broadcast
 
+        df = spread(df)          # bigram expansion is map-stage CPU
         t = self._tokens(F.col(col))
         pairs = F.arrays_zip(F.slice(t, 1, F.size(t) - 1).alias("w1"),
                              F.slice(t, 2, F.size(t) - 1).alias("w2"))
@@ -652,8 +664,10 @@ class BM25Retriever:
     def score(self, df: DataFrame) -> DataFrame:
         """(id, score) for every document matching >= 1 term, score
         rounded to 6 dp (deterministic across engines)."""
+        from .dedup import spread
         from .relational import maybe_broadcast
 
+        df = spread(df)          # per-term tf filters are map-stage CPU
         dl = F.size(F.split(F.col(self.text_col), " ")).cast("double")
         # NULL text must not enter the corpus statistics: Spark's
         # size(NULL) = -1 would poison N / avgdl / df with dl = tf = -1
