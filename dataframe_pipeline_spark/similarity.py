@@ -35,7 +35,8 @@ class CosineTopK:
         q = (f"transform({vec_col}, x -> "
              f"cast(round(cast(x as double) * {self.scale}) as bigint))")
         return (
-            df.select(F.col(id_col).alias(id_col), F.expr(q).alias("__q"))
+            spread(df)   # per-row dot products are map-stage CPU
+            .select(F.col(id_col).alias(id_col), F.expr(q).alias("__q"))
             .withColumn("__nrm",
                         F.expr("sqrt(aggregate(__q, 0L, (acc, x) -> acc + x*x))"))
         )
@@ -117,7 +118,7 @@ class VectorNormalizer:
         body = ("transform(array(sqrt(aggregate(q, 0L, (acc, x) -> "
                 "acc + x*x))), nrm -> "
                 "transform(q, x -> round(x / nrm, 6)))[0]")
-        return df.withColumn(
+        return spread(df).withColumn(
             out_col, F.expr(f"transform(array({q}), q -> {body})[0]"))
 
 
@@ -167,7 +168,7 @@ class RandomProjector:
             + "), (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
             for w in self.planes)
         bound = F.expr(f"transform(array({q}), q -> array({dots}))[0]")
-        out = df.withColumn("__dfp_proj", bound)
+        out = spread(df).withColumn("__dfp_proj", bound)
         out = out.withColumns({
             f"{prefix}{j}": F.col("__dfp_proj")[j]
             for j in range(self.out_dim)})

@@ -99,9 +99,12 @@ def test_random_projector_matches_numpy(spark):
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     rp = RandomProjector(in_dim=64, out_dim=4, seed=7)
+    # select by key, not limit(): transform spreads (repartitions) its
+    # input, so limit's row sample would differ between the two frames
     got = {r.vec_id: [r.proj_0, r.proj_1, r.proj_2, r.proj_3]
-           for r in rp.transform(emb).limit(50).collect()}
-    src = {r.vec_id: r.embedding for r in emb.limit(50).collect()}
+           for r in rp.transform(emb).filter("vec_id < 50").collect()}
+    src = {r.vec_id: r.embedding
+           for r in emb.filter("vec_id < 50").collect()}
     planes = np.array(rp.planes, dtype=np.int64)
     for vid, vec in src.items():
         q = np.array([int(np.floor(abs(float(x)) * 1000 + 0.5))
