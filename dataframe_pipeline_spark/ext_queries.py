@@ -1563,7 +1563,7 @@ def q_multimodal_gif_roundtrip(spark, sf_dir):
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
 
-    enc = docs.mapInPandas(encode, schema=StructType([
+    enc = dd.spread(docs).mapInPandas(encode, schema=StructType([
         StructField("doc_id", LongType()),
         StructField("payload", BinaryType())]))
     enc = (enc.withColumn("n_bytes", F.octet_length("payload").cast("long"))
@@ -1619,7 +1619,7 @@ def q_multimodal_gif_frames(spark, sf_dir):
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
 
-    enc = docs.mapInPandas(encode, schema=StructType([
+    enc = dd.spread(docs).mapInPandas(encode, schema=StructType([
         StructField("doc_id", LongType()),
         StructField("payload", BinaryType())]))
     sampled = (mm.VideoFrameSampler(stride=2).transform(enc)

@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import spread
+
 #: Output schema of the decode stage (what a real image decoder yields).
 DECODE_SCHEMA = (
     "doc_id bigint, n_bytes long, digest string, "
@@ -476,7 +478,9 @@ class Resizer:
 
         cols = df if "payload" in df.columns else with_payload_metadata(
             df, id_col=id_col)
-        return cols.mapInPandas(kernel, schema=schema)
+        # spread: the Python codec kernel is the whole cost; a few-split
+        # file would serialize it on 1-2 cores (no-op at real scale)
+        return spread(cols).mapInPandas(kernel, schema=schema)
 
 
 class AudioFeatureExtractor:
@@ -512,7 +516,9 @@ class AudioFeatureExtractor:
 
         cols = df if "payload" in df.columns else with_payload_metadata(
             df, id_col=id_col)
-        return cols.mapInPandas(kernel, schema=AUDIO_SCHEMA)
+        # spread: the Python codec kernel is the whole cost; a few-split
+        # file would serialize it on 1-2 cores (no-op at real scale)
+        return spread(cols).mapInPandas(kernel, schema=AUDIO_SCHEMA)
 
 
 class FakeResizer:
@@ -543,7 +549,9 @@ class FakeResizer:
                 })
 
         cols = df if "payload" in df.columns else with_payload_metadata(df, id_col=id_col)
-        return cols.mapInPandas(kernel, schema=schema)
+        # spread: the Python codec kernel is the whole cost; a few-split
+        # file would serialize it on 1-2 cores (no-op at real scale)
+        return spread(cols).mapInPandas(kernel, schema=schema)
 
 
 class FakeFrameSampler:
@@ -576,7 +584,9 @@ class FakeFrameSampler:
                                     "frame": frames})
 
         cols = df if "payload" in df.columns else with_payload_metadata(df, id_col=id_col)
-        return cols.mapInPandas(kernel, schema=schema)
+        # spread: the Python codec kernel is the whole cost; a few-split
+        # file would serialize it on 1-2 cores (no-op at real scale)
+        return spread(cols).mapInPandas(kernel, schema=schema)
 
 
 class VideoFrameSampler:
@@ -646,7 +656,9 @@ class VideoFrameSampler:
                     "frame": frames})
 
         cols = df if "payload" in df.columns else with_payload_metadata(df, id_col=id_col)
-        return cols.mapInPandas(kernel, schema=schema)
+        # spread: the Python codec kernel is the whole cost; a few-split
+        # file would serialize it on 1-2 cores (no-op at real scale)
+        return spread(cols).mapInPandas(kernel, schema=schema)
 
 
 class FakeImageDecoder:
@@ -675,7 +687,9 @@ class FakeImageDecoder:
                 })
 
         cols = with_payload_metadata(df, id_col=id_col) if "payload" not in df.columns else df
-        return cols.mapInPandas(decode, schema=DECODE_SCHEMA)
+        # spread: the Python codec kernel is the whole cost; a few-split
+        # file would serialize it on 1-2 cores (no-op at real scale)
+        return spread(cols).mapInPandas(decode, schema=DECODE_SCHEMA)
 
 
 class ImageDecoder:
@@ -737,4 +751,6 @@ class ImageDecoder:
         schema = DECODE_SCHEMA if not kept else (
             f"{self.id_col} bigint, {kept}, n_bytes bigint, digest string, "
             "width int, height int, mean_pixel double")
-        return cols.mapInPandas(decode, schema=schema)
+        # spread: the Python codec kernel is the whole cost; a few-split
+        # file would serialize it on 1-2 cores (no-op at real scale)
+        return spread(cols).mapInPandas(decode, schema=schema)
