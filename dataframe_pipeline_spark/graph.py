@@ -40,11 +40,15 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     edge join (redistribution needs an extra global aggregate per
     step).
 
-    Plan per iteration: edges ⋈ pr on src (shuffle keyed by node id) →
-    groupBy dst (partial-aggregatable sum) → left join back to the
-    node set for zero-indegree nodes.  State per node is ONE double;
-    duplicate edges are deduplicated up front so multi-edges don't
-    double-count.
+    Plan per iteration: degree-annotated edges LEFT-joined to the
+    previous iteration's SPARSE contribution table (only nodes with
+    indegree > 0 carry state; a source with no entry reads as the base
+    rank inline — ``pr_t(u) = (1-d) + d*coalesce(c_t(u), 0)`` is the
+    identical double for every node, so no per-iteration join back to
+    the full node set is needed) → groupBy dst (partial-aggregatable
+    sum).  The full node set is joined exactly once, at the end, to
+    emit zero-indegree nodes.  State per node is ONE double; duplicate
+    edges are deduplicated up front so multi-edges don't double-count.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -58,17 +62,25 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
              .persist(StorageLevel.MEMORY_AND_DISK))
     nodes.count()
     deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    ew = e.join(deg, "__s")            # static across iterations
     base = F.lit(1.0 - damping)
-    pr = nodes.withColumn("pr", F.lit(1.0))
+    d = F.lit(damping)
+
+    def rank(c_col):
+        # pr_t(u) from the sparse contribution column: bit-identical to
+        # the dense formulation for both present and absent nodes
+        return base + d * F.coalesce(c_col, F.lit(0.0))
+
+    contrib = None                     # iteration 0: every pr_0 = 1.0
     for i in range(iters):
-        contrib = (e.join(pr, e["__s"] == pr["id"])
-                   .join(deg, "__s")
-                   .groupBy(F.col("__d").alias("id"))
+        if contrib is None:
+            joined = ew.withColumn("pr", F.lit(1.0))
+        else:
+            joined = (ew.join(contrib, ew["__s"] == contrib["id"], "left")
+                      .withColumn("pr", rank(F.col("__c"))))
+        contrib = (joined.groupBy(F.col("__d").alias("id"))
                    .agg(F.sum(F.col("pr") / F.col("__deg")).alias("__c")))
-        pr = (nodes.join(contrib, "id", "left")
-              .select("id",
-                      (base + F.lit(damping) * F.coalesce("__c", F.lit(0.0))
-                       ).alias("pr")))
         if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iters:
-            pr = pr.localCheckpoint()
-    return pr
+            contrib = contrib.localCheckpoint()
+    return (nodes.join(contrib, "id", "left")
+            .select("id", rank(F.col("__c")).alias("pr")))
