@@ -15,7 +15,8 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dataframe_pipeline_spark.session import get_spark  # noqa: E402
-from dataframe_pipeline_spark.similarity import IVFIndex  # noqa: E402
+from dataframe_pipeline_spark.similarity import (IVFIndex,  # noqa: E402
+                                                 PQIndex)
 
 SF = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
     "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -45,6 +46,17 @@ def main():
         print(f"[ann_index] probe partition filter: "
               f"...{pruned[pruned.find('PartitionFilters'):][:60]}...")
         hits.show()
+
+        # 4. the COMPRESSED deploy shape (r7): PQ codes are 8 small
+        #    ints per vector (~3 TB for 100 TB of raw embeddings); the
+        #    persisted index holds ONLY codebooks + codes — search
+        #    after reload never touches the raw vectors
+        pq = PQIndex(k=5, m=8, k_sub=16).fit(emb)
+        pq_path = f"{tmp}/pq"
+        pq.write(pq_path)
+        compressed = PQIndex.read(spark, pq_path)
+        print("[ann_index] PQ ADC top-5 from the reloaded codes table:")
+        compressed.search_vec(qvec, id_col="vec_id", exclude_id=0).show()
     spark.stop()
 
 
