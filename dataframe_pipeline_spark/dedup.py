@@ -605,8 +605,12 @@ class QuantizedCosineDeduplicator:
         return w
 
     def _quant(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        # spread here (idempotent with callers that already did): the
+        # quantize + hyperplane-sign pass is map-stage CPU and re-runs
+        # whenever an unpersisted bucketized table is recomputed
         q = f"transform({vec_col}, x -> cast(round(cast(x as double) * {self.scale}) as bigint))"
-        out = df.select(F.col(id_col).alias("__id"), F.expr(q).alias("__q"))
+        out = spread(df).select(F.col(id_col).alias("__id"),
+                                F.expr(q).alias("__q"))
         return out.withColumn(
             "__nrm", F.expr("sqrt(aggregate(__q, 0L, (acc, x) -> acc + x*x))")
         )

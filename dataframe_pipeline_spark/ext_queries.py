@@ -667,13 +667,29 @@ LIMIT 10
 """
 
 
+_IVF_FIT_MEMO: dict = {}
+
+
+def _ivf_fitted(spark, sf_dir) -> "sim.IVFIndex":
+    """ONE fitted IVFIndex(k=5, n_lists=8, n_probe=2) per (session,
+    sf_dir), shared by the three queries that fit identical parameters
+    on the full corpus — the fit-once-search-many deployment shape
+    (same rationale and keying as the PQ family's ``_pq_fitted``)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _IVF_FIT_MEMO.get(key)
+    if idx is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        idx = sim.IVFIndex(k=5, n_lists=8, n_probe=2).fit(emb)
+        _IVF_FIT_MEMO[key] = idx
+    return idx
+
+
 def q_sim_ann_ivf(spark, sf_dir):
     """IVF coarse-quantizer ANN — deterministic sample-trained cells,
     n_probe-cell search.  The oracle is *generated* from the identical
     trainer (``_sql_sim_ann_ivf``): the fitted integer centroids become
     SQL literals, so assignment / probe / cosine replay exactly."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return sim.IVFIndex(k=5, n_lists=8, n_probe=2).fit(emb).search(query_id=0)
+    return _ivf_fitted(spark, sf_dir).search(query_id=0)
 
 
 def _sql_sim_ann_ivf(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
@@ -769,9 +785,8 @@ def q_sim_ann_ivf_persisted(spark, sf_dir):
     in-session index, so it shares sim_ann_ivf's generated oracle.  The
     reloaded probe carries a ``__list IN (...)`` partition filter — at
     scale it scans n_probe/n_lists of the data (plan-asserted in
-    test_plans.py)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    idx = sim.IVFIndex(k=5, n_lists=8, n_probe=2).fit(emb)
+    test_plans.py).  Shares the memoized fit (_ivf_fitted)."""
+    idx = _ivf_fitted(spark, sf_dir)
     path = _ivf_scratch_dir()
     idx.write(path)
     return sim.IVFIndex.read(spark, path).search(query_id=0)
@@ -784,7 +799,7 @@ def q_sim_ann_ivf_batch(spark, sf_dir):
     exploded and equi-joined against the cell table, rank-limit top-k.
     No per-query driver round-trips."""
     emb = _t(spark, sf_dir, "embeddings")
-    idx = sim.IVFIndex(k=5, n_lists=8, n_probe=2).fit(emb)
+    idx = _ivf_fitted(spark, sf_dir)
     queries = (emb.filter(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("qid"), "embedding"))
     return idx.search_batch(queries, q_id_col="qid",

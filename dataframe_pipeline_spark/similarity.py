@@ -290,16 +290,23 @@ class IVFIndex:
             for cj in self.centroids_int)
         qexpr = (f"transform({vec_col}, x -> "
                  f"cast(round(cast(x as double) * {self.scale}) as bigint))")
-        dists = (f"transform(array({cent_lits}), c -> "
-                 f"aggregate(zip_with(__q, c, (x, y) -> (x-y)*(x-y)), 0L, "
-                 f"(acc, v) -> acc + v))")
+        # LET-bind __q inside the centroid-distance lambda and __dists
+        # inside the argmin (see PQIndex._encode_expr: withColumn
+        # aliases are not a CSE guarantee against CollapseProject), and
+        # spread the scan — the assignment is the CPU-heavy map pass
+        # that re-runs whenever the cell table is recomputed.
+        dists = (f"transform(array(__q), qv -> "
+                 f"transform(array({cent_lits}), c -> "
+                 f"aggregate(zip_with(qv, c, (x, y) -> (x-y)*(x-y)), 0L, "
+                 f"(acc, v) -> acc + v)))[0]")
+        lst = ("transform(array(__dists), dd -> "
+               "cast(array_position(dd, array_min(dd)) - 1 as int))[0]")
         return (
-            df.select(F.col(id_col), F.expr(qexpr).alias("__q"))
+            spread(df).select(F.col(id_col), F.expr(qexpr).alias("__q"))
             .withColumn("__nrm", F.expr(
                 "sqrt(aggregate(__q, 0L, (acc, x) -> acc + x*x))"))
             .withColumn("__dists", F.expr(dists))
-            .withColumn("__list", (F.expr(
-                "array_position(__dists, array_min(__dists))") - 1).cast("int"))
+            .withColumn("__list", F.expr(lst))
             .drop("__dists")
         )
 
