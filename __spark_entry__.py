@@ -40,6 +40,7 @@ except ImportError:
 # (scripts/check_oracle.py at sf0.01).
 _NEVER_CHECKED_FIRST = [
     "sim_ann_pq_persisted",         # NEW r7: never driver-checked
+    "decontaminate_semantic",       # NEW r7: never driver-checked
     # r7 changed these queries' code/oracle — re-verify before the
     # stale rotation: Q12 oracle dtype cast, PQ encode hoist, IVFPQ
     # vectorized residual prep, BM25 null filter, unigram whitespace

@@ -119,9 +119,11 @@ R6_EXTRAS = [
 ]
 
 #: Round-7 tier: persisted-PQ retrieval (search-without-refit as the
-#: measured deployment shape) — timed under "queries_r7", NOT summed.
+#: measured deployment shape) and cross-corpus semantic
+#: decontamination — timed under "queries_r7", NOT summed.
 R7_EXTRAS = [
     "sim_ann_pq_persisted",
+    "decontaminate_semantic",
 ]
 
 EXT_HEADLINE = [

@@ -802,6 +802,85 @@ class SemanticDeduplicator:
         return df.join(flagged, id_col, "left_anti")
 
 
+class SemanticContaminationChecker:
+    """Cross-corpus EMBEDDING decontamination: flag training documents
+    whose embedding is a semantic near-duplicate of ANY benchmark/eval
+    item — the embedding-level complement of the n-gram
+    :class:`~.text.ContaminationChecker` (paraphrased leakage passes an
+    n-gram screen; it does not pass a cosine screen).
+
+    Shape (the 100 TB story): the benchmark side is SMALL by
+    construction (eval sets are thousands of items, not billions), so
+
+      * ``fit`` trains the k-means bucketing ON THE BENCHMARK (same
+        deterministic sample + numpy Lloyd's as SemanticDeduplicator)
+        and materializes the quantized, cluster-assigned benchmark
+        table — a few-thousand-row frame;
+      * ``flag`` assigns each corpus row to its benchmark cluster in
+        ONE map-only codegen pass over centroid literals and
+        broadcast-joins the benchmark table on the cluster id — the
+        corpus is SCANNED ONCE and never shuffled before the screen;
+        per corpus row only same-cluster benchmark items are
+        cosine-checked, and the only shuffle anywhere is the final
+        per-id aggregate over rows that PASSED the screen (map-side
+        combined, so it carries at most one row per flagged id per
+        partition).
+
+    Determinism contract as everywhere in this module: integer
+    quantized vectors, exact integer dot products, 6-dp rounded
+    cosines — the generated SQL oracle replays clusters and decisions
+    bit-for-bit.
+    """
+
+    def __init__(self, threshold: float = 0.2,
+                 n_clusters: int | str = 8,
+                 scale: int = 1000, max_train: int = 65536):
+        self._sd = SemanticDeduplicator(
+            threshold=threshold, n_clusters=n_clusters,
+            scale=scale, max_train=max_train)
+        self.threshold = threshold
+        self._bench = None           # DataFrame(__bid, __bq, __bnrm, __cluster)
+
+    def fit(self, benchmark: DataFrame, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> "SemanticContaminationChecker":
+        """Train the bucketing on the benchmark and cache its quantized
+        cluster-assigned table (the broadcast side)."""
+        self._sd.fit(benchmark, id_col, vec_col)
+        self._bench = (
+            self._sd.assign(benchmark, id_col, vec_col)
+            .select(F.col(id_col).alias("__bid"),
+                    F.col("__q").alias("__bq"),
+                    F.col("__nrm").alias("__bnrm"),
+                    "__cluster")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        self._bench.count()
+        return self
+
+    def flag(self, corpus: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+        """(id, n_matches, max_cosine) for every corpus item with a
+        same-cluster benchmark neighbor at ``cos >= threshold``."""
+        assert self._bench is not None, "call fit first"
+        ca = self._sd.assign(spread(corpus), id_col, vec_col)
+        dot = ("aggregate(zip_with(__q, __bq, (x, y) -> x*y), 0L, "
+               "(acc, v) -> acc + v)")
+        cos = F.round(F.expr(dot) / (F.col("__nrm") * F.col("__bnrm")), 6)
+        return (
+            ca.join(F.broadcast(self._bench), "__cluster")
+            .withColumn("__cos", cos)
+            .filter(F.col("__cos") >= self.threshold)
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_matches"),
+                 F.max("__cos").alias("max_cosine"))
+        )
+
+    def decontaminate(self, corpus: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+        """The corpus minus flagged items (left-anti on the flag set)."""
+        flagged = self.flag(corpus, id_col, vec_col).select(id_col)
+        return corpus.join(flagged, id_col, "left_anti")
+
+
 class RecordLinker:
     """Entity resolution over STRUCTURED records — the record-linkage
     counterpart of this module's document deduplicators: find pairs of

@@ -466,6 +466,83 @@ WHERE ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
 """
 
 
+def q_decontaminate_semantic(spark, sf_dir):
+    """Cross-corpus EMBEDDING decontamination (r7,
+    dedup.SemanticContaminationChecker): treat every 10th embedding as
+    the benchmark/eval set, flag training items whose cosine to ANY
+    same-cluster benchmark item is >= 0.2 — the embedding-level
+    complement of text_contamination (paraphrased leakage passes an
+    n-gram screen but not a cosine screen).  The k-means bucketing is
+    fitted ON the benchmark; the corpus is scanned once, map-assigned
+    against centroid literals, and broadcast-joined to the tiny
+    benchmark table — the 100 TB side never shuffles before the
+    screen (only flagged matches enter the final per-id aggregate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    chk = dd.SemanticContaminationChecker(threshold=0.2, n_clusters=8)
+    return chk.fit(bench).flag(corpus)
+
+
+def _sql_decontaminate_semantic(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """Generated oracle: replay the deterministic trainer on the
+    BENCHMARK subset (vec_id % 10 = 0 — corpus rows never influence the
+    fitted buckets), then replicate in SQL: quantization, assignment of
+    BOTH sides against the centroid literals (first-occurrence argmin),
+    the cluster-keyed bench x corpus join, the 6-dp integer cosine
+    screen, and the per-corpus-item aggregate."""
+    import hashlib
+    import os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    from dataframe_pipeline_spark.similarity import train_centroids
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) "
+        f"FROM '{path}' WHERE vec_id % 10 = 0 ORDER BY vec_id").fetchall()
+    con.close()
+    max_train = 65536
+    if len(rows) > max_train:
+        mod = -(-len(rows) // max_train)
+        rows = [r for r in rows if int(hashlib.md5(
+            str(int(r[0])).encode()).hexdigest()[:8], 16) % mod == 0]
+    cents = train_centroids([list(r[1]) for r in rows], 8)
+    cent_lits = ", ".join(
+        "[" + ", ".join(str(c) for c in cj) + "]" for cj in cents)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (
+  SELECT vec_id, q,
+         sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS nrm,
+         list_transform([{cent_lits}], c ->
+             list_sum(list_transform(generate_series(1, 64),
+                 i -> (q[i]-c[i])*(q[i]-c[i])))) AS d
+  FROM q),
+asg AS (
+  SELECT vec_id, q, nrm,
+         CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS cl
+  FROM n)
+SELECT c.vec_id, count(*) AS n_matches,
+       max(ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
+               i -> c.q[i] * b.q[i])) AS DOUBLE) / (c.nrm * b.nrm), 6))
+         AS max_cosine
+FROM asg c JOIN asg b
+  ON c.cl = b.cl
+ AND c.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+WHERE ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
+          i -> c.q[i] * b.q[i])) AS DOUBLE) / (c.nrm * b.nrm), 6) >= 0.2
+GROUP BY c.vec_id
+"""
+
+
 def q_cluster_embeddings(spark, sf_dir):
     """K-means corpus clustering profile (r6): the deterministic
     trainer behind IVF/SemDeDup exposed as a first-class op — assign
@@ -4507,6 +4584,8 @@ EXT_QUERIES = {
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
     "dedup_simhash_capped": (q_dedup_simhash_capped, _sql_simhash_capped()),
     "dedup_semantic": (q_dedup_semantic, _sql_dedup_semantic),
+    "decontaminate_semantic": (q_decontaminate_semantic,
+                               _sql_decontaminate_semantic),
     "cluster_embeddings": (q_cluster_embeddings, _sql_cluster_embeddings),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, _sql_embedding_cosine()),
     "dedup_embedding_auto": (q_dedup_embedding_auto, _sql_embedding_cosine_auto),

@@ -488,3 +488,76 @@ def test_substring_no_pair_join_in_plan(span_docs):
 def test_substring_k_guard():
     with pytest.raises(ValueError):
         dd.SubstringDeduplicator(k=1)
+
+
+def test_semantic_contamination_matches_python_replay(spark):
+    """flag() equals a pure-Python replay: same benchmark-fitted
+    clusters, same-cluster cosine screen, per-id count/max."""
+    from dataframe_pipeline_spark.dedup import SemanticContaminationChecker
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bench = emb.filter("vec_id % 10 = 0")
+    corpus = emb.filter("vec_id % 10 <> 0")
+    chk = SemanticContaminationChecker(threshold=0.2, n_clusters=8)
+    chk.fit(bench)
+    got = {r["vec_id"]: (r["n_matches"], r["max_cosine"])
+           for r in chk.flag(corpus).collect()}
+
+    # python replay from the fitted integer centroids
+    def quant(v):
+        import math
+        return [int(math.floor(abs(float(x)) * 1000 + 0.5))
+                * (1 if float(x) >= 0 else -1) for x in v]
+
+    def assign(q):
+        d = [(sum((x - c) ** 2 for x, c in zip(q, cj)), j)
+             for j, cj in enumerate(chk._sd.centroids_int)]
+        return min(d)[1]
+
+    rows = {r["vec_id"]: quant(r["embedding"]) for r in emb.collect()}
+    import math
+    want = {}
+    bench_ids = [i for i in rows if i % 10 == 0]
+    for cid, cq in rows.items():
+        if cid % 10 == 0:
+            continue
+        cl, cn = assign(cq), math.sqrt(sum(x * x for x in cq))
+        hits = []
+        for bid in bench_ids:
+            bq = rows[bid]
+            if assign(bq) != cl:
+                continue
+            cos = round(sum(x * y for x, y in zip(cq, bq))
+                        / (cn * math.sqrt(sum(x * x for x in bq))), 6)
+            if cos >= 0.2:
+                hits.append(cos)
+        if hits:
+            want[cid] = (len(hits), max(hits))
+    assert got == want and len(got) > 0
+
+
+def test_semantic_contamination_decontaminate_and_plan(spark):
+    from dataframe_pipeline_spark.dedup import SemanticContaminationChecker
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bench = emb.filter("vec_id % 10 = 0")
+    corpus = emb.filter("vec_id % 10 <> 0")
+    chk = SemanticContaminationChecker(threshold=0.2, n_clusters=8).fit(bench)
+    flagged = {r["vec_id"] for r in chk.flag(corpus).collect()}
+    kept = {r["vec_id"] for r in chk.decontaminate(corpus).collect()}
+    all_ids = {r["vec_id"] for r in corpus.collect()}
+    assert kept == all_ids - flagged
+    # the benchmark side broadcasts; the corpus side never nested-loops
+    plan = chk.flag(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_semantic_contamination_guard(spark):
+    from dataframe_pipeline_spark.dedup import SemanticContaminationChecker
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(AssertionError):
+        SemanticContaminationChecker().flag(emb)
