@@ -124,6 +124,7 @@ R6_EXTRAS = [
 R7_EXTRAS = [
     "sim_ann_pq_persisted",
     "decontaminate_semantic",
+    "curriculum_buckets",
 ]
 
 EXT_HEADLINE = [

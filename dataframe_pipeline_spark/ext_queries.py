@@ -3848,6 +3848,43 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_curriculum_buckets(spark, sf_dir):
+    """Perplexity-bucketed curriculum assignment (r7): score every
+    document under the corpus bigram LM (text.NgramScorer — the
+    perplexity proxy), then quartile-bin the scores with EXACT
+    interpolated boundaries (operators.QuantileBinner on the
+    bracket-and-refine percentile tier) — the prep step for
+    easy-to-hard curriculum ordering / difficulty-stratified sampling
+    of training data.  One composed lazy plan: LM fit (two keyed count
+    shuffles) → score (bigram explode + broadcast count joins) →
+    bin-boundary fit (two bounded agg jobs) → map-only bin assignment."""
+    from .operators.quantile_binner import QuantileBinner
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = tx.NgramScorer(k=1.0).fit(docs, "text") \
+        .score(docs, "doc_id", "text")
+    qb = QuantileBinner(inputs=["avg_logprob"], outputs=["lm_bucket"],
+                        n_bins=4)
+    return (qb.fit_transform(scored)
+            .select("doc_id", "avg_logprob", "lm_bucket"))
+
+
+_SQL_LM_SCORED_CTE = SQL_TEXT_LM_SCORE.strip().rstrip()
+
+SQL_CURRICULUM_BUCKETS = rf"""
+WITH lm AS ({_SQL_LM_SCORED_CTE}),
+b AS (
+  SELECT quantile_cont(avg_logprob, 0.25) AS q1,
+         quantile_cont(avg_logprob, 0.50) AS q2,
+         quantile_cont(avg_logprob, 0.75) AS q3
+  FROM lm)
+SELECT doc_id, avg_logprob,
+       CAST((avg_logprob > q1)::INT + (avg_logprob > q2)::INT
+            + (avg_logprob > q3)::INT AS INT) AS lm_bucket
+FROM lm, b
+"""
+
+
 _BPE_MERGES = 12
 
 
@@ -4533,6 +4570,7 @@ EXT_QUERIES = {
     "shard_layout": (q_shard_layout, SQL_SHARD_LAYOUT),
     "expect_orders": (q_expect_orders, SQL_EXPECT_ORDERS),
     "text_lm_score": (q_text_lm_score, SQL_TEXT_LM_SCORE),
+    "curriculum_buckets": (q_curriculum_buckets, SQL_CURRICULUM_BUCKETS),
     "drift_orders": (q_drift_orders, SQL_DRIFT_ORDERS),
     "text_bpe_merges": (q_text_bpe_merges, _sql_bpe_merges),
     "text_bpe_tokens": (q_text_bpe_tokens, _sql_bpe_tokens),
