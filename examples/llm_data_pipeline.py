@@ -49,12 +49,21 @@ def main():
     n2 = deduped.count()
 
     # 4. decontaminate: drop docs sharing any 3-gram with the
-    #    'benchmark' set (here: every 50th doc plays the eval set)
+    #    'benchmark' set (here: every 50th doc plays the eval set) —
+    #    AND docs whose EMBEDDING near-dups a benchmark item (r7:
+    #    paraphrased leakage passes the n-gram screen, not the cosine
+    #    screen; the corpus side never shuffles before the screen)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     contaminated = tx.ContaminationChecker(n=3).flag(
         deduped.filter(F.col("doc_id") % 50 != 0), bench) \
         .select("doc_id")
     clean = deduped.join(contaminated, "doc_id", "left_anti")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sem = dd.SemanticContaminationChecker(threshold=0.35, n_clusters=8) \
+        .fit(emb.filter(F.col("vec_id") % 50 == 0))
+    sem_flagged = (sem.flag(emb.filter(F.col("vec_id") % 50 != 0))
+                   .select(F.col("vec_id").alias("doc_id")))
+    clean = clean.join(sem_flagged, "doc_id", "left_anti")
     n3 = clean.count()
 
     # 5. domain mix: per-language keep rates (content-addressed, so the
