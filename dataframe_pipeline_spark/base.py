@@ -348,6 +348,14 @@ def exact_percentiles(df: DataFrame, cols, qs_per_col,
             kk = idx - lt
             if kk < 0:
                 raise IndexError
+            if lo == hi:
+                # degenerate bracket (both approx points returned the
+                # same data value): el and eh counted the SAME rows, so
+                # only ranks [lt, lt+el) are covered — anything beyond
+                # must fall back, NOT silently map into the eh block
+                if kk < el:
+                    return lo
+                raise IndexError
             if kk < el:
                 return lo
             kk -= el
@@ -364,7 +372,14 @@ def exact_percentiles(df: DataFrame, cols, qs_per_col,
                 out[i][j] = v_l
             else:
                 v_h = float(stat(h_idx))
-                out[i][j] = v_l * (h_idx - pos) + v_h * (pos - l_idx)
+                # Spark's Percentile short-circuits when both ranks
+                # fall on the same DISTINCT value (its counts-map
+                # lerp would otherwise be v*(h-p) + v*(p-l), which is
+                # not bit-equal to v) — replicate exactly
+                if v_h == v_l:
+                    out[i][j] = v_l
+                else:
+                    out[i][j] = v_l * (h_idx - pos) + v_h * (pos - l_idx)
         except IndexError:
             fallback_cols.add(i)
 

@@ -230,3 +230,26 @@ def test_local_rows_df_matches_createdataframe_property(spark, rows):
         return out
 
     assert norm(got) == norm(exp)
+
+
+@given(xs=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                             allow_nan=False),
+                   min_size=1, max_size=40),
+       qs=st.lists(st.floats(min_value=0.0, max_value=1.0),
+                   min_size=1, max_size=4))
+@SET
+def test_exact_percentiles_matches_percentile(spark, xs, qs):
+    """base.exact_percentiles must equal Spark's exact percentile()
+    bit-for-bit on arbitrary data and quantile points — including
+    duplicate-heavy lists and q on the 0/1 boundaries."""
+    from pyspark.sql import functions as F
+
+    from dataframe_pipeline_spark.base import exact_percentiles
+
+    # duplicate-heavy variant: repeat the first value many times
+    data = xs + [xs[0]] * 15
+    sdf = spark.createDataFrame(pd.DataFrame({"x": data}))
+    got = exact_percentiles(sdf, [F.col("x")], [list(qs)])[0]
+    want = [float(v) for v in sdf.agg(F.percentile(
+        "x", F.array(*[F.lit(q) for q in qs]))).collect()[0][0]]
+    assert got == want
