@@ -31,19 +31,20 @@ except ImportError:
 # Queries with the STALEST driver check enumerate FIRST, so the
 # driver's 50-query correctness sampler lands on them instead of on the
 # freshly-verified tail.  Coverage math as of round 7: the registry is
-# 177 queries; the union of CORRECTNESS_r01..r06 covers 174 of them
-# (everything except the three new r7 queries listed first); r6
+# 178 queries; the union of CORRECTNESS_r01..r06 covers 174 of them
+# (everything except the four new r7 queries listed first); r6
 # re-verified 50, leaving 124 whose latest driver check is r5 or older
 # — those are listed below oldest-round-first (r≤3 block, then r4,
 # then r5), so each round's 50-sample rotates the stalest slice back
 # onto a fresh cadence.  Everything is also locally verified each
 # round regardless (scripts/check_oracle.py at sf0.01 — r7 ran the
-# FULL registry: 175/175 then-registered queries hash-green, plus the
-# three new queries checked on landing).
+# FULL registry: 177/177 then-registered queries hash-green, plus each
+# new query checked on landing).
 _NEVER_CHECKED_FIRST = [
     "sim_ann_pq_persisted",         # NEW r7: never driver-checked
     "decontaminate_semantic",       # NEW r7: never driver-checked
     "curriculum_buckets",           # NEW r7: never driver-checked
+    "sample_fixed_k",               # NEW r7: never driver-checked
     # r7 changed these queries' code/oracle — re-verify before the
     # stale rotation: Q12 oracle dtype cast, PQ encode hoist, IVFPQ
     # vectorized residual prep, BM25 null filter, unigram whitespace

@@ -125,6 +125,7 @@ R7_EXTRAS = [
     "sim_ann_pq_persisted",
     "decontaminate_semantic",
     "curriculum_buckets",
+    "sample_fixed_k",
 ]
 
 EXT_HEADLINE = [

@@ -1566,6 +1566,27 @@ WHERE (('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT)
 """
 
 
+def q_sample_fixed_k(spark, sf_dir):
+    """EXACTLY-k deterministic uniform sample (r7, sources.fixed_sample):
+    the 200 documents whose md5(doc_id) ranks lowest — a reservoir-
+    sampling replacement whose kept set is a pure function of the data
+    (rerun/partitioning/cluster-size independent) and nested for
+    growing k.  Compiles to TakeOrderedAndProject: per-partition
+    k-heaps + a k-row driver merge, never a global sort."""
+    from .sources import fixed_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return fixed_sample(docs, key="doc_id", k=200).select("doc_id", "source")
+
+
+SQL_SAMPLE_FIXED_K = """
+SELECT doc_id, source
+FROM documents
+ORDER BY md5(doc_id::VARCHAR), doc_id
+LIMIT 200
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (tx.Fingerprinter().transform(docs)
@@ -4656,6 +4677,7 @@ EXT_QUERIES = {
     "text_chunk": (q_text_chunk, SQL_TEXT_CHUNK),
     "text_pack": (q_text_pack, SQL_TEXT_PACK),
     "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
+    "sample_fixed_k": (q_sample_fixed_k, SQL_SAMPLE_FIXED_K),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_gif_roundtrip": (q_multimodal_gif_roundtrip,

@@ -146,6 +146,29 @@ def weighted_sample(df: DataFrame, stratum_col: str, rates: dict[str, float],
     return df.filter(frac < rate)
 
 
+def fixed_sample(df: DataFrame, key: str, k: int) -> DataFrame:
+    """Deterministic EXACTLY-k uniform sample: the k rows whose md5(key)
+    ranks lowest (key itself as tiebreak) — the reservoir-sampling
+    replacement for "give me exactly 10k docs, stable across reruns".
+
+    Why not ``sample(fraction)``: a fraction gives a binomial-sized
+    result (±√n noise) and depends on partition layout for its seed
+    stream.  Here the kept set is a pure function of the data —
+    identical under repartitioning, retries, or cluster resize — and
+    NESTED for growing k (the top-k' of a larger k' ⊇ top-k).
+
+    Scale shape: ``orderBy(md5, key).limit(k)`` compiles to
+    TakeOrderedAndProject — a per-partition k-heap plus a driver merge
+    of k rows per partition, never a global sort.  k must therefore be
+    driver-merge sized (millions, not billions); above that, take a
+    ``weighted_sample`` fraction first and fixed-sample the remainder.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return (df.orderBy(F.md5(F.col(key).cast("string")), F.col(key))
+            .limit(k))
+
+
 def cap_per_group(df: DataFrame, group_col: str, key: str,
                   k: int) -> DataFrame:
     """Deterministic per-group quota: keep at most ``k`` rows per group

@@ -430,3 +430,30 @@ def test_write_zordered_roundtrip_skipping(spark, tmp_path):
         plan = (back.filter(pred)._jdf.queryExecution()
                 .executedPlan().toString())
         assert "PushedFilters: [" in plan and "LessThan" in plan
+
+
+def test_fixed_sample_exact_k_nested_and_partition_invariant(spark):
+    from dataframe_pipeline_spark.sources import fixed_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    k50 = {r["doc_id"] for r in fixed_sample(docs, "doc_id", 50).collect()}
+    k200 = {r["doc_id"] for r in fixed_sample(docs, "doc_id", 200).collect()}
+    assert len(k50) == 50 and len(k200) == 200
+    assert k50 <= k200                      # nested for growing k
+    k50b = {r["doc_id"] for r in
+            fixed_sample(docs.repartition(13), "doc_id", 50).collect()}
+    assert k50 == k50b                      # content-addressed
+    # k >= n degrades to the whole frame
+    assert fixed_sample(docs, "doc_id", 10**6).count() == docs.count()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        fixed_sample(docs, "doc_id", 0)
+
+
+def test_fixed_sample_plan_is_take_ordered(spark):
+    from dataframe_pipeline_spark.sources import fixed_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = fixed_sample(docs, "doc_id", 10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan   # k-heaps, not a global sort
