@@ -30,51 +30,38 @@ except ImportError:
 
 # Queries with the STALEST driver check enumerate FIRST, so the
 # driver's 50-query correctness sampler lands on them instead of on the
-# freshly-verified tail.  Coverage math as of round 7: the registry is
-# 178 queries; the union of CORRECTNESS_r01..r06 covers 174 of them
-# (everything except the four new r7 queries listed first); r6
-# re-verified 50, leaving 124 whose latest driver check is r5 or older
-# — those are listed below oldest-round-first (r≤3 block, then r4,
-# then r5), so each round's 50-sample rotates the stalest slice back
-# onto a fresh cadence.  Everything is also locally verified each
-# round regardless (scripts/check_oracle.py at sf0.01 — r7 ran the
-# FULL registry: 177/177 then-registered queries hash-green, plus each
-# new query checked on landing).
+# freshly-verified tail.  Coverage math as of round 8: the registry is
+# 179 queries; the union of CORRECTNESS_r01..r07 covers all 178
+# pre-existing ones (r7's 50-sample re-verified the four r7-new, the
+# seven r7-changed, the whole r≤3 block and 18 of the 24 r4-block
+# entries).  Order below: the one never-checked r8 query, then the
+# eight whose code changed in r8 (CC checkpoint rewrite, ANN memo
+# reload, curriculum persist, exact_percentiles rescale), then the six
+# r4-stale leftovers, then the r5 tier — so r8's 50-sample covers all
+# of those plus ~35 of the r5 block.  Everything is also locally
+# verified each round regardless (scripts/check_oracle.py at sf0.01 —
+# full-registry runs r7 and r8).
 _NEVER_CHECKED_FIRST = [
-    "sim_ann_pq_persisted",         # NEW r7: never driver-checked
-    "decontaminate_semantic",       # NEW r7: never driver-checked
-    "curriculum_buckets",           # NEW r7: never driver-checked
-    "sample_fixed_k",               # NEW r7: never driver-checked
-    # r7 changed these queries' code/oracle — re-verify before the
-    # stale rotation: Q12 oracle dtype cast, PQ encode hoist, IVFPQ
-    # vectorized residual prep, BM25 null filter, unigram whitespace
-    "tpch_q12_priority_class",
-    "sim_ann_pq",
-    "sim_ann_pq_rerank",
+    "sim_ann_ivfpq_persisted",      # NEW r8: never driver-checked
+    # r8 changed these queries' code — re-verify before the stale
+    # rotation: connected-components checkpoint/convergence rewrite,
+    # parquet-backed ANN memos, curriculum localCheckpoint,
+    # exact_percentiles adaptive accuracy
+    "dedup_clusters",
+    "dedup_keep_canonical",
+    "curriculum_buckets",
     "sim_ann_ivfpq",
-    "text_bm25_topk",
-    "text_unigram_tokens",
-    "text_unigram_vocab",
-    # -- last checked r3 or older ------------------------------------
-    "dedup_clusters", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_simhash_pairs", "function_native", "function_udf",
-    "multimodal_meta", "pipeline_flagship", "set_diff", "sim_ann_ivf",
-    "sim_ann_lsh", "sim_topk_cosine", "text_fingerprint", "text_langid",
-    "text_quality", "text_redact", "text_term_freq", "text_token_count",
+    "sim_ann_ivf_append",
+    "cluster_embeddings",
+    "quantile_bin",
+    "clip_outliers",
     # -- last checked r4 ----------------------------------------------
-    "asof_last_purchase", "dedup_ngram_capped", "dedup_segments",
-    "events_click_attribution", "events_hourly_agg", "events_json_props",
-    "events_latest", "events_rolling_30m", "join_left_enrich",
-    "multimodal_decode", "revenue_by_nation", "revenue_rollup",
-    "sample_weighted", "select", "session_stats", "sessionize",
-    "set_intersect", "sim_ann_ivf_persisted", "split_train",
-    "text_contamination", "text_repetition", "top_revenue_orders",
-    "tpch_pricing_summary", "typeconv",
+    "split_train", "text_contamination", "text_repetition",
+    "top_revenue_orders", "tpch_pricing_summary", "typeconv",
     # -- last checked r5 ----------------------------------------------
-    "asof_nearest_purchase", "asof_next_purchase", "clip_outliers",
+    "asof_nearest_purchase", "asof_next_purchase",
     "cohort_retention", "corr_lineitem", "dedup_embedding_auto",
-    "dedup_incremental", "dedup_keep_canonical",
+    "dedup_incremental",
     "dedup_minhash_incremental", "dedup_simhash_capped", "drift_orders",
     "embed_label_centroid", "embed_normalize", "embed_project",
     "event_transitions", "events_dedup", "events_trending",
@@ -92,7 +79,7 @@ _NEVER_CHECKED_FIRST = [
     "agg_group_median_approx", "agg_group_nunique_approx",
     "clip_outliers_approx", "expect_orders_hll",
     "multimodal_gif_roundtrip", "profile_customer",
-    "profile_customer_approx", "quality_by_source", "quantile_bin",
+    "profile_customer_approx", "quality_by_source",
     "range_join_bands", "record_linkage", "resample_user_daily",
     "rollup_incremental", "sample_cap_domain", "scaler_robust",
     "scaler_robust_approx", "scd2_user_state", "snapshot_diff",

@@ -281,10 +281,19 @@ def exact_percentiles(df: DataFrame, cols, qs_per_col,
        (below | lo-ties | interior | hi-ties) and interpolate with
        Spark's own formula ``v_lo*(h-pos) + v_hi*(pos-l)``.
 
-    ``accuracy`` scales with n (``max(accuracy, n/8192)``) so the
-    collected window stays ~64k rows at any corpus size.  If the
-    bracket guarantee is ever violated (defensive; not observed), the
-    affected column falls back to exact ``percentile()``.
+    ``accuracy`` scales with n (``max(accuracy, ceil(n/8192))``) so the
+    collected window stays ~64k rows at any corpus size: pass 1 runs at
+    the caller's accuracy, and iff the observed count implies a window
+    over ~64k rows (n > 8192*accuracy — 82M rows at the default) it is
+    re-run once with the scaled accuracy before pass 2 is built, so the
+    rescale costs nothing at small n and bounds both executor agg state
+    and the driver collect at any n (ADVICE r7: the contract was
+    documented but unimplemented).  The GK sketch's memory is O(acc),
+    so the scaled pass trades bounded sketch growth (n/8192 doubles)
+    for the otherwise O(n) collect — the right side of the trade at
+    every scale.  If the bracket guarantee is ever violated (defensive;
+    not observed), the affected column falls back to exact
+    ``percentile()``.
 
     cols: list of Column expressions (NaN already normalized to NULL);
     qs_per_col: list of [q, ...] per column.  Returns list of
@@ -297,16 +306,26 @@ def exact_percentiles(df: DataFrame, cols, qs_per_col,
     qs_per_col = [list(qs) for qs in qs_per_col]
 
     # pass 1: counts + bracket values
-    aggs = [F.count(c).alias(f"__n{i}") for i, c in enumerate(cols)]
+    def _pass1(acc):
+        aggs = [F.count(c).alias(f"__n{i}") for i, c in enumerate(cols)]
+        for i, (c, qs) in enumerate(zip(cols, qs_per_col)):
+            bq = []
+            for q in qs:
+                bq += [max(0.0, q - 3.0 / acc), min(1.0, q + 3.0 / acc)]
+            aggs.append(F.percentile_approx(
+                c, F.array(*[F.lit(q) for q in bq]), F.lit(acc))
+                .alias(f"__b{i}"))
+        return df.agg(*aggs).collect()[0]
+
     acc0 = int(accuracy)
-    for i, (c, qs) in enumerate(zip(cols, qs_per_col)):
-        bq = []
-        for q in qs:
-            bq += [max(0.0, q - 3.0 / acc0), min(1.0, q + 3.0 / acc0)]
-        aggs.append(F.percentile_approx(
-            c, F.array(*[F.lit(q) for q in bq]), F.lit(acc0))
-            .alias(f"__b{i}"))
-    row1 = df.agg(*aggs).collect()[0]
+    row1 = _pass1(acc0)
+    n_max = max((int(row1[f"__n{i}"]) for i in range(len(cols))),
+                default=0)
+    if n_max > 8192 * acc0:
+        # pass-2's interior gather is <= ~8n/acc values per (col, q);
+        # rescale the sketch so that window stays ~64k at any n
+        acc0 = -(-n_max // 8192)
+        row1 = _pass1(acc0)
 
     # pass 2: exact ranks + endpoint tie counts + interior gather
     aggs2, meta = [], []

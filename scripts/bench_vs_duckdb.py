@@ -29,6 +29,39 @@ from dataframe_pipeline_spark.session import get_spark  # noqa: E402
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+#: Queries excluded BY NAME from the over-2x gate because their DuckDB
+#: oracle does structurally less work than the Spark query by design —
+#: an explicit allowlist (ADVICE r7: the old duck_s >= 0.05 time
+#: threshold would also have silenced a genuine 10x regression on any
+#: query whose oracle is legitimately fast).  Each entry names why the
+#: comparison is asymmetric; anything NOT listed here trips the gate no
+#: matter how fast DuckDB is.
+ORACLE_ASYMMETRIC = {
+    "text_bpe_merges": "oracle replays the PRE-FITTED merge table as "
+                       "literals; Spark times the distributed trainer",
+    "text_bpe_tokens": "same pre-fitted vocab replay",
+    "text_unigram_tokens": "same pre-fitted vocab replay (unigram LM)",
+    "text_unigram_vocab": "same pre-fitted vocab replay (unigram LM)",
+    "events_user_totals": "Spark runs the Arrow stateful-twin kernel "
+                          "(applyInPandas); oracle is a plain GROUP BY",
+    "layout_pruned_scan": "Spark times WRITE(clustered layout)+pruned "
+                          "read; oracle only reads",
+    "profile_customer": "Spark times the pipeline fit + unpivot; "
+                        "oracle is one trivial 1-row aggregate",
+}
+
+#: Documented quadratic BASELINE demos (VERDICT r7 #7): kept
+#: hash-checked for correctness but excluded from the aggregate totals
+#: and the gate — their linear-work scale twins (dedup_embedding_auto,
+#: dedup_ngram_capped) are the rows that represent the engine.  The
+#: same policy SCALE.md applies at sf3.
+QUADRATIC_BASELINES = {
+    "dedup_embedding_cosine": "fixed-planes all-pairs demo; scale twin "
+                              "= dedup_embedding_auto",
+    "dedup_ngram_jaccard": "uncapped n-gram pair join demo; scale twin "
+                           "= dedup_ngram_capped",
+}
+
 
 def main():
     argv = [a for a in sys.argv[1:] if a != "--assert"]
@@ -67,16 +100,15 @@ def main():
               f"{name:28s} spark={s_best:7.3f}s duck={d_best:7.3f}s "
               f"ratio=  n/a", flush=True)
 
-    # duck_s < 0.05 rows are zero-denominator artifacts: the oracle
-    # generator resolved the fitted state BEFORE timing (bpe/unigram
-    # vocab replay), so the ratio compares Spark's full fit against a
-    # literal lookup — excluded from the over-2x gate by design
     over = [r for r in rows
             if r[3] is not None and r[3] > 2.0 and r[1] > 0.5
-            and r[2] >= 0.05]
-    print(f"\n{len(rows)} queries; spark total "
-          f"{sum(r[1] for r in rows):.1f}s, duckdb total "
-          f"{sum(r[2] for r in rows):.1f}s; "
+            and r[0] not in ORACLE_ASYMMETRIC
+            and r[0] not in QUADRATIC_BASELINES]
+    in_total = [r for r in rows if r[0] not in QUADRATIC_BASELINES]
+    print(f"\n{len(rows)} queries ({len(in_total)} in totals; "
+          f"quadratic baselines excluded); spark total "
+          f"{sum(r[1] for r in in_total):.1f}s, duckdb total "
+          f"{sum(r[2] for r in in_total):.1f}s; "
           f">2x-and->0.5s: {[r[0] for r in over]}")
     out = os.environ.get("BENCH_VS_DUCK_OUT")
     if out:
@@ -85,9 +117,16 @@ def main():
         with open(out, "w") as fh:
             json.dump({
                 "sf_dir": sf_dir,
-                "spark_total_s": round(sum(r[1] for r in rows), 3),
-                "duckdb_total_s": round(sum(r[2] for r in rows), 3),
+                "spark_total_s": round(sum(r[1] for r in in_total), 3),
+                "duckdb_total_s": round(sum(r[2] for r in in_total), 3),
                 "over_2x_nontrivial": [r[0] for r in over],
+                "excluded_quadratic_baselines": sorted(
+                    n for n in QUADRATIC_BASELINES
+                    if any(r[0] == n for r in rows)),
+                "oracle_asymmetric_exempt": sorted(
+                    n for n in ORACLE_ASYMMETRIC
+                    if any(r[0] == n and r[3] is not None and r[3] > 2.0
+                           for r in rows)),
                 "queries": {r[0]: {"spark_s": round(r[1], 3),
                                    "duck_s": round(r[2], 3),
                                    "ratio": round(r[3], 2)

@@ -9,7 +9,12 @@ Usage: python scripts/merge_bench_json.py BASE.json RERUN.json OUT.json
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench_vs_duckdb import ORACLE_ASYMMETRIC, QUADRATIC_BASELINES  # noqa: E402
 
 
 def main():
@@ -36,18 +41,25 @@ def main():
             q[name] = merged
         else:
             q[name] = r
-    # zero-denominator rows (ratio null) are excluded: a duck_s of 0.00
-    # means the oracle generator resolved the fitted state before
-    # timing, so "over 2x" would compare against nothing
+    # exemptions are BY NAME (bench_vs_duckdb.ORACLE_ASYMMETRIC /
+    # QUADRATIC_BASELINES), not by a duck_s time threshold — a time
+    # threshold would also silence a genuine regression on any query
+    # whose oracle is legitimately fast (ADVICE r7)
     over = sorted(n for n, e in q.items()
                   if e.get("ratio") is not None and e["ratio"] > 2.0
-                  and e["spark_s"] > 0.5 and e["duck_s"] >= 0.05)
+                  and e["spark_s"] > 0.5 and n not in ORACLE_ASYMMETRIC
+                  and n not in QUADRATIC_BASELINES)
+    in_total = {n: e for n, e in q.items() if n not in QUADRATIC_BASELINES}
     out = {
         "sf_dir": base["sf_dir"],
         "merged_from": [base_p, rerun_p],
-        "spark_total_s": round(sum(e["spark_s"] for e in q.values()), 3),
-        "duckdb_total_s": round(sum(e["duck_s"] for e in q.values()), 3),
+        "spark_total_s": round(
+            sum(e["spark_s"] for e in in_total.values()), 3),
+        "duckdb_total_s": round(
+            sum(e["duck_s"] for e in in_total.values()), 3),
         "over_2x_nontrivial": over,
+        "excluded_quadratic_baselines": sorted(
+            n for n in QUADRATIC_BASELINES if n in q),
         "queries": dict(sorted(q.items())),
     }
     with open(out_p, "w") as f:

@@ -48,6 +48,19 @@ def test_edges(spark):
     assert exact_percentiles(nulls, [F.col("x")], [[0.5]]) == [[None]]
 
 
+def test_accuracy_rescales_with_n(spark):
+    """The scale contract (ADVICE r7): when n > 8192*accuracy, pass 1
+    re-runs with accuracy ceil(n/8192) so the pass-2 interior gather
+    stays ~64k rows at any corpus size.  accuracy=2 over 50k rows
+    forces the rescale path (50k > 16384); values must still be
+    bit-identical to percentile()."""
+    df = spark.range(0, 50_000).selectExpr(
+        "cast(id * 7919 % 49999 as double) as x").repartition(8)
+    qs = [0.01, 0.5, 0.99]
+    got = exact_percentiles(df, [F.col("x")], [[*qs]], accuracy=2)[0]
+    assert got == _want(df, F.col("x"), qs)
+
+
 def test_interpolation_matches_spark_lerp(spark):
     # 7 values, q=0.3 -> pos 1.8: 2.0*(2-1.8) + 3.0*(1.8-1) must use
     # Spark's v_l*(h-pos) + v_h*(pos-l) double arithmetic exactly
