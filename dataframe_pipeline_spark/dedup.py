@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (IntegerType, LongType, StructField,
+                               StructType)
 
 from .base import cheap_row_count
 
@@ -749,32 +751,103 @@ class SemanticDeduplicator:
                vec_col: str = "embedding") -> DataFrame:
         """(id, __q, __nrm, __cluster, __csim) — one map-only codegen
         pass: nearest-centroid assignment by exact integer distance
-        (ties to the lower cluster id) plus cosine-to-own-centroid."""
+        (ties to the lower cluster id) plus cosine-to-own-centroid.
+
+        The centroid dot is DERIVED from the already-computed squared
+        distance rather than re-aggregated: ``d = |q|² - 2q·c + |c|²``
+        so ``q·c = (|q|² + |c|² - d_min) div 2`` — all exact integers
+        (the numerator is 2q·c, always even), saving a second
+        64-element HOF aggregate per row on the assignment hot path."""
         assert self.centroids_int is not None, "call fit first"
         cent_lits = ", ".join(
             "array(" + ", ".join(f"{c}L" for c in cj) + ")"
             for cj in self.centroids_int)
         cnrm_lits = ", ".join(repr(v) + "D" for v in self._cnrms)
+        cn2_lits = ", ".join(
+            f"{sum(c * c for c in cj)}L" for cj in self.centroids_int)
         qexpr = (f"transform({vec_col}, x -> "
                  f"cast(round(cast(x as double) * {self.scale}) as bigint))")
         dists = (f"transform(array({cent_lits}), c -> "
                  f"aggregate(zip_with(__q, c, (x, y) -> (x-y)*(x-y)), 0L, "
                  f"(acc, v) -> acc + v))")
-        cdot = (f"aggregate(zip_with(__q, "
-                f"element_at(array({cent_lits}), __cluster + 1), "
-                f"(x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+        cdot = (f"(__n2 + element_at(array({cn2_lits}), __cluster + 1) "
+                f"- array_min(__dists)) div 2")
         return (
             df.select(F.col(id_col), F.expr(qexpr).alias("__q"))
-            .withColumn("__nrm", F.expr(
-                "sqrt(aggregate(__q, 0L, (acc, x) -> acc + x*x))"))
+            .withColumn("__n2", F.expr(
+                "aggregate(__q, 0L, (acc, x) -> acc + x*x)"))
+            .withColumn("__nrm", F.expr("sqrt(__n2)"))
             .withColumn("__dists", F.expr(dists))
             .withColumn("__cluster", (F.expr(
                 "array_position(__dists, array_min(__dists))") - 1).cast("int"))
-            .drop("__dists")
             .withColumn("__csim", F.round(
                 F.expr(cdot) /
                 (F.col("__nrm") *
                  F.expr(f"element_at(array({cnrm_lits}), __cluster + 1)")), 6))
+            .select(id_col, "__q", "__nrm", "__cluster", "__csim")
+        )
+
+    def assign_stats(self, df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+        """(id, __cluster, __csim) — Arrow-vectorized twin of
+        :meth:`assign` for profile/stats consumers that don't need the
+        quantized vectors downstream.
+
+        One ``mapInPandas`` kernel does the quantization (same
+        round-half-away-from-zero as the codegen path — ``np.floor``
+        on float64 is exact), the all-centroid distance as ONE int64
+        matmul, the first-occurrence argmin, and emits EXACT integers
+        (|q|², cluster, q·c); the float division and ``round(…, 6)``
+        stay Spark-side so the 6-dp cosine is bit-identical to
+        :meth:`assign`'s (JVM double arithmetic on both paths).  The
+        interpreted HOF evaluator pays ~8 array allocs + 512 lambda
+        invocations per row; the numpy matmul is ~100 ns/row — the
+        vectorized-Pandas-UDF tier is the right trade for this hot
+        path, exactly the boundary the module docstring draws."""
+        assert self.centroids_int is not None, "call fit first"
+        import numpy as np
+        import pandas as pd
+
+        cents = np.asarray(self.centroids_int, dtype=np.int64)
+        scale = self.scale
+        cn2 = (cents * cents).sum(axis=1)
+
+        def kernel(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.asarray(np.stack(pdf[vec_col].values),
+                               dtype=np.float64)
+                qv = (np.floor(np.abs(v) * scale + 0.5).astype(np.int64)
+                      * np.where(v >= 0, 1, -1).astype(np.int64))
+                n2 = (qv * qv).sum(axis=1)
+                dots = qv @ cents.T
+                d = n2[:, None] - 2 * dots + cn2[None, :]
+                cl = d.argmin(axis=1)
+                yield pd.DataFrame({
+                    id_col: pdf[id_col],
+                    "__n2": n2,
+                    "__cluster": cl.astype(np.int32),
+                    "__cdot": dots[np.arange(len(cl)), cl],
+                })
+
+        id_field = df.select(id_col).schema.fields[0]
+        out_schema = StructType([
+            id_field,
+            StructField("__n2", LongType()),
+            StructField("__cluster", IntegerType()),
+            StructField("__cdot", LongType()),
+        ])
+        cnrm_lits = ", ".join(repr(v) + "D" for v in self._cnrms)
+        return (
+            df.select(id_col, vec_col)
+            .mapInPandas(kernel, schema=out_schema)
+            .withColumn("__csim", F.round(
+                F.col("__cdot") /
+                (F.expr("sqrt(__n2)") *
+                 F.expr(f"element_at(array({cnrm_lits}), __cluster + 1)")),
+                6))
+            .select(id_col, "__cluster", "__csim")
         )
 
     def flag_duplicates(self, df: DataFrame, id_col: str = "vec_id",

@@ -564,8 +564,16 @@ def q_cluster_embeddings(spark, sf_dir):
         d = dd.SemanticDeduplicator(n_clusters=8).fit(emb)
         _memo_put(_PQ_FIT_MEMO, key, d)
     # cohesion: sum the 6-dp csims in exact DECIMAL (reduction-order
-    # independent), divide once in double — engine-portable
-    return (d.assign(emb)
+    # independent), divide once in double — engine-portable.
+    # assign_stats is the Arrow-vectorized assignment twin (one int64
+    # matmul per batch; exact integers across the Arrow boundary, 6-dp
+    # round kept JVM-side) — this profile query doesn't need the
+    # quantized vectors the codegen assign() carries for the pairwise
+    # dedups.  NO spread: the matmul kernel is ~100 ns/row, so a
+    # repartition shuffle of the raw vectors costs more than the map
+    # saves (measured 1.02s vs 0.57s at sf1); at real scale the input
+    # arrives as many splits and parallelism is free.
+    return (d.assign_stats(emb)
             .groupBy(F.col("__cluster").alias("cluster"))
             .agg(F.count("*").alias("n_members"),
                  F.round(

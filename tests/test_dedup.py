@@ -381,6 +381,27 @@ def test_semantic_dedup_partition_invariant(spark):
     assert a == b
 
 
+def test_assign_stats_matches_codegen_assign(spark):
+    """The Arrow-vectorized assignment twin (r8) must be bit-identical
+    to the codegen HOF path: same cluster (first-occurrence argmin, so
+    ties break identically) and same 6-dp centroid cosine (integers
+    cross the Arrow boundary exactly; divide+round happen JVM-side on
+    both paths)."""
+    from dataframe_pipeline_spark.dedup import SemanticDeduplicator
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = SemanticDeduplicator(n_clusters=8).fit(emb)
+    want = {r["vec_id"]: (r["__cluster"], r["__csim"])
+            for r in d.assign(emb).collect()}
+    got = {r["vec_id"]: (r["__cluster"], r["__csim"])
+           for r in d.assign_stats(emb).collect()}
+    assert got == want
+    # no row-at-a-time Python in the plan — the kernel is Arrow-batched
+    plan = d.assign_stats(emb)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
 def test_semantic_dedup_plan_is_cluster_keyed(spark):
     """The only join is the cluster-keyed self-join: equi-join on
     __cluster (never a nested loop / cartesian), assignment itself is
