@@ -4,11 +4,17 @@ Companion to ``dedup.connected_components`` (min-label propagation):
 this module holds the general fixed-iteration tier, starting with
 PageRank.  The Spark-first shape for iterative algorithms:
 
-* each iteration is a JOIN + grouped AGGREGATE on the edge list —
-  both partial-aggregatable, shuffling only (node id, double) pairs;
+* the graph is materialized ONCE as a deduplicated adjacency table
+  (one row per source, neighbor array + out-degree) — each iteration
+  then joins per-SOURCE state (|V| rows) instead of re-shuffling the
+  edge list (|E| rows), and the explode back to edge grain feeds a
+  partial-aggregatable sum shuffling only (node id, double) pairs;
+* hub sources are CHUNKED (neighbor arrays split at 64k entries) so a
+  power-law hub never materializes one unbounded row — the skew
+  remedy that keeps the adjacency form safe at web scale;
 * the lineage is cut with ``localCheckpoint`` every few iterations —
-  without it the plan doubles per iteration and Catalyst analysis
-  time, not the data, becomes the bottleneck (same discipline as
+  without it the plan grows per iteration and Catalyst analysis time,
+  not the data, becomes the bottleneck (same discipline as
   connected_components);
 * iteration count is FIXED (a hyperparameter), so the whole
   computation is replayable by an oracle that unrolls the same k
@@ -25,9 +31,36 @@ from pyspark.storagelevel import StorageLevel
 #: Cut plan lineage every this many PageRank iterations.
 CHECKPOINT_EVERY = 5
 
+#: Max neighbors per adjacency row; hub sources split into this many
+#: per chunk so no single row is unbounded under power-law out-degree.
+ADJ_CHUNK = 65536
 
-def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
-             src: str = "src", dst: str = "dst") -> DataFrame:
+
+def build_adjacency(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """ONE build shuffle: the deduplicated adjacency table
+    ``(__s, __deg, __ds)`` — one row per (source, ≤64k-neighbor chunk),
+    ``collect_set`` dedups map-side, hub arrays chunked at
+    ``ADJ_CHUNK`` so no single row is unbounded under power-law
+    out-degree.  This is the maintainable graph index: build it once
+    per corpus snapshot (persist / localCheckpoint / write it) and run
+    ``pagerank`` against it many times — iterations never re-shuffle
+    the edge list."""
+    # greatest(…, 0): an all-NULL-dst source yields an empty set, and
+    # sequence(0, -1) would DESCEND — the empty slice then explodes to
+    # zero rows for the neighbor grain while the source row survives
+    chunks = (f"transform(sequence(0, greatest(int(ceil(size(__all) / "
+              f"{ADJ_CHUNK}.0)) - 1, 0)), "
+              f"i -> slice(__all, i * {ADJ_CHUNK} + 1, {ADJ_CHUNK}))")
+    return (edges.groupBy(F.col(src).alias("__s"))
+            .agg(F.collect_set(F.col(dst)).alias("__all"))
+            .select("__s", F.size("__all").cast("long").alias("__deg"),
+                    F.explode(F.expr(chunks)).alias("__ds")))
+
+
+def pagerank(edges: DataFrame | None = None, iters: int = 3,
+             damping: float = 0.85, src: str = "src", dst: str = "dst",
+             adj: DataFrame | None = None) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list → one row per
     node: ``(id, pr)`` with ``pr`` scaled so a uniform graph scores 1.0
     (pr = N × probability — scale-free across corpus sizes and robust
@@ -37,32 +70,40 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     (the N-scaled form of the standard update).  Dangling-node mass is
     dropped, not redistributed — documented choice, matching the
     common sparse-web formulation and keeping every iteration a pure
-    edge join (redistribution needs an extra global aggregate per
-    step).
+    join + aggregate (redistribution needs an extra global aggregate
+    per step).  Duplicate edges are deduplicated up front so
+    multi-edges don't double-count; per-term arithmetic is
+    ``pr/out_degree`` (division, not reciprocal-multiply) so the
+    unrolled SQL oracle replays the identical doubles.
 
-    Plan per iteration: degree-annotated edges LEFT-joined to the
-    previous iteration's SPARSE contribution table (only nodes with
-    indegree > 0 carry state; a source with no entry reads as the base
-    rank inline — ``pr_t(u) = (1-d) + d*coalesce(c_t(u), 0)`` is the
-    identical double for every node, so no per-iteration join back to
-    the full node set is needed) → groupBy dst (partial-aggregatable
-    sum).  The full node set is joined exactly once, at the end, to
-    emit zero-indegree nodes.  State per node is ONE double; duplicate
-    edges are deduplicated up front so multi-edges don't double-count.
+    Plan: ONE build shuffle turns the edge list into a persisted
+    adjacency table ``(src, neighbors[], out_degree)`` — ``collect_set``
+    dedups map-side, hub arrays chunked at ``ADJ_CHUNK``.  Each
+    iteration LEFT-joins the previous SPARSE contribution table (only
+    nodes with indegree > 0 carry state; an absent source reads as the
+    base rank inline — ``pr_t(u) = (1-d) + d*coalesce(c_t(u), 0)``),
+    explodes the neighbor array, and partial-agg-sums by target: the
+    join moves |V| rows, only the final sum touches edge grain.  The
+    full node set is never joined: nodes with indegree carry a
+    contribution row by construction, and source-only nodes are
+    recovered with one anti-join at the end (no second pass over the
+    edges).  State per node is ONE double.
+
+    Pass ``adj`` (a frame from :func:`build_adjacency`, already
+    materialized by the caller) to rank against a maintained graph
+    index without paying the build shuffle; otherwise the adjacency is
+    built from ``edges`` and persisted for the duration of the plan.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
-    e = edges.select(F.col(src).alias("__s"),
-                     F.col(dst).alias("__d")).distinct() \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    nodes = (e.select(F.col("__s").alias("id"))
-             .union(e.select("__d")).distinct()
-             .persist(StorageLevel.MEMORY_AND_DISK))
-    nodes.count()
-    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
-    ew = e.join(deg, "__s")            # static across iterations
+    if adj is None:
+        if edges is None:
+            raise ValueError("pass edges or adj")
+        adj = build_adjacency(edges, src, dst) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        adj.count()
     base = F.lit(1.0 - damping)
     d = F.lit(damping)
 
@@ -74,13 +115,22 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     contrib = None                     # iteration 0: every pr_0 = 1.0
     for i in range(iters):
         if contrib is None:
-            joined = ew.withColumn("pr", F.lit(1.0))
+            joined = adj.withColumn("pr", F.lit(1.0))
         else:
-            joined = (ew.join(contrib, ew["__s"] == contrib["id"], "left")
+            joined = (adj.join(contrib, adj["__s"] == contrib["id"], "left")
                       .withColumn("pr", rank(F.col("__c"))))
-        contrib = (joined.groupBy(F.col("__d").alias("id"))
-                   .agg(F.sum(F.col("pr") / F.col("__deg")).alias("__c")))
+        contrib = (joined
+                   .select((F.col("pr") / F.col("__deg")).alias("__w"),
+                           F.explode("__ds").alias("id"))
+                   .groupBy("id").agg(F.sum("__w").alias("__c")))
         if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iters:
             contrib = contrib.localCheckpoint()
-    return (nodes.join(contrib, "id", "left")
-            .select("id", rank(F.col("__c")).alias("pr")))
+    # every node with indegree > 0 has a contribution row by
+    # construction (each explode term is > 0); source-only nodes get
+    # the base rank via one anti-join — no full-node-set join, no
+    # second pass over the edge grain
+    ranked = contrib.select("id", rank(F.col("__c")).alias("pr"))
+    src_only = (adj.select(F.col("__s").alias("id")).distinct()
+                .join(contrib.select("id"), "id", "left_anti")
+                .withColumn("pr", rank(F.lit(None).cast("double"))))
+    return ranked.unionByName(src_only)
