@@ -244,8 +244,10 @@ def _online_p50_ms(spark, n_iter: int = 15) -> dict:
     "exec_only_join_plan" / "plan_and_exec_join_plan" keep the r3/r4
     batch-plan numbers comparable (join plan over a Python-RDD input —
     pays a full Spark job per request); "ann_search_vec" is the
-    external-query-vector ANN probe (IVFIndex.search_vec), the serving
-    shape of the similarity tier."""
+    external-query-vector probe served from the in-process replica
+    (IVFIndex.serving_replica — the vector twin of the literal-map
+    fold, r8), with the old batch-plan probe kept comparable as
+    "ann_search_vec_plan"."""
     import statistics
 
     import dataframe_pipeline_spark as dfp
@@ -284,9 +286,14 @@ def _online_p50_ms(spark, n_iter: int = 15) -> dict:
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     idx = IVFIndex(k=5, n_lists=8, n_probe=2).fit(emb)
     qvec = list(emb.head()["embedding"])
-    idx.search_vec(qvec).collect()         # warm the probe path
+    idx.search_vec(qvec).collect()         # warm the batch probe path
+    replica = idx.serving_replica()        # fold cells into the replica
+    assert replica.search_vec(qvec) == [
+        (r["vec_id"], r["cosine"])
+        for r in idx.search_vec(qvec).collect()]   # parity at bench time
 
-    full, exec_join, exec_serv, req_serv, req_woe, ann = [], [], [], [], [], []
+    full, exec_join, exec_serv, req_serv, req_woe = [], [], [], [], []
+    ann, ann_plan = [], []
     for _ in range(n_iter):
         t0 = time.perf_counter()
         pipe.transform(one).collect()
@@ -304,8 +311,11 @@ def _online_p50_ms(spark, n_iter: int = 15) -> dict:
         serve_rows(woe_pipe, spark, [head_y], ev_y.schema)
         req_woe.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        idx.search_vec(qvec).collect()
+        replica.search_vec(qvec)
         ann.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        idx.search_vec(qvec).collect()
+        ann_plan.append(time.perf_counter() - t0)
 
     def ms(x):
         return round(x * 1000, 1)
@@ -326,6 +336,9 @@ def _online_p50_ms(spark, n_iter: int = 15) -> dict:
         "exec_only_join_plan_min": ms(min(exec_join)),
         "ann_search_vec": ms(statistics.median(ann)),
         "ann_search_vec_min": ms(min(ann)),
+        # r3-r7-comparable batch-plan probe (full Spark job per request)
+        "ann_search_vec_plan": ms(statistics.median(ann_plan)),
+        "ann_search_vec_plan_min": ms(min(ann_plan)),
     }
 
 

@@ -193,6 +193,33 @@ def test_ivf_search_batch_matches_per_query(spark):
     assert got == exp
 
 
+def test_ivf_serving_replica_matches_distributed_probe(spark):
+    """The in-process serving replica (r8) must return the exact rows
+    the distributed probe returns — ids AND 6-dp cosines — for many
+    query vectors, including rounded tie-groups and the exclude-id
+    path."""
+    from dataframe_pipeline_spark.similarity import IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IVFIndex(k=5, n_lists=8, n_probe=2).fit(emb)
+    rep = idx.serving_replica()
+    qrows = emb.filter(F.col("vec_id") < 8).collect()
+    for qr in qrows:
+        vec = list(qr["embedding"])
+        want = [(r["vec_id"], r["cosine"])
+                for r in idx.search_vec(vec).collect()]
+        assert rep.search_vec(vec) == want
+    # exclude-id path (the search(query_id) shape)
+    vec0 = list(qrows[0]["embedding"])
+    want = [(r["vec_id"], r["cosine"])
+            for r in idx.search(query_id=qrows[0]["vec_id"]).collect()]
+    assert rep.search_vec(vec0, exclude_id=qrows[0]["vec_id"]) == want
+    # a cell-sharded replica serves only its cells (the fan-out unit)
+    some_cell = next(iter(rep._cells))
+    shard = idx.serving_replica(cells=[some_cell])
+    assert set(shard._cells) == {some_cell}
+
+
 def test_ivf_search_batch_plan(spark, tmp_path):
     from dataframe_pipeline_spark.similarity import IVFIndex
 
