@@ -291,9 +291,11 @@ def _online_p50_ms(spark, n_iter: int = 15) -> dict:
     assert replica.search_vec(qvec) == [
         (r["vec_id"], r["cosine"])
         for r in idx.search_vec(qvec).collect()]   # parity at bench time
+    from dataframe_pipeline_spark.similarity import PQIndex
+    pq_rep = PQIndex(k=5, m=8, k_sub=16).fit(emb).serving_replica()
 
     full, exec_join, exec_serv, req_serv, req_woe = [], [], [], [], []
-    ann, ann_plan = [], []
+    ann, ann_plan, ann_pq = [], [], []
     for _ in range(n_iter):
         t0 = time.perf_counter()
         pipe.transform(one).collect()
@@ -313,6 +315,9 @@ def _online_p50_ms(spark, n_iter: int = 15) -> dict:
         t0 = time.perf_counter()
         replica.search_vec(qvec)
         ann.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        pq_rep.search_vec(qvec)
+        ann_pq.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         idx.search_vec(qvec).collect()
         ann_plan.append(time.perf_counter() - t0)
@@ -339,6 +344,9 @@ def _online_p50_ms(spark, n_iter: int = 15) -> dict:
         # r3-r7-comparable batch-plan probe (full Spark job per request)
         "ann_search_vec_plan": ms(statistics.median(ann_plan)),
         "ann_search_vec_plan_min": ms(min(ann_plan)),
+        # compressed (PQ codes) replica probe — the 100 TB serving shape
+        "ann_pq_serving": ms(statistics.median(ann_pq)),
+        "ann_pq_serving_min": ms(min(ann_pq)),
     }
 
 

@@ -994,6 +994,12 @@ class PQIndex:
         finally:
             self._src = src
 
+    def serving_replica(self, id_col: str | None = None) -> "PQServingReplica":
+        """Materialize a :class:`PQServingReplica` — the COMPRESSED
+        low-latency serving shape (m bytes/vector of codes instead of
+        the raw quantized vectors)."""
+        return PQServingReplica(self, id_col=id_col)
+
     @classmethod
     def read(cls, spark, path: str) -> "PQIndex":
         from .persistence import load_operator
@@ -1001,6 +1007,49 @@ class PQIndex:
         idx = load_operator(spark, path)
         assert isinstance(idx, cls)
         return idx
+
+
+class PQServingReplica:
+    """Compressed in-process serving replica of a fitted
+    :class:`PQIndex`: the codes table folded to an (n, m) int matrix —
+    m bytes/vector at storage (8 at the default), so even a 100 TB raw
+    corpus's replica is a few GB and fits ONE serving node where the
+    raw-vector :class:`IVFServingReplica` would need sharding.  ADC is
+    exact integer arithmetic end-to-end, so parity with the
+    distributed scan needs no rounding window at all — the query's
+    lookup tables come from the same ``pq_adc_tables`` helper and the
+    (adc ASC, id ASC) order is a pure integer sort."""
+
+    def __init__(self, index: "PQIndex", id_col: str | None = None):
+        import numpy as np
+
+        assert index._codes is not None, "fit or read the index first"
+        self.k = index.k
+        self.scale = index.scale
+        self.codebooks = index.codebooks
+        self._id_col = id_col or index._id_col or "vec_id"
+        rows = index._codes.select(self._id_col, "__codes").collect()
+        self._ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+        self._codes = np.asarray([list(r[1]) for r in rows],
+                                 dtype=np.int64)
+
+    def search_vec(self, vec, exclude_id=None) -> list[tuple]:
+        """Top-k ``(id, adc_dist)`` — one numpy table-gather, no Spark
+        job; bit-identical to ``PQIndex.search_vec`` (rerank=0)."""
+        import numpy as np
+
+        q_int = quantize_centroid(vec, self.scale)
+        tables = np.asarray(pq_adc_tables(q_int, self.codebooks),
+                            dtype=np.int64)
+        ids, codes = self._ids, self._codes
+        if exclude_id is not None:
+            keep = ids != exclude_id
+            ids, codes = ids[keep], codes[keep]
+        if len(ids) == 0:
+            return []
+        dist = tables[np.arange(tables.shape[0])[None, :], codes].sum(axis=1)
+        order = np.lexsort((ids, dist))[:self.k]
+        return [(int(ids[i]), int(dist[i])) for i in order]
 
 
 class IVFPQIndex:
@@ -1231,3 +1280,77 @@ class IVFPQIndex:
         idx = load_operator(spark, path)
         assert isinstance(idx, cls)
         return idx
+
+    def serving_replica(self, id_col: str | None = None,
+                        cells: list[int] | None = None
+                        ) -> "IVFPQServingReplica":
+        """Materialize an :class:`IVFPQServingReplica` — compressed
+        codes, cell-sharded: the full production serving shape."""
+        return IVFPQServingReplica(self, id_col=id_col, cells=cells)
+
+
+class IVFPQServingReplica:
+    """The full production ANN serving shape in miniature: PQ-compressed
+    codes (m bytes/vector) sharded BY CELL — a serving node holds only
+    the cells it owns (pass ``cells``), the tiny coarse centroids route
+    every query driver-side, and a probe is a numpy table-gather over
+    n_probe cell matrices.  Exact integers end-to-end (residual ADC
+    tables from the index's own ``pq_adc_tables``), so results are
+    bit-identical to ``IVFPQIndex.search_vec`` (rerank=0)."""
+
+    def __init__(self, index: "IVFPQIndex", id_col: str | None = None,
+                 cells: list[int] | None = None):
+        import numpy as np
+
+        assert index._table is not None, "fit or read the index first"
+        self.k = index.k
+        self.n_probe = index.n_probe
+        self.scale = index.scale
+        self.coarse_int = index.coarse_int
+        self.codebooks = index.codebooks
+        self._id_col = id_col or index._id_col or "vec_id"
+        frame = index._table
+        if cells is not None:
+            frame = frame.filter(F.col("__list").isin(list(cells)))
+        from itertools import groupby
+
+        rows = (frame.select(self._id_col, "__codes", "__list")
+                .orderBy("__list", self._id_col).collect())
+        self._cells: dict[int, tuple] = {}
+        for lst, grp in groupby(rows, key=lambda r: r["__list"]):
+            grp = list(grp)
+            ids = np.asarray([r[self._id_col] for r in grp],
+                             dtype=np.int64)
+            codes = np.asarray([list(r["__codes"]) for r in grp],
+                               dtype=np.int64)
+            self._cells[int(lst)] = (ids, codes)
+
+    def search_vec(self, vec, exclude_id=None) -> list[tuple]:
+        import numpy as np
+
+        q_int = quantize_centroid(vec, self.scale)
+        probed = probe_cells(q_int, self.coarse_int, self.n_probe)
+        id_parts, dist_parts = [], []
+        for cell in probed:
+            got = self._cells.get(cell)
+            if got is None:
+                continue
+            ids, codes = got
+            res_q = [x - c for x, c in zip(q_int, self.coarse_int[cell])]
+            tables = np.asarray(pq_adc_tables(res_q, self.codebooks),
+                                dtype=np.int64)
+            if exclude_id is not None:
+                keep = ids != exclude_id
+                ids, codes = ids[keep], codes[keep]
+            if len(ids) == 0:
+                continue
+            id_parts.append(ids)
+            dist_parts.append(
+                tables[np.arange(tables.shape[0])[None, :], codes]
+                .sum(axis=1))
+        if not id_parts:
+            return []
+        ids = np.concatenate(id_parts)
+        dist = np.concatenate(dist_parts)
+        order = np.lexsort((ids, dist))[:self.k]
+        return [(int(ids[i]), int(dist[i])) for i in order]

@@ -37,6 +37,71 @@ def _norm(v):
     return round(v, 9)
 
 
+@given(edges=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=14),
+              st.integers(min_value=0, max_value=14)),
+    min_size=1, max_size=30))
+@SET
+def test_connected_components_matches_union_find(spark, edges):
+    """dedup.connected_components (r8 checkpoint/convergence rewrite)
+    vs a plain-Python union-find with min-id canonical labels, on
+    random multigraphs with self-loops and duplicate edges."""
+    from dataframe_pipeline_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long")
+    got = {r["node"]: r["comp"]
+           for r in connected_components(pairs).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+@given(edges=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9),
+              st.integers(min_value=0, max_value=9)),
+    min_size=1, max_size=25), iters=st.integers(min_value=1, max_value=4))
+@SET
+def test_pagerank_matches_python_reference(spark, edges, iters):
+    """graph.pagerank (r8 adjacency rework) vs a dict-based Python
+    replay of the same N-scaled fixed-iteration update on random
+    directed multigraphs (duplicate edges must collapse)."""
+    from dataframe_pipeline_spark.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src long, dst long")
+    got = {r["id"]: r["pr"] for r in pagerank(e, iters=iters).collect()}
+
+    dedup = sorted(set(edges))
+    out: dict = {}
+    for a, b in dedup:
+        out.setdefault(a, []).append(b)
+    nodes = {n for ab in dedup for n in ab}
+    pr = {n: 1.0 for n in nodes}
+    for _ in range(iters):
+        contrib = {}
+        for a, ds in out.items():
+            w = pr[a] / len(ds)
+            for b in ds:
+                contrib[b] = contrib.get(b, 0.0) + w
+        pr = {n: 0.15 + 0.85 * contrib.get(n, 0.0) for n in nodes}
+    assert set(got) == nodes
+    for n in nodes:
+        assert got[n] == pytest.approx(pr[n], rel=1e-9, abs=1e-12)
+
+
 @given(xs=floats)
 @SET
 def test_scaler_minmax_matches_sklearn_formula(spark, xs):

@@ -220,6 +220,49 @@ def test_ivf_serving_replica_matches_distributed_probe(spark):
     assert set(shard._cells) == {some_cell}
 
 
+def test_pq_serving_replica_matches_distributed_adc(spark):
+    """Compressed serving replica (r8): exact-integer ADC means the
+    replica must equal the distributed codes scan row-for-row."""
+    from dataframe_pipeline_spark.similarity import PQIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = PQIndex(k=5, m=8, k_sub=16).fit(emb)
+    rep = idx.serving_replica()
+    for qr in emb.filter(F.col("vec_id") < 6).collect():
+        vec = list(qr["embedding"])
+        want = [(r["vec_id"], r["adc_dist"])
+                for r in idx.search_vec(vec).collect()]
+        assert rep.search_vec(vec) == want
+        want_x = [(r["vec_id"], r["adc_dist"])
+                  for r in idx.search_vec(vec, exclude_id=qr["vec_id"])
+                  .collect()]
+        assert rep.search_vec(vec, exclude_id=qr["vec_id"]) == want_x
+
+
+def test_ivfpq_serving_replica_matches_distributed_probe(spark):
+    """Cell-sharded compressed replica (r8) vs the distributed
+    partition-pruned ADC probe — bit-identical, including the
+    exclude-id path and a single-cell shard."""
+    from dataframe_pipeline_spark.similarity import IVFPQIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IVFPQIndex(k=5, n_lists=8, n_probe=2, m=8, k_sub=16).fit(emb)
+    rep = idx.serving_replica()
+    for qr in emb.filter(F.col("vec_id") < 6).collect():
+        vec = list(qr["embedding"])
+        want = [(r["vec_id"], r["adc_dist"])
+                for r in idx.search_vec(vec, id_col="vec_id").collect()]
+        assert rep.search_vec(vec) == want
+        want_x = [(r["vec_id"], r["adc_dist"])
+                  for r in idx.search_vec(vec, id_col="vec_id",
+                                          exclude_id=qr["vec_id"])
+                  .collect()]
+        assert rep.search_vec(vec, exclude_id=qr["vec_id"]) == want_x
+    some_cell = next(iter(rep._cells))
+    shard = idx.serving_replica(cells=[some_cell])
+    assert set(shard._cells) == {some_cell}
+
+
 def test_ivf_search_batch_plan(spark, tmp_path):
     from dataframe_pipeline_spark.similarity import IVFIndex
 
