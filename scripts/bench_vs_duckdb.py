@@ -62,6 +62,15 @@ QUADRATIC_BASELINES = {
                            "= dedup_ngram_capped",
 }
 
+#: Never RUN in a full-registry sweep above driver scale (still run
+#: when named explicitly): the uncapped quadratic demos whose DUCKDB
+#: oracle materializes the full pair join — at sf1 the 31-word-vocab
+#: corpus makes every 3-gram shingle a stop-shingle, the spill exceeds
+#: the disk, and the r8 sweep died on exactly that (the Spark side is
+#: hash-checked at sf0.1 where both engines are bounded).  Standing
+#: SCALE.md policy since r3.
+RUN_SKIP_FULL_SWEEP = {"dedup_ngram_jaccard", "dedup_simhash_pairs"}
+
 
 def main():
     argv = [a for a in sys.argv[1:] if a != "--assert"]
@@ -71,6 +80,12 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql(sf_dir, names=only or None)
     names = [n for n in sorted(oracles) if not only or n in only]
+    if not only:
+        skipped = [n for n in names if n in RUN_SKIP_FULL_SWEEP]
+        names = [n for n in names if n not in RUN_SKIP_FULL_SWEEP]
+        if skipped:
+            print(f"skipping (full-sweep quadratic-oracle policy): "
+                  f"{skipped}", flush=True)
 
     spark = get_spark("bench-vs-duck")
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
