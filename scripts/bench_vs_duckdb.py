@@ -81,8 +81,13 @@ def main():
     oracles = entrymod.oracle_sql(sf_dir, names=only or None)
     names = [n for n in sorted(oracles) if not only or n in only]
     if not only:
-        skipped = [n for n in names if n in RUN_SKIP_FULL_SWEEP]
-        names = [n for n in names if n not in RUN_SKIP_FULL_SWEEP]
+        skip = set(RUN_SKIP_FULL_SWEEP)
+        # extra per-invocation skips (e.g. the fixed-planes quadratic
+        # demo at sf3+, SCALE.md policy): BENCH_VS_DUCK_SKIP=a,b
+        skip |= {s for s in os.environ.get(
+            "BENCH_VS_DUCK_SKIP", "").split(",") if s}
+        skipped = [n for n in names if n in skip]
+        names = [n for n in names if n not in skip]
         if skipped:
             print(f"skipping (full-sweep quadratic-oracle policy): "
                   f"{skipped}", flush=True)
