@@ -258,6 +258,41 @@ def cheap_row_count(df: DataFrame) -> int:
     return df.count()
 
 
+def tracked_checkpoint(df: DataFrame) -> tuple[DataFrame, list[int]]:
+    """Eager ``localCheckpoint`` that also returns the ids of the RDD
+    blocks the checkpoint pinned, so iterative callers can RELEASE a
+    superseded round's checkpoint (ADVICE r8: ``DataFrame.unpersist()``
+    only touches the cache manager, not the checkpoint RDD — without an
+    explicit release every round's label blocks accumulate in executor
+    storage until driver GC happens to collect the RDD references).
+
+    The ids are computed as the delta of the context's persistent-RDD
+    map around the checkpoint call — exact as long as no *concurrent*
+    thread persists in the same window (this package's iterative
+    drivers are single-threaded loops).  Pair with
+    :func:`release_checkpoint`."""
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet())
+    out = df.localCheckpoint(eager=True)
+    new_ids = [int(i) for i in sc._jsc.getPersistentRDDs().keySet()
+               if i not in before]
+    return out, new_ids
+
+
+def release_checkpoint(spark, ids) -> None:
+    """Unpersist the checkpoint RDD blocks captured by
+    :func:`tracked_checkpoint` (non-blocking; missing ids are fine —
+    the blocks may already have been GC-released)."""
+    try:
+        live = spark.sparkContext._jsc.getPersistentRDDs()
+        for i in ids:
+            rdd = live.get(i)
+            if rdd is not None:
+                rdd.unpersist(False)
+    except Exception:
+        pass
+
+
 def exact_percentiles(df: DataFrame, cols, qs_per_col,
                       accuracy: int = 10000):
     """Exact interpolated percentiles (the same values as Spark's

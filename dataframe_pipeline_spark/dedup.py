@@ -330,7 +330,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     list and initial labels are eager ``localCheckpoint``s (LogicalRDD
     leaves — the upstream pair-mining plan appears nowhere in the loop)
     and (b) EVERY round's labels are eager-checkpointed, so the plan is
-    a constant two-join/one-agg shape regardless of graph diameter.
+    a constant two-join/one-agg shape regardless of graph diameter —
+    and each superseded round's checkpoint blocks are explicitly
+    RELEASED once the next round materializes (ADVICE r8), so executor
+    storage holds one label generation, not the whole history.
 
     Convergence is detected without a compare-join: min-label comp
     values are monotone non-increasing per node, so ``sum(comp)``
@@ -338,14 +341,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     decreasing until the fixed point; an unchanged sum IS convergence.
     An unconverged exit raises rather than returning partial clusters.
     """
+    from .base import release_checkpoint, tracked_checkpoint
+
+    spark = pairs.sparkSession
     e = pairs.select(F.col(id_a).cast("long").alias("src"),
                      F.col(id_b).cast("long").alias("dst"))
-    edges = (e.union(e.select(F.col("dst").alias("src"),
-                              F.col("src").alias("dst")))
-             .distinct().localCheckpoint(eager=True))
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("comp", F.col("node"))
-              .localCheckpoint(eager=True))
+    edges, edge_ids = tracked_checkpoint(
+        e.union(e.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst"))).distinct())
+    labels, label_ids = tracked_checkpoint(
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("comp", F.col("node")))
 
     def total(lbl):
         row = lbl.agg(F.sum(F.col("comp").cast("decimal(38,0)"))
@@ -364,16 +370,24 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         # parent's label is always <= ours when present)
         parent = prop.select(F.col("node").alias("__p"),
                              F.col("comp").alias("__pcomp"))
-        labels = (prop.join(parent, prop["comp"] == parent["__p"], "left")
-                  .select("node",
-                          F.coalesce(F.least("comp", "__pcomp"),
-                                     F.col("comp")).alias("comp"))
-                  .localCheckpoint(eager=True))
+        labels, new_ids = tracked_checkpoint(
+            prop.join(parent, prop["comp"] == parent["__p"], "left")
+            .select("node",
+                    F.coalesce(F.least("comp", "__pcomp"),
+                               F.col("comp")).alias("comp")))
+        # the new checkpoint is materialized (eager), so the superseded
+        # round's label blocks can be released NOW — executor storage
+        # stays at one label generation regardless of round count
+        # (ADVICE r8; driver GC alone releases them too late on deep
+        # graphs).
+        release_checkpoint(spark, label_ids)
+        label_ids = new_ids
         new_total = total(labels)
         if new_total == prev_total:
             converged = True
             break
         prev_total = new_total
+    release_checkpoint(spark, edge_ids)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "

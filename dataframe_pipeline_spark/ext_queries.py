@@ -806,6 +806,30 @@ def _ivf_fitted(spark, sf_dir) -> "sim.IVFIndex":
     return idx
 
 
+def _ivf_reloaded(spark, sf_dir) -> "sim.IVFIndex":
+    """The memoized IVF index in its PARQUET-BACKED form: `_ivf_fitted`
+    → write (``__list``-partitioned cell table) → read, memo stores the
+    RELOADED index (VERDICT r8 #3 — the exact pattern `_ivfpq_fitted`
+    uses).  The fit-path memo's ``_assigned`` is a ``.persist()`` whose
+    cell join cannot partition-prune; the reloaded layout's ``__list``
+    is a real partition column, so `search_batch`'s cell equi-join
+    prunes to the probed cells (dynamic partition pruning against the
+    tiny exploded query side)."""
+    import hashlib
+    import os
+
+    key = (spark.sparkContext.applicationId, sf_dir, "ivf_reloaded")
+    idx = _IVF_FIT_MEMO.get(key)
+    if idx is None:
+        fitted = _ivf_fitted(spark, sf_dir)
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(_ivf_scratch_dir(), f"ivf_idx_{tag}")
+        fitted.write(path)
+        idx = sim.IVFIndex.read(spark, path)
+        _memo_put(_IVF_FIT_MEMO, key, idx)
+    return idx
+
+
 def q_sim_ann_ivf(spark, sf_dir):
     """IVF coarse-quantizer ANN — deterministic sample-trained cells,
     n_probe-cell search.  The oracle is *generated* from the identical
@@ -919,9 +943,12 @@ def q_sim_ann_ivf_batch(spark, sf_dir):
     TABLE of query vectors in one distributed plan — per-query probe
     cells computed by codegen over the fitted centroid literals,
     exploded and equi-joined against the cell table, rank-limit top-k.
-    No per-query driver round-trips."""
+    No per-query driver round-trips.  Served from the RELOADED
+    ``__list``-partitioned index layout (`_ivf_reloaded`, VERDICT r8
+    #3) so the cell join partition-prunes instead of scanning the
+    fit-path persisted frame."""
     emb = _t(spark, sf_dir, "embeddings")
-    idx = _ivf_fitted(spark, sf_dir)
+    idx = _ivf_reloaded(spark, sf_dir)
     queries = (emb.filter(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("qid"), "embedding"))
     return idx.search_batch(queries, q_id_col="qid",
@@ -1184,7 +1211,15 @@ def _ivfpq_fitted(spark, sf_dir) -> "sim.IVFPQIndex":
         emb = _t(spark, sf_dir, "embeddings")
         fitted = sim.IVFPQIndex(k=5, n_lists=8, n_probe=2,
                                 m=8, k_sub=16).fit(emb)
-        path = os.path.join(_ivf_scratch_dir(), "ivfpq_idx")
+        # sf_dir-specific layout dir (ADVICE r8): a SHARED scratch path
+        # would be overwritten for a new sf_dir while a stale memo
+        # entry's reloaded index still lazily scans it — safe only by
+        # accident of eviction ordering.  Distinct paths make the
+        # write/evict ordering irrelevant.
+        import hashlib
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(_ivf_scratch_dir(), f"ivfpq_idx_{tag}")
         fitted.write(path)
         fitted._table.unpersist()
         idx = sim.IVFPQIndex.read(spark, path)
@@ -2398,28 +2433,34 @@ LIMIT 10
 
 
 def q_revenue_by_nation(spark, sf_dir):
-    """TPC-H Q5 shape: snowflake join (two broadcast dims) → rollup."""
+    """TPC-H Q5 shape: snowflake join (two broadcast dims) → rollup.
+
+    Partial aggregation is pushed BELOW the fact-fact join: sum/count
+    are distributive, so lineitem is pre-aggregated to one exact-decimal
+    partial per l_orderkey (~4:1, and the map-side combine is near-free
+    because lineitem files are clustered by orderkey) BEFORE the shuffle
+    join with the orders→customer→nation chain.  The join then moves
+    ~|orders| partial rows instead of |lineitem| raw rows — a saving
+    proportional to per-order fan-out at any scale — and the pre-agg
+    output is already hash-partitioned on l_orderkey, so the join
+    re-uses that exchange.  The dim chain keeps its size-gated hints;
+    the fact-derived chain result is left to AQE (A/B-measured r8: a
+    forced ~1.5M-row broadcast was 1.8x slower than AQE's plan)."""
     na = _t(spark, sf_dir, "nation")
     cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem")
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    # Pre-join the dim chain (orders -> customer -> nation; FK joins,
-    # so at most one output row per orders row).  The small dims
-    # (customer, nation) keep their size-gated hints; the fact-derived
-    # chain result is left to AQE — A/B-measured at sf1: the forced
-    # dim broadcast ran 2.96s vs 1.66s for AQE's runtime-size plan
-    # (a ~1.5M-row build side is past broadcast's efficiency point),
-    # while the sf0.1 delta is a fixed ~0.2s in the hint's favor.
-    # AQE still broadcasts at small scale; at 100x it never OOMs.
+    li_pre = (li.groupBy("l_orderkey")
+              .agg(F.sum(rev).alias("_r"), F.count(F.lit(1)).alias("_n")))
     dim = (od.join(maybe_broadcast(cu), od.o_custkey == cu.c_custkey)
            .join(maybe_broadcast(na), cu.c_nationkey == na.n_nationkey)
            .select("o_orderkey", "n_name"))
     return (
-        li.join(dim, li.l_orderkey == dim.o_orderkey)
+        li_pre.join(dim, li_pre.l_orderkey == dim.o_orderkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"),
-             F.count(F.lit(1)).alias("n_items"))
+        .agg(F.sum("_r").cast("double").alias("revenue"),
+             F.sum("_n").alias("n_items"))
     )
 
 
@@ -2438,27 +2479,19 @@ def q_revenue_rollup(spark, sf_dir):
     reference lacks entirely; exposed as the stock Spark primitive."""
     li = _t(spark, sf_dir, "lineitem")
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    # Pre-aggregate to the finest grouping (6 rows), then roll the TINY
-    # aggregate up by re-summing.  Spark's native rollup() expands every
-    # input row once per grouping level (Expand: 3x the 600k-row scan);
-    # sum/count are associative, so rolling up partials is equivalent —
-    # and at 100 TB it's the difference between one scan and three.
+    # Pre-aggregate to the finest grouping (6 rows), then run Spark's
+    # native rollup() ON THE PRE-AGGREGATE inside the same plan.  The
+    # Expand that rollup inserts (one copy per grouping level) hits 6
+    # rows instead of the full scan, sum/count are associative so
+    # re-summing partials is exact — one scan, one job, one tiny extra
+    # shuffle, no persist (VERDICT r8 #2: the previous persist+3-action
+    # shape cost three job launches for a one-scan query).
     base = (li.groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(rev).alias("_r"), F.count(F.lit(1)).alias("_n"))
-            .persist())
-    lvl1 = (base.groupBy("l_returnflag")
-            .agg(F.sum("_r").alias("_r"), F.sum("_n").alias("_n"))
-            .withColumn("l_linestatus", F.lit(None).cast("string")))
-    lvl2 = (base.agg(F.sum("_r").alias("_r"), F.sum("_n").alias("_n"))
-            .withColumn("l_returnflag", F.lit(None).cast("string"))
-            .withColumn("l_linestatus", F.lit(None).cast("string")))
-    cols = ["l_returnflag", "l_linestatus", "_r", "_n"]
+            .agg(F.sum(rev).alias("_r"), F.count(F.lit(1)).alias("_n")))
     return (
-        base.select(*cols).unionByName(lvl1.select(*cols))
-        .unionByName(lvl2.select(*cols))
-        .select("l_returnflag", "l_linestatus",
-                F.col("_r").cast("double").alias("revenue"),
-                F.col("_n").alias("n_items"))
+        base.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("_r").cast("double").alias("revenue"),
+             F.sum("_n").alias("n_items"))
     )
 
 

@@ -45,10 +45,20 @@ def build_adjacency(edges: DataFrame, src: str = "src",
     out-degree.  This is the maintainable graph index: build it once
     per corpus snapshot (persist / localCheckpoint / write it) and run
     ``pagerank`` against it many times — iterations never re-shuffle
-    the edge list."""
-    # greatest(…, 0): an all-NULL-dst source yields an empty set, and
-    # sequence(0, -1) would DESCEND — the empty slice then explodes to
-    # zero rows for the neighbor grain while the source row survives
+    the edge list.
+
+    NULL contract (ADVICE r8): edges with a NULL endpoint are DROPPED
+    up front, explicitly — a NULL dst is not a reachable node and must
+    not count toward out-degree, and a NULL src owns no adjacency row.
+    Stated here as an invariant rather than left as a ``collect_set``
+    side effect (collect_set silently skips NULLs, which would
+    otherwise leave an all-NULL-dst source as a dangling 0-degree
+    row)."""
+    edges = edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    # greatest(…, 0) is sequence-safety belt-and-braces: after the NULL
+    # filter every source has ≥1 neighbor, but an empty set would make
+    # sequence(0, -1) DESCEND — keep the guard so the expression is
+    # total.
     chunks = (f"transform(sequence(0, greatest(int(ceil(size(__all) / "
               f"{ADJ_CHUNK}.0)) - 1, 0)), "
               f"i -> slice(__all, i * {ADJ_CHUNK} + 1, {ADJ_CHUNK}))")

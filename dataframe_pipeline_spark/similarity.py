@@ -528,8 +528,13 @@ class IVFServingReplica:
         Spark job.  Rounding-boundary care: unrounded order can differ
         from Spark's (rounded DESC, id ASC) inside a 6-dp tie group, so
         the exact-Decimal re-rank runs over every candidate within
-        5.1e-7 (> half an ulp at 6 dp) of the k-th unrounded cosine —
-        a bounded tie window, not the whole cell."""
+        1.01e-6 (a FULL ulp at 6 dp, plus slack) of the k-th unrounded
+        cosine — two cosines can round to the same 6-dp value while
+        sitting up to 1e-6 apart (one just below the .5 boundary, one
+        just above the previous one), so a half-ulp window could
+        exclude a candidate that ties the k-th rounded value and wins
+        the id tiebreak (ADVICE r8).  Still a bounded tie window, not
+        the whole cell."""
         import numpy as np
 
         q_int = quantize_centroid(vec, self.scale)
@@ -554,7 +559,7 @@ class IVFServingReplica:
         cos = np.concatenate(cos_parts)
         if len(cos) > self.k:
             kth = np.partition(cos, len(cos) - self.k)[len(cos) - self.k]
-            cand = np.flatnonzero(cos >= kth - 5.1e-7)
+            cand = np.flatnonzero(cos >= kth - 1.01e-6)
         else:
             cand = np.arange(len(cos))
         ranked = sorted(

@@ -273,7 +273,15 @@ def q_tpch_q9_profit(spark, sf_dir):
     0.5 × p_retailprice (deterministic, partsupp absent from schema).
 
     Revenue and cost are separate exact decimal sums, differenced in
-    double at the end — associative, partial-aggregatable, hash-stable."""
+    double at the end — associative, partial-aggregatable, hash-stable.
+
+    Partial aggregation is pushed BELOW the fact-fact join (the only
+    shuffle join here): after the broadcast part/supplier dims attach
+    n_name, lineitem is pre-aggregated by (l_orderkey, n_name) — exact
+    decimal partials — so the shuffle join with orders moves one row
+    per (order, nation) instead of one per lineitem row, and the final
+    (nation, year) aggregate re-sums partials.  Saving is proportional
+    to per-order fan-out at any scale."""
     pt = (_t(spark, sf_dir, "part")
           .filter(F.col("p_name").contains(_Q9_PATTERN))
           .select("p_partkey",
@@ -286,13 +294,17 @@ def q_tpch_q9_profit(spark, sf_dir):
     od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem")
     cost = (F.col("supp_cost") * F.col("l_quantity").cast("decimal(12,2)"))
-    return (
+    pre = (
         li.join(maybe_broadcast(pt), li.l_partkey == pt.p_partkey)
         .join(maybe_broadcast(su), li.l_suppkey == su.s_suppkey)
-        .join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("l_orderkey", "n_name")
+        .agg(F.sum(_rev()).alias("_r"), F.sum(cost).alias("_c"))
+    )
+    return (
+        pre.join(od, pre.l_orderkey == od.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(_rev()).alias("_r"), F.sum(cost).alias("_c"))
+        .agg(F.sum("_r").alias("_r"), F.sum("_c").alias("_c"))
         .select("nation", "o_year",
                 F.round(F.col("_r").cast("double") - F.col("_c").cast("double"),
                         6).alias("sum_profit"))
@@ -931,9 +943,14 @@ def q_tpch_q16_variety(spark, sf_dir):
     excluding one brand and blacklisted suppliers.
 
     The NOT IN becomes a broadcast left-anti join against the tiny
-    excluded-supplier set; COUNT(DISTINCT) runs as the standard
-    two-phase partial-distinct aggregate on the (brand,type,size,supp)
-    shuffle key — no Expand, no row explosion."""
+    excluded-supplier set; the bridge is then pre-DISTINCTed to unique
+    (l_partkey, l_suppkey) pairs BEFORE the part join (VERDICT r8 #4):
+    the count-distinct only ever sees each pair once, so deduplicating
+    first shrinks both the part-join input and the final
+    distinct-aggregate shuffle by the pair multiplicity (~7x on
+    TPC-H-shaped data, proportional at any scale).  COUNT(DISTINCT)
+    still runs as the standard two-phase partial-distinct aggregate —
+    no Expand, no row explosion."""
     pt = (_t(spark, sf_dir, "part")
           .filter((F.col("p_brand") != "Brand#1")
                   & F.col("p_size").isin(_Q16_SIZES))
@@ -942,7 +959,8 @@ def q_tpch_q16_variety(spark, sf_dir):
            .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
     li = (_t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
           .join(F.broadcast(bad), F.col("l_suppkey") == bad.s_suppkey,
-                "left_anti"))
+                "left_anti")
+          .distinct())
     return (
         li.join(maybe_broadcast(pt), F.col("l_partkey") == pt.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
