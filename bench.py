@@ -369,6 +369,13 @@ def main():
             .format("noop").mode("overwrite").save()
     except Exception:
         pass
+    # Warm the Arrow PYTHON workers (spawn + numpy/pandas import on
+    # every core) so the first codec/stateful-twin query isn't charged
+    # ~10s of one-time worker startup (see bench_vs_duckdb.py, r9).
+    def _noop_batches(batches):
+        yield from batches
+    (spark.range(0, 1024, 1, 32)
+     .mapInPandas(_noop_batches, schema="id long").count())
 
     gate_history = _wait_for_idle(spark)
     canary_before = gate_history[-1]

@@ -94,6 +94,16 @@ def main():
 
     spark = get_spark("bench-vs-duck")
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm the Arrow PYTHON workers too (one trivial mapInPandas over
+    # every core): without this, whichever codec/stateful-twin query
+    # runs first is charged ~10s of worker spawn + numpy/pandas import
+    # — at r8's sf3 sweep that inflated multimodal_gif_frames' ratio
+    # 1.67x -> 2.18x while the steady-state kernel is scale-FLAT
+    # (interleaved r9 measurement: sf1 2.0x, sf3 1.95x warm).
+    def _noop(batches):
+        yield from batches
+    (spark.range(0, 1024, 1, 32)
+     .mapInPandas(_noop, schema="id long").count())
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
