@@ -294,8 +294,21 @@ def _online_p50_ms(spark, n_iter: int = 15) -> dict:
     from dataframe_pipeline_spark.similarity import PQIndex
     pq_rep = PQIndex(k=5, m=8, k_sub=16).fit(emb).serving_replica()
 
+    # r9: replica-backed SMALL-BATCH ANN (search_batch_local) vs the
+    # distributed batch join over the same 100-query table — the
+    # crossover pair behind the LOCAL_BATCH_MAX_ROWS gate.  The query
+    # table is a LocalRelation (rows arrive driver-side in a backfill
+    # request), so the local path runs no Spark job at all.
+    q_rows = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+              for r in emb.limit(100).collect()]
+    q100 = spark.createDataFrame(q_rows, "qid long, embedding array<double>")
+    local_out = sorted(idx.search_batch_local(q_rows))
+    dist_out = sorted(map(tuple, idx.search_batch(
+        q100, q_id_col="qid").collect()))
+    assert local_out == dist_out          # parity at bench time
+
     full, exec_join, exec_serv, req_serv, req_woe = [], [], [], [], []
-    ann, ann_plan, ann_pq = [], [], []
+    ann, ann_plan, ann_pq, ann_b_local, ann_b_plan = [], [], [], [], []
     for _ in range(n_iter):
         t0 = time.perf_counter()
         pipe.transform(one).collect()
@@ -321,6 +334,12 @@ def _online_p50_ms(spark, n_iter: int = 15) -> dict:
         t0 = time.perf_counter()
         idx.search_vec(qvec).collect()
         ann_plan.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        idx.search_batch_local(q_rows)
+        ann_b_local.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        idx.search_batch(q100, q_id_col="qid").collect()
+        ann_b_plan.append(time.perf_counter() - t0)
 
     def ms(x):
         return round(x * 1000, 1)
@@ -347,6 +366,12 @@ def _online_p50_ms(spark, n_iter: int = 15) -> dict:
         # compressed (PQ codes) replica probe — the 100 TB serving shape
         "ann_pq_serving": ms(statistics.median(ann_pq)),
         "ann_pq_serving_min": ms(min(ann_pq)),
+        # r9: 100-query backfill — replica-backed local batch vs the
+        # distributed batch join (the LOCAL_BATCH_MAX_ROWS crossover)
+        "ann_batch100_local": ms(statistics.median(ann_b_local)),
+        "ann_batch100_local_min": ms(min(ann_b_local)),
+        "ann_batch100_plan": ms(statistics.median(ann_b_plan)),
+        "ann_batch100_plan_min": ms(min(ann_b_plan)),
     }
 
 

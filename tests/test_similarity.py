@@ -195,22 +195,28 @@ def test_ivf_search_batch_matches_per_query(spark):
 
 def test_ivf_search_batch_local_matches_distributed(spark):
     """The replica-backed small-batch path (r9) must return the exact
-    rows (ids AND 6-dp cosines) search_batch returns, with and without
-    exclude_self, and refuse query tables past the size gate."""
+    rows (ids AND 6-dp cosines) search_batch returns — for BOTH input
+    shapes (driver-side row list and DataFrame), with and without
+    exclude_self — and refuse batches past the size gate."""
     from dataframe_pipeline_spark.similarity import IVFIndex
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     idx = IVFIndex(k=5, n_lists=8, n_probe=2).fit(emb)
     queries = (emb.filter(F.col("vec_id") < 6)
                .select(F.col("vec_id").alias("qid"), "embedding"))
+    q_rows = [(r["qid"], list(r["embedding"])) for r in queries.collect()]
     for excl in (True, False):
         want = {(r["qid"], r["vec_id"], r["cosine"])
                 for r in idx.search_batch(
                     queries, q_id_col="qid", exclude_self=excl).collect()}
-        got = {(r["qid"], r["vec_id"], r["cosine"])
-               for r in idx.search_batch_local(
-                   queries, q_id_col="qid", exclude_self=excl).collect()}
-        assert got == want
+        got_df_input = set(idx.search_batch_local(
+            queries, q_id_col="qid", exclude_self=excl))
+        got_rows_input = set(idx.search_batch_local(
+            q_rows, exclude_self=excl))
+        assert got_df_input == want
+        assert got_rows_input == want
+    with pytest.raises(ValueError, match="gated"):
+        idx.search_batch_local(q_rows, max_rows=3)
     with pytest.raises(ValueError, match="gated"):
         idx.search_batch_local(queries, q_id_col="qid", max_rows=3)
 
