@@ -358,36 +358,47 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                       .alias("t")).head()
         return row["t"]
 
-    prev_total = total(labels)
+    # try/finally (ADVICE r9): if a Spark job fails mid-loop the
+    # current label + edge checkpoint blocks would otherwise stay
+    # pinned in executor storage until driver GC — release them on the
+    # error path too.  On success only the FINAL label generation
+    # survives (it backs the returned frame); edges are always
+    # released.
     converged = False
-    for _ in range(max_iter):
-        neigh = (edges.join(labels, edges["dst"] == labels["node"])
-                 .select(edges["src"].alias("node"), F.col("comp")))
-        prop = (labels.select("node", "comp").union(neigh)
-                .groupBy("node").agg(F.min("comp").alias("comp")))
-        # pointer doubling: follow the label one hop (comp is itself a
-        # node id, and labels are monotone non-increasing, so the
-        # parent's label is always <= ours when present)
-        parent = prop.select(F.col("node").alias("__p"),
-                             F.col("comp").alias("__pcomp"))
-        labels, new_ids = tracked_checkpoint(
-            prop.join(parent, prop["comp"] == parent["__p"], "left")
-            .select("node",
-                    F.coalesce(F.least("comp", "__pcomp"),
-                               F.col("comp")).alias("comp")))
-        # the new checkpoint is materialized (eager), so the superseded
-        # round's label blocks can be released NOW — executor storage
-        # stays at one label generation regardless of round count
-        # (ADVICE r8; driver GC alone releases them too late on deep
-        # graphs).
+    try:
+        prev_total = total(labels)
+        for _ in range(max_iter):
+            neigh = (edges.join(labels, edges["dst"] == labels["node"])
+                     .select(edges["src"].alias("node"), F.col("comp")))
+            prop = (labels.select("node", "comp").union(neigh)
+                    .groupBy("node").agg(F.min("comp").alias("comp")))
+            # pointer doubling: follow the label one hop (comp is
+            # itself a node id, and labels are monotone non-increasing,
+            # so the parent's label is always <= ours when present)
+            parent = prop.select(F.col("node").alias("__p"),
+                                 F.col("comp").alias("__pcomp"))
+            labels, new_ids = tracked_checkpoint(
+                prop.join(parent, prop["comp"] == parent["__p"], "left")
+                .select("node",
+                        F.coalesce(F.least("comp", "__pcomp"),
+                                   F.col("comp")).alias("comp")))
+            # the new checkpoint is materialized (eager), so the
+            # superseded round's label blocks can be released NOW —
+            # executor storage stays at one label generation regardless
+            # of round count (ADVICE r8; driver GC alone releases them
+            # too late on deep graphs).
+            release_checkpoint(spark, label_ids)
+            label_ids = new_ids
+            new_total = total(labels)
+            if new_total == prev_total:
+                converged = True
+                break
+            prev_total = new_total
+    except BaseException:
         release_checkpoint(spark, label_ids)
-        label_ids = new_ids
-        new_total = total(labels)
-        if new_total == prev_total:
-            converged = True
-            break
-        prev_total = new_total
-    release_checkpoint(spark, edge_ids)
+        raise
+    finally:
+        release_checkpoint(spark, edge_ids)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "

@@ -325,6 +325,11 @@ class IVFIndex:
             self._assign(batch, self._id_col, vec_col)).persist()
         self._assigned.count()
         old.unpersist()
+        # The driver-resident serving replica (search_batch_local) is a
+        # fold of the PRE-append cell table — drop it so the next local
+        # probe rebuilds against the extended corpus, preserving the
+        # documented bit-parity with search_batch.
+        self._replica = None
         return self
 
     def append_write(self, batch: DataFrame, path: str,

@@ -37,6 +37,30 @@ def test_pagerank_duplicate_edges_dont_double_count(spark):
     assert a == b
 
 
+def test_null_edges_dropped_everywhere(spark):
+    # NULL contract (ADVICE r9): an edge with a NULL endpoint is
+    # dropped up front — a source whose EVERY dst is NULL owns no
+    # adjacency row and is absent from pagerank output entirely (not a
+    # 0-degree dangling row, not a base-rank recovery row).
+    from dataframe_pipeline_spark.graph import build_adjacency
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, None), (None, 2), (4, None), (4, 5)],
+        "src long, dst long")
+    adj = {r["__s"]: (r["__deg"], sorted(r["__ds"]))
+           for r in build_adjacency(edges).collect()}
+    # 3 (all-NULL dst) and NULL-src rows vanish; 4's NULL dst doesn't
+    # count toward its out-degree.
+    assert adj == {1: (1, [2]), 4: (1, [5])}
+
+    got = {r.id: r.pr for r in pagerank(edges, iters=2).collect()}
+    assert set(got) == {1, 2, 4, 5}          # node 3 absent
+    clean = {r.id: r.pr for r in pagerank(
+        spark.createDataFrame([(1, 2), (4, 5)], "src long, dst long"),
+        iters=2).collect()}
+    assert got == clean                      # NULL edges are inert
+
+
 def test_pagerank_validation(spark):
     df = None
     with pytest.raises(ValueError, match="iters"):

@@ -441,8 +441,13 @@ def test_maybe_shuffle_hash_gate(spark):
     left = spark.range(0, 10000).withColumnRenamed("id", "k")
     right = spark.range(0, 10000).withColumnRenamed("id", "k")
     hinted = maybe_shuffle_hash(left).join(right, "k")
-    plan = hinted._jdf.queryExecution().executedPlan().toString()
-    assert "ShuffledHashJoin" in plan or "AdaptiveSparkPlan" in plan
+    # Pre-execution the AQE root hides the join node, so check the
+    # hint in the analyzed logical plan (ADVICE r9: the old
+    # "SHJ or AdaptiveSparkPlan" disjunct was vacuously true under
+    # AQE); the post-count ShuffledHashJoin assert below is the
+    # physical-strategy check.
+    assert "SHUFFLE_HASH" in hinted._jdf.queryExecution() \
+        .analyzed().toString().upper()
     hinted.count()
     plan = hinted._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan

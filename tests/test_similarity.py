@@ -221,6 +221,29 @@ def test_ivf_search_batch_local_matches_distributed(spark):
         idx.search_batch_local(queries, q_id_col="qid", max_rows=3)
 
 
+def test_ivf_append_invalidates_batch_local_replica(spark):
+    """ADVICE r9: append() must drop the cached serving replica so
+    search_batch_local sees the appended vectors — bit-parity with
+    search_batch must hold ACROSS an append, not just on first call."""
+    from dataframe_pipeline_spark.similarity import IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter("vec_id % 5 != 0")
+    batch = emb.filter("vec_id % 5 = 0")
+    idx = IVFIndex(k=5, n_lists=4, n_probe=4).fit(corpus)
+    queries = (emb.filter(F.col("vec_id") < 4)
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+    # warm the replica cache against the PRE-append corpus
+    pre = set(idx.search_batch_local(queries, q_id_col="qid"))
+    assert pre
+    idx.append(batch)
+    want = {(r["qid"], r["vec_id"], r["cosine"])
+            for r in idx.search_batch(queries, q_id_col="qid").collect()}
+    got = set(idx.search_batch_local(queries, q_id_col="qid"))
+    assert got == want                        # parity after append
+    assert any(v % 5 == 0 for _, v, _ in got)  # appended ids visible
+
+
 def test_ivf_serving_replica_matches_distributed_probe(spark):
     """The in-process serving replica (r8) must return the exact rows
     the distributed probe returns — ids AND 6-dp cosines — for many
