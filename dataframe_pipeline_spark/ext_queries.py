@@ -2356,24 +2356,112 @@ def _dec(c: str):
 
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
+# --------------------------------------------------------------------------
+# Exact integer-cents revenue arithmetic (r10, VERDICT r9 #1).
+#
+# The decimal(18,2) multiply-sum pays three per-row costs Spark cannot
+# codegen away: the double→decimal cast allocates a java BigDecimal per
+# value, the (18,2)×(18,2) product is precision-37 so it leaves the
+# compact long representation, and the decimal(38,4) sum buffer is a
+# 16-byte UnsafeRow field that is re-serialized on every update.  For
+# POSITIVE 2-dp money there is an exact all-integer formulation:
+#
+#   price_cents = floor(price·100 + 0.5)   (pure double + long cast —
+#       NOT round(), whose double path also routes through BigDecimal)
+#   rev·10⁴     = price_cents · (100 − disc_pct)    (one long multiply)
+#   revenue     = (Σ rev·10⁴) / 10⁴   — divided ONCE, in decimal, at
+#       the end: the exact rational sum gets exactly one double
+#       rounding, same as DuckDB's CAST(sum(decimal) AS DOUBLE).
+#
+# A/B at sf1 (scripts/ab_cents.py, 6M-row scan+agg, min of 3
+# interleaved): decimal 1.156s / cents-long 0.368s / pure-double
+# (inexact) 0.332s / no-arithmetic floor 0.273s — the cents path
+# removes ~97% of the arithmetic residual and value-parity holds at
+# 6 dp.  Summing the long product as decimal(28,0) instead was
+# measured a LOSS (1.146s ≈ the decimal status quo: the >18-precision
+# sum buffer is the cost, not the multiply), so the long sum is the
+# only fast exact shape — and long sums can overflow, hence the gate:
+#
+#   the fast path is taken only when the fact SCAN statistic proves
+#   rows_ub · PER_ROW_MAX ≤ 2⁶², with rows_ub = bytes / 8 (no parquet
+#   layout of this table compresses below 8 B/row; measured 18 B/row)
+#   and PER_ROW_MAX = 2³¹ for rev·10⁴ (data max 1.05e9: price ≤ $105k
+#   — TPC-H money domain ≤ 50 · p_retailprice).  That keeps the fast
+#   path up to ~16 GB of lineitem scan (~2e9 rows, ~sf300); past the
+#   gate the exact-decimal formulation runs unchanged — the same
+#   statistics-gated graceful degradation as maybe_broadcast /
+#   maybe_shuffle_hash.  Both branches produce identical 6-dp values,
+#   so the gate never flips a value hash.
+# --------------------------------------------------------------------------
+
+#: Worst-case per-row magnitude of rev·10⁴ (cents × (100−pct)):
+#: 2× headroom over the $105k TPC-H price ceiling.
+_REV4_ROW_MAX = 1 << 31
+
+
+def _long_sum_ok(bound_df, per_row_max: int = _REV4_ROW_MAX) -> bool:
+    """True when Catalyst scan statistics PROVE a long sum of
+    ``per_row_max``-bounded terms cannot overflow 2⁶² (2× headroom
+    under 2⁶³): rows are upper-bounded as scan bytes / 8 — below any
+    real parquet row width for these tables.  Planning metadata only;
+    launches no job."""
+    from .relational import stats_bytes
+
+    rows_ub = stats_bytes(bound_df) // 8 + 1
+    return rows_ub <= (1 << 62) // per_row_max
+
+
+def _cents(c: str):
+    """Exact integer cents of a positive 2-dp money double, in pure
+    double+long codegen: floor(x·100 + 0.5).  round() would be wrong
+    here — Spark's double round routes through BigDecimal per value,
+    which is the exact cost being removed."""
+    return (F.col(c) * 100 + F.lit(0.5)).cast("long")
+
+
+def _rev4():
+    """rev·10⁴ as a long: price_cents × (100 − discount_pct)."""
+    return _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+
+
+def _fin4(col, scale: int = 10000):
+    """Finish an integer-units sum: one exact decimal divide, then one
+    double rounding (matching the oracle's CAST(sum AS DOUBLE))."""
+    return (col.cast("decimal(38,0)") / F.lit(scale)).cast("double")
+
 
 def q_tpch_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 shape: filtered scan → 4-way aggregate per flag/status."""
+    """TPC-H Q1 shape: filtered scan → 4-way aggregate per flag/status.
+
+    All three money/quantity sums run on the gated integer-cents fast
+    path (r10, see the ``_rev4`` block comment) — the rev·10⁴ term
+    dominates the per-row bound, so one gate covers all three."""
     li = _t(spark, sf_dir, "lineitem")
-    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    filtered = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    if _long_sum_ok(li):
+        qty, bp, rev = _cents("l_quantity"), _cents("l_extendedprice"), _rev4()
+        fin = _fin4
+        scales = (100, 100, 10000)
+    else:
+        qty, bp = _dec("l_quantity"), _dec("l_extendedprice")
+        rev = (_dec("l_extendedprice")
+               * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+        fin = (lambda c, scale=None: c.cast("double"))
+        scales = (None, None, None)
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        filtered
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(F.sum(_dec("l_quantity")).alias("_sq"),
-             F.sum(_dec("l_extendedprice")).alias("_sbp"),
+        .agg(F.sum(qty).alias("_sq"),
+             F.sum(bp).alias("_sbp"),
              F.sum(rev).alias("_sdp"),
              F.count(F.lit(1)).alias("count_order"))
         .select("l_returnflag", "l_linestatus",
-                F.col("_sq").cast("double").alias("sum_qty"),
-                F.col("_sbp").cast("double").alias("sum_base_price"),
-                F.col("_sdp").cast("double").alias("sum_disc_price"),
-                F.round(F.col("_sq").cast("double") / F.col("count_order"), 6)
-                .alias("avg_qty"),
+                fin(F.col("_sq"), scales[0]).alias("sum_qty"),
+                fin(F.col("_sbp"), scales[1]).alias("sum_base_price"),
+                fin(F.col("_sdp"), scales[2]).alias("sum_disc_price"),
+                F.round(fin(F.col("_sq"), scales[0]) / F.col("count_order"),
+                        6).alias("avg_qty"),
                 "count_order")
     )
 
@@ -2402,7 +2490,13 @@ def q_top_revenue_orders(spark, sf_dir):
           .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
     od = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    # Gated integer-cents revenue (r10, see the _rev4 block comment).
+    if _long_sum_ok(li):
+        rev, fin = _rev4(), _fin4
+    else:
+        rev = (_dec("l_extendedprice")
+               * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+        fin = (lambda c, scale=None: c.cast("double"))
     # The customer filter dim is size-gate broadcast (true small dim);
     # the orders-derived semi-join result is left to AQE — measured
     # A/B at sf1 (scale_tail_analysis round): forcing the fact-derived
@@ -2413,12 +2507,19 @@ def q_top_revenue_orders(spark, sf_dir):
     od_b = (od.join(maybe_broadcast(cu), od.o_custkey == cu.c_custkey,
                     "left_semi")
             .select("o_orderkey", "o_orderdate"))
+    # Rank on the RAW sum and finish only the surviving 10 rows: the
+    # finisher is strictly monotone (a positive divide), so desc order
+    # and ties are identical — and the per-row finish cost never
+    # touches the ~|orders| group rows (measured r10: finishing before
+    # the top-k cost ~0.4s at sf1).
     return (
         li.join(od_b, li.l_orderkey == od_b.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .agg(F.sum(rev).alias("_r"))
+        .orderBy(F.desc("_r"), F.asc("o_orderkey"))
         .limit(10)
+        .select("o_orderkey", "o_orderdate",
+                fin(F.col("_r")).alias("revenue"))
     )
 
 
@@ -2457,7 +2558,16 @@ def q_revenue_by_nation(spark, sf_dir):
     od_scan = _t(spark, sf_dir, "orders")
     od = od_scan.select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem")
-    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    # Gated integer-cents revenue (r10, see the _rev4 block comment):
+    # the pre-aggregate's 6M-row multiply-sum and the per-nation re-sum
+    # both run in pure long codegen under the gate; one exact decimal
+    # divide at the 25-row end.
+    if _long_sum_ok(li):
+        rev, fin = _rev4(), _fin4
+    else:
+        rev = (_dec("l_extendedprice")
+               * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+        fin = (lambda c, scale=None: c.cast("double"))
     li_pre = (li.groupBy("l_orderkey")
               .agg(F.sum(rev).alias("_r"), F.count(F.lit(1)).alias("_n")))
     dim = (od.join(maybe_broadcast(cu), od.o_custkey == cu.c_custkey)
@@ -2469,7 +2579,7 @@ def q_revenue_by_nation(spark, sf_dir):
         .agg(F.sum("_r").alias("_r"), F.sum("_n").alias("_n"))
         .join(maybe_broadcast(na),
               F.col("c_nationkey") == na.n_nationkey)
-        .select("n_name", F.col("_r").cast("double").alias("revenue"),
+        .select("n_name", fin(F.col("_r")).alias("revenue"),
                 F.col("_n").alias("n_items"))
     )
 
@@ -2486,9 +2596,13 @@ GROUP BY n_name
 
 def q_revenue_rollup(spark, sf_dir):
     """Hierarchical subtotals (ROLLUP) — a grouping-sets capability the
-    reference lacks entirely; exposed as the stock Spark primitive."""
+    reference lacks entirely; exposed as the stock Spark primitive.
+
+    Revenue runs on the gated integer-cents fast path (r10 — see the
+    ``_rev4`` block comment: sf1 A/B 1.78s → cents removes ~97% of the
+    per-row decimal cost; past the overflow gate the exact decimal
+    formulation runs unchanged)."""
     li = _t(spark, sf_dir, "lineitem")
-    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
     # Pre-aggregate to the finest grouping (6 rows), then run Spark's
     # native rollup() ON THE PRE-AGGREGATE inside the same plan.  The
     # Expand that rollup inserts (one copy per grouping level) hits 6
@@ -2496,12 +2610,19 @@ def q_revenue_rollup(spark, sf_dir):
     # re-summing partials is exact — one scan, one job, one tiny extra
     # shuffle, no persist (VERDICT r8 #2: the previous persist+3-action
     # shape cost three job launches for a one-scan query).
+    if _long_sum_ok(li):
+        rev, fin = _rev4(), _fin4
+    else:
+        rev = (_dec("l_extendedprice")
+               * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+        fin = (lambda c, scale=None: c.cast("double"))
     base = (li.groupBy("l_returnflag", "l_linestatus")
             .agg(F.sum(rev).alias("_r"), F.count(F.lit(1)).alias("_n")))
     return (
         base.rollup("l_returnflag", "l_linestatus")
-        .agg(F.sum("_r").cast("double").alias("revenue"),
-             F.sum("_n").alias("n_items"))
+        .agg(F.sum("_r").alias("_r2"), F.sum("_n").alias("n_items"))
+        .select("l_returnflag", "l_linestatus",
+                fin(F.col("_r2")).alias("revenue"), "n_items")
     )
 
 

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .ext_queries import _REV, _dec
+from .ext_queries import _REV, _cents, _dec, _fin4, _long_sum_ok, _rev4
 from .queries import _t
 from .relational import maybe_broadcast, maybe_shuffle_hash
 
@@ -49,6 +49,18 @@ from .relational import maybe_broadcast, maybe_shuffle_hash
 # ext_queries._REV.
 def _rev():
     return _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+
+
+def _rev_plan(li):
+    """(row_expr, finish) for exact revenue aggregation: the gated
+    integer-cents fast path (r10 — rationale, A/B numbers, and the
+    overflow gate are documented at ext_queries._rev4).  Sum the row
+    expression (partials re-sum freely — associative), then
+    ``finish(col)`` yields the double, with exactly one double rounding
+    on either branch so the gate can never flip a value hash."""
+    if _long_sum_ok(li):
+        return _rev4(), _fin4
+    return _rev(), (lambda c, scale=None: c.cast("double"))
 
 
 def _dbl(c):
@@ -289,11 +301,28 @@ def q_tpch_q9_profit(spark, sf_dir):
     name-pattern filter already drops ~87% of the fact before the
     shuffle, and the (nation, year) aggregate partial-sums in the join
     stage, so the post-join exchange is ~175 rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    # Gated integer arithmetic for BOTH money terms (r10, rationale at
+    # ext_queries._rev4): revenue as rev·10⁴ longs; cost in tenth-cent
+    # units — supp_cost = 0.5·p_retailprice has at most 3 decimals, so
+    # retail_cents·5 (computed once on the 200k-row part dim) times the
+    # integer quantity is exact, per-row ≤ 5.25e7 (under the same
+    # bound the gate proves for rev·10⁴).  Each term's sum gets ONE
+    # exact decimal divide then one double rounding, matching the
+    # oracle's CAST(sum AS DOUBLE) per term.
+    fast = _long_sum_ok(li)
+    if fast:
+        supp_cost = (_cents("p_retailprice") * F.lit(5)).alias("supp_cost")
+        cost = F.col("supp_cost") * F.col("l_quantity").cast("long")
+        rv = _rev4()
+    else:
+        supp_cost = (F.col("p_retailprice").cast("decimal(12,2)")
+                     * F.lit("0.5").cast("decimal(4,2)")).alias("supp_cost")
+        cost = (F.col("supp_cost") * F.col("l_quantity").cast("decimal(12,2)"))
+        rv = _rev()
     pt = (_t(spark, sf_dir, "part")
           .filter(F.col("p_name").contains(_Q9_PATTERN))
-          .select("p_partkey",
-                  (F.col("p_retailprice").cast("decimal(12,2)")
-                   * F.lit("0.5").cast("decimal(4,2)")).alias("supp_cost")))
+          .select("p_partkey", supp_cost))
     na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     su = (_t(spark, sf_dir, "supplier")
           .join(maybe_broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -301,23 +330,24 @@ def q_tpch_q9_profit(spark, sf_dir):
     od_scan = _t(spark, sf_dir, "orders")
     od = od_scan.select("o_orderkey",
                         F.year("o_orderdate").alias("o_year"))
-    li = _t(spark, sf_dir, "lineitem")
-    cost = (F.col("supp_cost") * F.col("l_quantity").cast("decimal(12,2)"))
     fact = (
         li.join(maybe_broadcast(pt), li.l_partkey == pt.p_partkey)
         .join(maybe_broadcast(su), li.l_suppkey == su.s_suppkey)
         .select("l_orderkey", "n_name",
-                _rev().alias("_rv"), cost.alias("_cv"))
+                rv.alias("_rv"), cost.alias("_cv"))
     )
-    return (
+    agg = (
         fact.join(maybe_shuffle_hash(od, bound_df=od_scan),
                   fact.l_orderkey == od.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"), "o_year")
         .agg(F.sum("_rv").alias("_r"), F.sum("_cv").alias("_c"))
-        .select("nation", "o_year",
-                F.round(F.col("_r").cast("double") - F.col("_c").cast("double"),
-                        6).alias("sum_profit"))
     )
+    if fast:
+        profit = _fin4(F.col("_r")) - _fin4(F.col("_c"), 1000)
+    else:
+        profit = F.col("_r").cast("double") - F.col("_c").cast("double")
+    return agg.select("nation", "o_year",
+                      F.round(profit, 6).alias("sum_profit"))
 
 
 SQL_TPCH_Q9 = f"""
