@@ -2837,13 +2837,21 @@ def q_join_salted(spark, sf_dir):
     from .relational import salted_join
     li = _t(spark, sf_dir, "lineitem")
     od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    # Gated integer-cents revenue (r10, see the _rev4 block comment).
+    if _long_sum_ok(li):
+        rev, fin = _rev4(), _fin4
+    else:
+        rev = (_dec("l_extendedprice")
+               * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+        fin = (lambda c, scale=None: c.cast("double"))
     j = salted_join(li.withColumnRenamed("l_orderkey", "o_orderkey"), od,
                     on="o_orderkey", how="inner", n_salts=8,
                     salt_src=["o_orderkey", "l_linenumber"])
     return (j.groupBy("o_orderpriority")
-            .agg(F.sum(rev).cast("double").alias("revenue"),
-                 F.count(F.lit(1)).alias("n_items")))
+            .agg(F.sum(rev).alias("_r"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .select("o_orderpriority", fin(F.col("_r")).alias("revenue"),
+                    "n_items"))
 
 
 SQL_JOIN_SALTED = f"""

@@ -164,7 +164,9 @@ def q_tpch_q7_volume(spark, sf_dir):
     od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     dim = (od.join(maybe_broadcast(cu), od.o_custkey == cu.c_custkey)
            .select("o_orderkey", "cust_nation"))
-    li = (_t(spark, sf_dir, "lineitem")
+    li_scan = _t(spark, sf_dir, "lineitem")
+    rv, fin = _rev_plan(li_scan)
+    li = (li_scan
           .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
                   & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))))
     return (
@@ -174,7 +176,9 @@ def q_tpch_q7_volume(spark, sf_dir):
                 | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1)))
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .agg(F.sum(rv).alias("_r"))
+        .select("supp_nation", "cust_nation", "l_year",
+                fin(F.col("_r")).alias("revenue"))
     )
 
 
@@ -233,7 +237,9 @@ def q_tpch_q8_share(spark, sf_dir):
                 F.col("s_nationkey") == F.col("n_nationkey"))
           .select("s_suppkey", "supp_nation"))
     li = _t(spark, sf_dir, "lineitem")
-    vol = _rev()
+    vol, fin = _rev_plan(li)
+    zero = (F.lit(0).cast("long") if _long_sum_ok(li)
+            else F.lit(0).cast("decimal(18,2)"))
     return (
         li.join(maybe_broadcast(pt), li.l_partkey == pt.p_partkey, "left_semi")
         .join(maybe_broadcast(su), li.l_suppkey == su.s_suppkey)
@@ -241,11 +247,11 @@ def q_tpch_q8_share(spark, sf_dir):
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.sum(F.when(F.col("supp_nation") == _Q8_NATION, vol)
-                  .otherwise(F.lit(0).cast("decimal(18,2)"))).alias("_num"),
+                  .otherwise(zero)).alias("_num"),
             F.sum(vol).alias("_den"))
         .select("o_year",
-                F.round(F.col("_num").cast("double")
-                        / F.col("_den").cast("double"), 6).alias("mkt_share"))
+                F.round(fin(F.col("_num"))
+                        / fin(F.col("_den")), 6).alias("mkt_share"))
     )
 
 
@@ -383,23 +389,27 @@ def q_tpch_q10_returns(spark, sf_dir):
           .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
                   & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
           .select("o_orderkey", "o_custkey"))
-    li = (_t(spark, sf_dir, "lineitem")
-          .filter(F.col("l_returnflag") == "R"))
+    li_scan = _t(spark, sf_dir, "lineitem")
+    rv, fin = _rev_plan(li_scan)
+    li = li_scan.filter(F.col("l_returnflag") == "R")
     rev_per_cust = (
         li.join(od, li.l_orderkey == od.o_orderkey)
         .groupBy("o_custkey")
-        .agg(F.sum(_rev()).alias("_r")))
+        .agg(F.sum(rv).alias("_r")))
     cu = _t(spark, sf_dir, "customer")
     na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # Rank on the RAW per-customer sum (the finisher is strictly
+    # monotone, so order and ties are identical) and finish only the
+    # surviving 20 rows — the per-row finish never touches the
+    # per-customer grain.
     return (
         rev_per_cust
         .join(maybe_broadcast(cu), rev_per_cust.o_custkey == cu.c_custkey)
         .join(maybe_broadcast(na), cu.c_nationkey == na.n_nationkey)
-        .select("c_custkey", "c_name",
-                F.col("_r").cast("double").alias("revenue"),
-                "c_acctbal", "n_name", "c_mktsegment")
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .orderBy(F.desc("_r"), F.asc("c_custkey"))
         .limit(20)
+        .select("c_custkey", "c_name", fin(F.col("_r")).alias("revenue"),
+                "c_acctbal", "n_name", "c_mktsegment")
     )
 
 
@@ -463,17 +473,20 @@ def q_tpch_q14_promo(spark, sf_dir):
     One scan, one broadcast dim join, one aggregate — the CASE share
     pattern again (no self-join, no second pass)."""
     pt = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    li = (_t(spark, sf_dir, "lineitem")
+    li_scan = _t(spark, sf_dir, "lineitem")
+    vol, fin = _rev_plan(li_scan)
+    zero = (F.lit(0).cast("long") if _long_sum_ok(li_scan)
+            else F.lit(0).cast("decimal(18,2)"))
+    li = (li_scan
           .filter((F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
                   & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))))
-    vol = _rev()
     return (
         li.join(maybe_broadcast(pt), li.l_partkey == pt.p_partkey)
         .agg(F.sum(F.when(F.col("p_type") == "PROMO", vol)
-                   .otherwise(F.lit(0).cast("decimal(18,2)"))).alias("_num"),
+                   .otherwise(zero)).alias("_num"),
              F.sum(vol).alias("_den"))
-        .select(F.round(F.lit(100.0) * F.col("_num").cast("double")
-                        / F.col("_den").cast("double"), 6)
+        .select(F.round(F.lit(100.0) * fin(F.col("_num"))
+                        / fin(F.col("_den")), 6)
                 .alias("promo_revenue_pct"))
     )
 
@@ -498,18 +511,23 @@ def q_tpch_q15_top_supplier(spark, sf_dir):
     The scalar subquery becomes a 1-row max aggregate broadcast-joined
     against the per-supplier aggregate; equality compares the exact
     decimals, so ties and float fuzz can't drop a row."""
-    li = (_t(spark, sf_dir, "lineitem")
+    li_scan = _t(spark, sf_dir, "lineitem")
+    rv, fin = _rev_plan(li_scan)
+    li = (li_scan
           .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
                   & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))))
     per_supp = (li.groupBy("l_suppkey")
-                .agg(F.sum(_rev()).alias("_total")))
+                .agg(F.sum(rv).alias("_total")))
     mx = per_supp.agg(F.max("_total").alias("_mx"))
     su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # the max-equality join compares the exact raw sums (longs under
+    # the gate, decimals past it) — ties and float fuzz can't drop a
+    # row; the finisher runs only on the surviving tie rows
     return (
         per_supp.join(F.broadcast(mx), per_supp._total == mx._mx)
         .join(maybe_broadcast(su), F.col("l_suppkey") == su.s_suppkey)
         .select("s_suppkey", "s_name",
-                F.col("_total").cast("double").alias("total_revenue"))
+                fin(F.col("_total")).alias("total_revenue"))
     )
 
 
@@ -644,8 +662,10 @@ def q_tpch_q19_disjunct(spark, sf_dir):
            & F.col("l_quantity").between(10, 20))
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 25)
            & F.col("l_quantity").between(20, 30)))
+    rv, fin = _rev_plan(li)
     return (joined.filter(cond)
-            .agg(F.sum(_rev()).cast("double").alias("revenue")))
+            .agg(F.sum(rv).alias("_r"))
+            .select(fin(F.col("_r")).alias("revenue")))
 
 
 SQL_TPCH_Q19 = f"""
@@ -897,20 +917,26 @@ def q_tpch_q11_value(spark, sf_dir):
     su = (_t(spark, sf_dir, "supplier")
           .join(F.broadcast(na), F.col("s_nationkey") == na.n_nationkey)
           .select("s_suppkey"))
-    li = (_t(spark, sf_dir, "lineitem")
+    li_scan = _t(spark, sf_dir, "lineitem")
+    rv, fin = _rev_plan(li_scan)
+    li = (li_scan
           .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
           .join(maybe_broadcast(su), F.col("l_suppkey") == su.s_suppkey,
                 "left_semi"))
     per_part = (li.groupBy("l_partkey")
-                .agg(F.sum(_rev()).alias("_val"))
+                .agg(F.sum(rv).alias("_val"))
                 .localCheckpoint(eager=True))
     total = per_part.agg(F.sum("_val").alias("_tot"))
+    # the threshold compare replays the oracle's DOUBLE comparison
+    # exactly: finish both sides (one rounding each), then compare —
+    # comparing raw sums would be a DIFFERENT predicate at the
+    # rounding boundary
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("_val").cast("double")
-                > F.lit(_Q11_FRACTION) * F.col("_tot").cast("double"))
+        .filter(fin(F.col("_val"))
+                > F.lit(_Q11_FRACTION) * fin(F.col("_tot")))
         .select(F.col("l_partkey").alias("p_partkey"),
-                F.col("_val").cast("double").alias("part_value"))
+                fin(F.col("_val")).alias("part_value"))
         .orderBy(F.desc("part_value"), F.asc("p_partkey"))
     )
 
