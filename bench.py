@@ -166,6 +166,44 @@ def _canary(spark) -> float:
 CANARY_GATE_SEC = 0.30
 
 
+def _machine_canary(sf_dir: str) -> dict:
+    """Machine-speed normalizer (VERDICT r9 #4): fixed, Spark-free
+    probes so cross-round Spark numbers can be normalized for VM speed
+    (r9's 10.06s headline vs r8's 9.01s read as a regression until
+    DuckDB's own 738->770s total exposed the slower VM).
+
+    Two probes, min of 3 each: a DuckDB single-thread-ish aggregate
+    over the round's lineitem (same SQL + data every round at a given
+    sf) and a numpy sort+sum of a fixed seeded array (data-independent
+    pure-CPU).  Normalization rule (SCALE.md): before comparing Spark
+    walls across rounds, divide by (this round's duckdb probe / the
+    reference round's); >10% probe drift = environment, not code."""
+    import duckdb
+    import numpy as np
+
+    out = {}
+    con = duckdb.connect()
+    sql = (f"SELECT l_returnflag, l_linestatus, "
+           f"sum(l_extendedprice * (1 - l_discount)), count(*) "
+           f"FROM '{sf_dir}/lineitem.parquet' GROUP BY 1, 2")
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    out["duckdb_lineitem_agg_s"] = round(best, 4)
+    a = np.random.default_rng(0).random(20_000_000)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(np.sort(a).sum())
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    out["numpy_sort20m_s"] = round(best, 4)
+    return out
+
+
 def _wait_for_idle(spark, max_tries: int = 6,
                    sleep_s: float = 20.0) -> list[float]:
     """Don't START measuring on a contended machine: two of six
@@ -404,6 +442,7 @@ def main():
 
     gate_history = _wait_for_idle(spark)
     canary_before = gate_history[-1]
+    machine_canary = _machine_canary(sf_dir)
 
     tier_canaries: dict = {}
     times, medians = _guarded_tier(
@@ -455,6 +494,7 @@ def main():
         "r8_total": round(sum(r8.values()), 3),
         "canary_sec": [canary_before, canary_after],
         "canary_gate_history": gate_history,
+        "machine_canary": machine_canary,
         "tier_canaries": tier_canaries,
         "online_p50_ms": online_ms,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -480,6 +520,7 @@ def main():
         "r7_total": detail["r7_total"],
         "r8_total": detail["r8_total"],
         "canary_sec": detail["canary_sec"],
+        "machine_canary": machine_canary,
         "tier_canaries": tier_canaries,
         "online_exec_ms": (online_ms or {}).get("exec_only"),
         "detail_file": "BENCH_DETAIL.json",

@@ -291,6 +291,53 @@ def test_incremental_dedup_shuffles_digests_not_bodies(spark, qs):
             assert "text" not in line, line
 
 
+def test_revenue_by_nation_preagg_below_join(spark, qs):
+    """The r9 shuffle-minimal shape + r10 cents arithmetic, pinned
+    (VERDICT r9 #3): the per-orderkey pre-aggregate must sit BELOW the
+    fact join (the join moves ~|orders| partials, never |lineitem| raw
+    rows), the group/shuffle key must be the INT nationkey with the
+    25-row name join after the aggregate, and under the overflow gate
+    the fact aggregate must sum LONGS (no decimal(18,2) anywhere in
+    the plan — the fast path's only decimal is the final 25-row
+    finisher)."""
+    p = _plan(qs["revenue_by_nation"](spark, SF))
+    pre = p.index("HashAggregate(keys=[l_orderkey")
+    # the fact join appears above (= earlier in the tree print than)
+    # the per-orderkey pre-aggregate
+    join_at = min(i for i in (p.find("ShuffledHashJoin"),
+                              p.find("SortMergeJoin")) if i >= 0)
+    assert join_at < pre
+    assert "hashpartitioning(c_nationkey" in p
+    assert "decimal(18,2)" not in p            # cents fast path engaged
+
+
+def test_revenue_rollup_single_expand_on_preagg(spark, qs):
+    """Rollup runs on the 6-row pre-aggregate: ONE scan, ONE Expand,
+    and the Expand sits above the finest-grain aggregate — never on
+    the raw fact rows (VERDICT r9 #3).  Long-cents sums under the
+    gate."""
+    p = _plan(qs["revenue_rollup"](spark, SF))
+    assert p.count("FileScan") == 1
+    assert p.count("Expand") == 1
+    # tree prints parents first: Expand above the finest-grain agg
+    # (the LAST HashAggregate — the rollup's own agg also keys on
+    # l_returnflag and prints first), and the finest agg above the scan
+    finest = p.rindex("HashAggregate(keys=[l_returnflag")
+    assert p.index("Expand") < finest < p.index("FileScan")
+    assert "decimal(18,2)" not in p            # cents fast path engaged
+
+
+def test_q9_shuffle_hash_under_gate(spark, qs):
+    """Q9's only shuffle join is the size-gated SHUFFLE-HASH against
+    orders (r9, A/B-measured); under the gate the hint must
+    materialize as a ShuffledHashJoin, with the dims broadcast and the
+    money terms in long cents (VERDICT r9 #3)."""
+    p = _plan(qs["tpch_q9_profit"](spark, SF))
+    assert "ShuffledHashJoin" in p
+    assert p.count("BroadcastHashJoin") >= 2   # part, supplier⋈nation
+    assert "decimal(18,2)" not in p            # cents fast path engaged
+
+
 def test_funnel_single_shuffle(spark, qs):
     """Funnel must be one pass: scan → partial agg → ONE exchange on
     user_id → final reduce (the single-row global agg adds its own

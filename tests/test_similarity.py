@@ -332,6 +332,10 @@ def test_ivf_search_batch_plan(spark, tmp_path):
     assert "EvalPython" not in plan
     # the probed cells join keyed on the partition column of the layout
     assert "__list" in plan
+    # the r9 headline fix, pinned (VERDICT r9 #3): the cell join must
+    # carry dynamic partition pruning into the __list-partitioned scan
+    # — without it the batch join rescans every cell file
+    assert "dynamicpruning" in plan
 
 
 # ==========================================================================
