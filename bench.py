@@ -345,8 +345,23 @@ def _online_p50_ms(spark, n_iter: int = 15) -> dict:
         q100, q_id_col="qid").collect()))
     assert local_out == dist_out          # parity at bench time
 
+    # r10: a PIPELINE with an ANN stage on the compiled serving path
+    # (AnnAnnotator -> _serve_ann_annotator replica probes; VERDICT r9
+    # #7) vs the same pipeline's distributed batch transform on one row.
+    from dataframe_pipeline_spark.serving import local_rows_df as _lrd
+    from dataframe_pipeline_spark.similarity import AnnAnnotator
+    ann_pipe = dfp.DataframePipeline(steps=[
+        AnnAnnotator(k=5, n_lists=8, n_probe=2)])
+    ann_pipe.fit(emb)
+    emb_head = [emb.head()]
+    ann_pipe.serving_transform(
+        _lrd(spark, emb_head, emb.schema)).collect()   # warm + replica
+    ann_pipe.transform(
+        spark.createDataFrame(emb_head, schema=emb.schema)).collect()  # warm
+
     full, exec_join, exec_serv, req_serv, req_woe = [], [], [], [], []
     ann, ann_plan, ann_pq, ann_b_local, ann_b_plan = [], [], [], [], []
+    ann_pipe_serve, ann_pipe_plan = [], []
     for _ in range(n_iter):
         t0 = time.perf_counter()
         pipe.transform(one).collect()
@@ -378,6 +393,17 @@ def _online_p50_ms(spark, n_iter: int = 15) -> dict:
         t0 = time.perf_counter()
         idx.search_batch(q100, q_id_col="qid").collect()
         ann_b_plan.append(time.perf_counter() - t0)
+        # both sides REQUEST-shaped: the row arrives driver-side and
+        # each path builds its plan fresh (serving renders + folds a
+        # LocalRelation; batch wraps a Python-RDD input and runs jobs)
+        t0 = time.perf_counter()
+        ann_pipe.serving_transform(
+            _lrd(spark, emb_head, emb.schema)).collect()
+        ann_pipe_serve.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        ann_pipe.transform(
+            spark.createDataFrame(emb_head, schema=emb.schema)).collect()
+        ann_pipe_plan.append(time.perf_counter() - t0)
 
     def ms(x):
         return round(x * 1000, 1)
@@ -410,6 +436,13 @@ def _online_p50_ms(spark, n_iter: int = 15) -> dict:
         "ann_batch100_local_min": ms(min(ann_b_local)),
         "ann_batch100_plan": ms(statistics.median(ann_b_plan)),
         "ann_batch100_plan_min": ms(min(ann_b_plan)),
+        # r10: a pipeline WITH an ANN stage, end-to-end on the compiled
+        # serving path (replica probes, zero jobs) vs its distributed
+        # batch transform on the same single row
+        "ann_pipeline_serve": ms(statistics.median(ann_pipe_serve)),
+        "ann_pipeline_serve_min": ms(min(ann_pipe_serve)),
+        "ann_pipeline_plan": ms(statistics.median(ann_pipe_plan)),
+        "ann_pipeline_plan_min": ms(min(ann_pipe_plan)),
     }
 
 

@@ -234,6 +234,33 @@ def _serve_woe_encoder(op, df: DataFrame) -> DataFrame:
     return df
 
 
+def _serve_ann_annotator(op, df: DataFrame) -> DataFrame:
+    """ANN stage on the serving path (r10, VERDICT r9 #7): the
+    upstream serving plan is a folded LocalRelation, so ``collect()``
+    here is a driver-side expression evaluation — no job; each row's
+    vector then probes the in-process :class:`IVFServingReplica`
+    (AnnAnnotator.serve_rows → search_batch_local, bit-parity-tested
+    against the distributed ``search_batch``), and the local relation
+    is rebuilt with the annotation arrays appended, so downstream
+    steps keep folding.  Values, column order, and neighbour order are
+    identical to the batch transform (parity-tested in
+    test_serving.py); a row with no probed hits gets NULL arrays, as
+    the batch plan's left join does."""
+    from pyspark.sql import types as T
+
+    rows = df.collect()
+    hits = op.serve_rows([(r[op.id_col], r[op.vec_col]) for r in rows])
+    id_type = df.schema[op.id_col].dataType
+    schema = T.StructType(list(df.schema.fields) + [
+        T.StructField(f"{op.out_prefix}_ids", T.ArrayType(id_type)),
+        T.StructField(f"{op.out_prefix}_cosines",
+                      T.ArrayType(T.DoubleType())),
+    ])
+    new_rows = [list(r) + [ids or None, cos or None]
+                for r, (ids, cos) in zip(rows, hits)]
+    return local_rows_df(df.sparkSession, new_rows, schema)
+
+
 _SERVING_COMPILERS = {
     "ComplementLabelEncoder": _serve_label_encoder,
     "Aggregator": _serve_aggregator,
@@ -241,6 +268,7 @@ _SERVING_COMPILERS = {
     "TargetEncoder": _serve_target_encoder,
     "WrapTransformer": _serve_wrap_transformer,
     "WOEEncoder": _serve_woe_encoder,
+    "AnnAnnotator": _serve_ann_annotator,
 }
 
 

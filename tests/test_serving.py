@@ -251,3 +251,43 @@ def test_local_rows_df_tz_aware_datetime(spark):
     batch = spark.createDataFrame([(aware,)], schema).collect()[0]["t"]
     local = local_rows_df(spark, [(aware,)], schema).collect()[0]["t"]
     assert local == batch == dt.datetime(2024, 1, 1, 22, 4, 5, 123456)
+
+
+def test_serving_ann_annotator_parity_and_job_free(spark):
+    """A pipeline with an ANN stage (r10, VERDICT r9 #7): batch
+    transform (distributed search_batch join) and serving path
+    (in-process replica probes) must agree on values, column order,
+    and neighbour order — and the serving scoring path must launch
+    ZERO Spark jobs (the collect inside the ANN compiler evaluates a
+    folded LocalRelation; the rebuilt relation keeps folding through
+    downstream steps)."""
+    from pyspark.sql import functions as F
+
+    from dataframe_pipeline_spark.similarity import AnnAnnotator
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pipe = dfp.DataframePipeline(steps=[
+        AnnAnnotator(k=3, n_lists=4, n_probe=2),
+        dfp.Scaler(inputs=["label"], outputs=["label_mm"],
+                   strategy="minmax"),
+    ])
+    out = pipe.fit_transform(emb)
+    want = {r["vec_id"]: (list(r["nn_ids"]),
+                          [round(c, 6) for c in r["nn_cosines"]],
+                          round(r["label_mm"], 9))
+            for r in out.filter(F.col("vec_id") < 6).collect()}
+
+    rows = emb.filter(F.col("vec_id") < 6).collect()
+    served_df = pipe.serving_transform(
+        local_rows_df(spark, rows, emb.schema))
+    served_df.collect()                       # build caches/replica
+    sc = spark.sparkContext
+    sc.setJobGroup("ann-serve-gate", "must be job-free")
+    got = {r["vec_id"]: (list(r["nn_ids"]),
+                         [round(c, 6) for c in r["nn_cosines"]],
+                         round(r["label_mm"], 9))
+           for r in pipe.serving_transform(
+               local_rows_df(spark, rows, emb.schema)).collect()}
+    sc.setJobGroup(None, None)
+    assert got == want
+    assert sc.statusTracker().getJobIdsForGroup("ann-serve-gate") == []
