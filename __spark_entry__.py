@@ -30,52 +30,54 @@ except ImportError:
 
 # Queries with the STALEST driver check enumerate FIRST, so the
 # driver's 50-query correctness sampler lands on them instead of on the
-# freshly-verified tail.  Coverage math as of round 9: the registry is
-# 179 queries; the union of CORRECTNESS_r01..r08 covers all of them
-# with a green latest check (r8's 50-sample re-verified the one r8-new
-# query, the eight r8-changed, the six r4-stale leftovers and the
-# first 35 of the r5 block).  Order below: the thirteen queries whose
-# CODE changed in r9 (shuffle-hash join shapes, one-plan rollup,
-# reloaded-layout ANN batch, connected-components checkpoint release,
-# adjacency NULL contract, IVF-PQ scratch pathing), then the r5-block
-# remainder r8's sample did not reach (tpch_q13_custdist ... woe_encode)
-# — so r9's 50-sample covers all thirteen changed rows plus all ~37 of
-# the stale tail, completing the rotation.  Everything is also locally
+# freshly-verified tail.  Coverage math as of round 10: the registry is
+# 180 queries (sim_ann_annotate is new); the union of
+# CORRECTNESS_r01..r09 covers the other 179 with a green latest check.
+# Order below: the seventeen rows whose CODE changed in r10 (gated
+# integer-cents revenue arithmetic across the revenue/TPC-H family,
+# the new AnnAnnotator entry, the ANN-append replica invalidation,
+# the connected-components failure-path checkpoint release), then the
+# stalest latest-check block — the four r5-checked rows r9's sample
+# did not reach, then the 39 r6-checked rows.  17+4+39 = 60, so r10's
+# 50-sample covers every changed row, the r5 leftovers, and the first
+# ~29 of the r6 block; the last ~10 r6 rows (strconcat ...
+# zorder_key_orders) roll to r11's front.  Everything is also locally
 # verified each round regardless (scripts/check_oracle.py at sf0.01 —
-# full-registry runs r7, r8 and r9).
+# full-registry runs r7, r8, r9 and r10).
 _NEVER_CHECKED_FIRST = [
-    # r9 changed these queries' code — re-verify first
+    # r10 changed these queries' code — re-verify first
+    "sim_ann_annotate",          # new in r10
     "revenue_by_nation",
     "revenue_rollup",
+    "top_revenue_orders",
+    "tpch_pricing_summary",
+    "join_salted",
+    "tpch_q7_volume",
+    "tpch_q8_share",
     "tpch_q9_profit",
-    "tpch_q21_waiting",
-    "tpch_q16_variety",
-    "sim_ann_ivf_batch",
-    "sim_ann_ivf",
-    "sim_ann_ivf_persisted",
+    "tpch_q10_returns",
+    "tpch_q11_value",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q19_disjunct",
     "sim_ann_ivf_append",
-    "sim_ann_ivfpq",
-    "sim_ann_ivfpq_persisted",
     "dedup_clusters",
     "dedup_keep_canonical",
-    "graph_pagerank",
-    # -- r5-block remainder r8's 50-sample did not reach ---------------
-    "tpch_q13_custdist", "tpch_q14_promo",
-    "tpch_q15_top_supplier", "tpch_q17_small_qty",
-    "tpch_q18_large_orders", "tpch_q19_disjunct",
-    "tpch_q22_idle", "tpch_q4_priority", "tpch_q6_revenue",
-    "tpch_q7_volume", "tpch_q8_share",
-    "agg_group_median_approx", "agg_group_nunique_approx",
-    "clip_outliers_approx", "expect_orders_hll",
-    "multimodal_gif_roundtrip", "multimodal_gif_frames",
-    "profile_customer",
-    "profile_customer_approx", "quality_by_source",
-    "range_join_bands", "record_linkage", "resample_user_daily",
-    "rollup_incremental", "sample_cap_domain", "scaler_robust",
-    "scaler_robust_approx", "scd2_user_state", "snapshot_diff",
-    "split_group", "target_encode", "target_encode_cv", "text_chunk",
-    "text_clf_score", "text_normalize", "text_pack", "text_stopwords",
-    "text_tfidf", "topk_per_segment", "woe_encode",
+    # -- r5-checked leftovers r9's 50-sample did not reach -------------
+    "text_stopwords", "text_tfidf", "topk_per_segment", "woe_encode",
+    # -- the r6-checked block (stalest remaining latest-check) ---------
+    "agg_global_mean", "agg_group_mean", "agg_group_median",
+    "agg_group_nunique", "agg_group_std", "cms_user_counts",
+    "corpus_curation", "date_features", "date_from_seconds",
+    "dedup_semantic", "dedup_substring", "dedup_substring_trim",
+    "freq_count", "freq_norm", "imputer_const", "imputer_mean",
+    "imputer_median", "join_bloom_prune", "label_encode",
+    "map_default", "map_regex", "minority", "mix_temperature",
+    "onehot", "range_transform", "row_filter", "scaler_min",
+    "scaler_minmax", "scaler_standard", "shard_layout", "shard_stats",
+    "tpch_q20_excess", "tpch_q2_mincost",
+    "strconcat", "strsplit_index", "strsplit_sep",
+    "wrap_label_encode", "zorder_key_orders",
 ]
 
 _MERGED = {**CORE_QUERIES, **EXT_QUERIES, **TPCH_QUERIES}

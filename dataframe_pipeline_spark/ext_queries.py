@@ -955,11 +955,18 @@ def q_sim_ann_ivf_batch(spark, sf_dir):
                             exclude_self=True)
 
 
-def _sql_sim_ann_ivf_batch(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+def _sql_sim_ann_ivf_batch(sf_dir: str = "/root/testdata/sf0.01",
+                           ranked: bool = False) -> str | None:
     """Generated like ``_sql_sim_ann_ivf``: replay the deterministic
     trainer, then compute each query's probe cells in Python
     (``probe_cells``) and embed them as a (qid, lst) VALUES table the
-    oracle joins through."""
+    oracle joins through.
+
+    ``ranked=True`` is the AnnAnnotator flavor (r10): keep self-hits
+    (the annotator does not exclude them) and emit an explicit
+    ``rank`` ordered by the RAW cosine — the posexploded array
+    position the Spark side produces — so the oracle checks the
+    array ORDER the annotator guarantees, not just the member set."""
     import os
 
     path = f"{sf_dir}/embeddings.parquet"
@@ -995,6 +1002,33 @@ def _sql_sim_ann_ivf_batch(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
     cent_lits = ", ".join(
         "[" + ", ".join(str(c) for c in cj) + "]" for cj in cents)
     probe_vals = ", ".join(f"({q}, {l})" for q, l in pairs)
+    if ranked:
+        return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (
+  SELECT vec_id, q,
+         sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS nrm,
+         list_transform([{cent_lits}], c ->
+             list_sum(list_transform(generate_series(1, 64),
+                 i -> (q[i]-c[i])*(q[i]-c[i])))) AS d
+  FROM q),
+a AS (SELECT vec_id, q, nrm, list_position(d, list_min(d)) - 1 AS lst FROM n),
+p AS (SELECT * FROM (VALUES {probe_vals}) AS t(qid, lst)),
+b AS (SELECT vec_id AS qid, q, nrm FROM a WHERE vec_id < 5),
+h AS (
+  SELECT b.qid, a.vec_id,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> b.q[i] * a.q[i])) AS DOUBLE) / (b.nrm * a.nrm) AS rawc
+  FROM p JOIN b ON b.qid = p.qid JOIN a ON a.lst = p.lst)
+SELECT qid, CAST(row_number() OVER w - 1 AS BIGINT) AS rank,
+       vec_id AS nn_id, ROUND(rawc, 6) AS cosine
+FROM h
+WINDOW w AS (PARTITION BY qid ORDER BY rawc DESC, vec_id ASC)
+QUALIFY row_number() OVER w <= 5
+"""
     return f"""
 WITH q AS (
   SELECT vec_id,
@@ -1018,6 +1052,35 @@ WHERE a.vec_id <> b.qid
 QUALIFY row_number() OVER (PARTITION BY b.qid
                            ORDER BY cosine DESC, a.vec_id ASC) <= 5
 """
+
+
+def q_sim_ann_annotate(spark, sf_dir):
+    """AnnAnnotator as a registry query (r10, VERDICT r9 #7): the
+    pipeline-embeddable ANN stage (`similarity.AnnAnnotator`) fitted
+    on the corpus attaches ORDERED ``nn_ids``/``nn_cosines`` arrays to
+    each query row via one search_batch cell join + one sort_array
+    fold + one keyed join back.  Serves from the reloaded
+    ``__list``-partitioned index (`_ivf_reloaded`) so the cell join
+    partition-prunes.  Output posexplodes the arrays to
+    (qid, rank, nn_id, cosine) rows so the driver hash verifies the
+    array ORDER the annotator guarantees, not just the member set
+    (array cells don't survive the order-insensitive value compare)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ann = sim.AnnAnnotator(k=5, n_lists=8, n_probe=2, id_col="qid")
+    ann.index = _ivf_reloaded(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+    out = ann.transform(queries)
+    z = F.arrays_zip("nn_ids", "nn_cosines")
+    return (out.select("qid", F.posexplode(z).alias("pos", "h"))
+            .select("qid",
+                    F.col("pos").cast("long").alias("rank"),
+                    F.col("h.nn_ids").alias("nn_id"),
+                    F.round("h.nn_cosines", 6).alias("cosine")))
+
+
+def _sql_sim_ann_annotate(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    return _sql_sim_ann_ivf_batch(sf_dir, ranked=True)
 
 
 _PQ_FIT_MEMO: dict = {}
@@ -4946,6 +5009,7 @@ EXT_QUERIES = {
     "sim_ann_ivf": (q_sim_ann_ivf, _sql_sim_ann_ivf),
     "sim_ann_ivf_persisted": (q_sim_ann_ivf_persisted, _sql_sim_ann_ivf),
     "sim_ann_ivf_batch": (q_sim_ann_ivf_batch, _sql_sim_ann_ivf_batch),
+    "sim_ann_annotate": (q_sim_ann_annotate, _sql_sim_ann_annotate),
     "sim_ann_pq": (q_sim_ann_pq, _sql_sim_ann_pq),
     "sim_ann_pq_rerank": (q_sim_ann_pq_rerank, _sql_sim_ann_pq_rerank),
     # persisted PQ shares the in-session oracle: reload must be
