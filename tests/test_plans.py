@@ -346,3 +346,31 @@ def test_funnel_single_shuffle(spark, qs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_ann_annotator_cell_join_partition_prunes(spark, tmp_path):
+    """AnnAnnotator.transform over a RELOADED index must drive its
+    cell join through the ``__list`` partition column — dynamic
+    partition pruning against the tiny exploded query side, so an
+    annotation pass reads ~n_probe/n_lists of the corpus layout
+    instead of scanning it (the same contract sim_ann_ivf_batch
+    pins)."""
+    import pyspark.sql.functions as F
+
+    from dataframe_pipeline_spark.similarity import AnnAnnotator, IVFIndex
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = IVFIndex(k=3, n_lists=4, n_probe=2).fit(emb)
+    path = str(tmp_path / "ann_idx")
+    idx.write(path)
+
+    ann = AnnAnnotator(k=3, n_lists=4, n_probe=2, id_col="qid")
+    ann.index = IVFIndex.read(spark, path)
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+    out = ann.transform(queries)
+    out.write.format("noop").mode("overwrite").save()  # finalize AQE
+    plan = _plan(out)
+    assert "dynamicpruning" in plan or any(
+        "FileScan" in l and "PartitionFilters: [__list" in l
+        for l in plan.splitlines())
