@@ -248,6 +248,37 @@ def write_idempotent_partitions(sdf: DataFrame, path: str,
     return q
 
 
+def annotate_stream(ann, sdf: DataFrame, path: str,
+                    checkpoint: str) -> "object":
+    """Streaming twin of ``similarity.AnnAnnotator.transform``: each
+    micro-batch of embedding rows is annotated with its top-k ANN
+    neighbours from the FITTED (static) index and appended to a
+    parquet sink — the retrieval step of a continuously-ingesting
+    training-data pipeline (RAG corpus refresh, dedup-aware intake).
+
+    ``foreachBatch`` is the right vehicle, not a plain stream plan:
+    the annotate plan contains a per-query aggregation (the sort_array
+    fold) and a join back onto the input — as a streaming aggregation
+    that would accrete watermark state, but scoped to a micro-batch it
+    is the exact batch plan batch mode runs, so stream/batch parity is
+    bit-exact (tested) and state is bounded by the batch.  The fitted
+    index side is static; when it is the reloaded
+    ``__list``-partitioned layout, every micro-batch's cell join
+    partition-prunes to the probed cells.  Restart-safe via the
+    checkpoint; the sink appends by batch, so replays of an
+    acknowledged batch should go through
+    ``write_idempotent_partitions``-style dynamic overwrite if the
+    sink must be exactly-once-effect."""
+    def annotate(batch_df: DataFrame, batch_id: int):
+        ann.transform(batch_df).write.mode("append").parquet(path)
+
+    q = (sdf.writeStream.foreachBatch(annotate)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q
+
+
 def run_to_memory(sdf: DataFrame, name: str, mode: str = "complete"):
     """Drain a (bounded) stream into an in-memory table; returns the
     query after completion.  Test/demo harness — production sinks are

@@ -280,3 +280,32 @@ def test_quarantine_works_on_streams(spark, events_batch, tmp_path):
                spark.sql("SELECT * FROM gate_bad").collect()}
     exp_bad = {(r.event_id, tuple(r._failed)) for r in bad_b.collect()}
     assert got_bad == exp_bad
+
+
+def test_annotate_stream_matches_batch(spark, tmp_path):
+    """annotate_stream produces the same (qid -> ordered nn_ids) map
+    the batch AnnAnnotator.transform produces — the foreachBatch body
+    IS the batch plan, scoped per micro-batch, with the fitted index
+    static across batches."""
+    from pyspark.sql import functions as F
+
+    from dataframe_pipeline_spark.similarity import AnnAnnotator
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ann = AnnAnnotator(k=3, n_lists=4, n_probe=2).fit(emb)
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    src = str(tmp_path / "ann_src")
+    # two files so availableNow exercises >1 logical source split
+    queries.repartition(2).write.parquet(src)
+    sdf = spark.readStream.schema(queries.schema).parquet(src)
+
+    out = str(tmp_path / "ann_out")
+    st.annotate_stream(ann, sdf, out, str(tmp_path / "ann_ckpt"))
+
+    got = {r.vec_id: (list(r.nn_ids), [round(c, 9) for c in r.nn_cosines])
+           for r in spark.read.parquet(out).collect()}
+    exp = {r.vec_id: (list(r.nn_ids), [round(c, 9) for c in r.nn_cosines])
+           for r in ann.transform(queries).collect()}
+    assert got == exp
+    assert len(got) == 8
