@@ -42,6 +42,20 @@ class _DFRef:
         return os.path.join(root, "frames", f"s{self.step}_f{self.idx}")
 
 
+class _NestedObj:
+    """Placeholder for a fitted sub-object inside pickled operator
+    state — e.g. the IVFIndex an AnnAnnotator step carries.  Any
+    attribute value whose CLASS declares ``_dfp_partition_hints`` is
+    decomposed field-by-field (its frames written in their scale
+    layout, its ``_dfp_transient`` caches dropped) instead of being
+    handed whole to cloudpickle, which would choke on the embedded
+    DataFrame / py4j handles."""
+
+    def __init__(self, cls, state):
+        self.cls = cls
+        self.state = state
+
+
 def _extract(obj, step: int, sink: list, part_cols=None):
     """Deep-replace DataFrame leaves with _DFRef tokens, collecting
     (frame, partition_cols) pairs.  ``part_cols`` rides down from the
@@ -51,6 +65,12 @@ def _extract(obj, step: int, sink: list, part_cols=None):
     if isinstance(obj, DataFrame):
         sink.append((obj, part_cols))
         return _DFRef(step, len(sink) - 1)
+    if hasattr(type(obj), "_dfp_partition_hints"):
+        hints = type(obj)._dfp_partition_hints
+        transient = getattr(type(obj), "_dfp_transient", ())
+        state = {k: _extract(v, step, sink, part_cols=hints.get(k))
+                 for k, v in vars(obj).items() if k not in transient}
+        return _NestedObj(type(obj), state)
     if isinstance(obj, dict):
         return {k: _extract(v, step, sink, part_cols) for k, v in obj.items()}
     if isinstance(obj, list):
@@ -63,6 +83,12 @@ def _extract(obj, step: int, sink: list, part_cols=None):
 def _restore(obj, spark: SparkSession, root: str):
     if isinstance(obj, _DFRef):
         return spark.read.parquet(obj.path(root))
+    if isinstance(obj, _NestedObj):
+        inst = obj.cls.__new__(obj.cls)
+        inst.__dict__.update(_restore(obj.state, spark, root))
+        for name in getattr(obj.cls, "_dfp_transient", ()):
+            inst.__dict__.setdefault(name, None)
+        return inst
     if isinstance(obj, dict):
         return {k: _restore(v, spark, root) for k, v in obj.items()}
     if isinstance(obj, list):

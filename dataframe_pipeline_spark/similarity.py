@@ -241,6 +241,10 @@ class IVFIndex:
     # partitioned by cell id, so a reloaded probe is a partition-pruned
     # scan of n_probe/n_lists of the data (asserted in test_plans.py).
     _dfp_partition_hints = {"_assigned": ("__list",)}
+    #: driver-resident serving-replica cache (search_batch_local) —
+    #: a pure derivation of the fitted state; dropped at save time and
+    #: rebuilt lazily after load (persistence._NestedObj contract)
+    _dfp_transient = ("_replica", "_replica_id_col")
 
     def __init__(self, k: int = 10, n_lists: int = 8, n_probe: int = 2,
                  scale: int = 1000, max_train: int = 65536):

@@ -188,3 +188,42 @@ def test_bpe_trainer_roundtrip(spark, tmp_path):
     a = BpeTokenizer(tr.merges_).transform(docs.limit(3), "text").collect()
     b = BpeTokenizer(tr2.merges_).transform(docs.limit(3), "text").collect()
     assert [r["tokens"] for r in a] == [r["tokens"] for r in b]
+
+
+def test_ann_annotator_pipeline_roundtrip(spark, tmp_path):
+    """A pipeline whose step CARRIES a fitted index object (AnnAnnotator
+    -> IVFIndex -> cell DataFrame) survives save/load: the nested-object
+    protocol decomposes the index field-by-field (its cell table written
+    partitioned by __list, its serving-replica cache dropped as
+    transient) instead of cloudpickling a py4j handle.  The reloaded
+    step must transform identically, serve job-free via serve_rows
+    (replica rebuilt lazily), and read its cells from the parquet
+    layout."""
+    from dataframe_pipeline_spark.persistence import (load_pipeline,
+                                                      save_pipeline)
+    from dataframe_pipeline_spark.similarity import AnnAnnotator
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pipe = DataframePipeline(steps=[AnnAnnotator(k=3, n_lists=4, n_probe=2)])
+    pipe.fit(emb)
+    # populate the replica cache so save must actually drop it
+    pipe.steps[0].serve_rows([(0, [float(x) for x in
+                                   emb.head()["embedding"]])])
+
+    path = str(tmp_path / "ann_pipe")
+    save_pipeline(pipe, path)
+    p2 = load_pipeline(spark, path)
+
+    q = emb.filter("vec_id < 3")
+    exp = sorted((r.vec_id, list(r.nn_ids)) for r in pipe.transform(q).collect())
+    got = sorted((r.vec_id, list(r.nn_ids)) for r in p2.transform(q).collect())
+    assert got == exp
+    # transient cache was dropped and rebuilds lazily after reload
+    assert p2.steps[0].index._replica is None
+    rows = [(r.vec_id, list(r.embedding)) for r in q.collect()]
+    assert [ids for ids, _ in p2.steps[0].serve_rows(rows)] == \
+        [ids for _, ids in exp]
+    # the reloaded cell table is the written parquet layout, not a pickle
+    plan = p2.steps[0].index._assigned._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "FileScan parquet" in plan
