@@ -1449,6 +1449,12 @@ class AnnAnnotator:
     crossover — the vector twin of the literal-map fold for lookup
     joins."""
 
+    #: transform contains a per-query aggregation + join-back — valid
+    #: per micro-batch (streaming.annotate_stream / foreachBatch), but
+    #: NOT as a plain unbounded stream plan; streaming.score_stream
+    #: checks this marker and fails fast with the right pointer.
+    _dfp_batch_scoped = True
+
     def __init__(self, k: int = 5, n_lists: int = 8, n_probe: int = 2,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  out_prefix: str = "nn"):

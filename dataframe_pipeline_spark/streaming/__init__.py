@@ -193,7 +193,25 @@ def score_stream(pipeline, events: DataFrame) -> DataFrame:
     stream-static joins against the fitted lookup DataFrames (encoder
     dictionaries, grouped aggregates) — both valid on streaming frames;
     fit-time statistics are frozen, exactly like the reference's fitted
-    replay."""
+    replay.
+
+    Steps whose transform is BATCH-SCOPED (contains an aggregation +
+    join-back — the ``_dfp_batch_scoped`` marker, e.g. AnnAnnotator)
+    cannot run as a plain unbounded stream plan: Spark would reject
+    the watermark-less streaming aggregation with an opaque
+    AnalysisException at sink start.  Fail fast here with the right
+    pointer instead — route such pipelines through ``foreachBatch``
+    (``annotate_stream`` for the ANN stage) where each micro-batch
+    runs the exact batch plan."""
+    if events.isStreaming:
+        steps = getattr(pipeline, "steps", [])
+        bad = [type(s).__name__ for s in steps
+               if getattr(type(s), "_dfp_batch_scoped", False)]
+        if bad:
+            raise ValueError(
+                f"steps {bad} are batch-scoped (aggregation + join-back) "
+                f"and cannot run as a plain stream plan; use foreachBatch "
+                f"— see streaming.annotate_stream for the ANN stage")
     return pipeline.transform(events)
 
 

@@ -309,3 +309,26 @@ def test_annotate_stream_matches_batch(spark, tmp_path):
            for r in ann.transform(queries).collect()}
     assert got == exp
     assert len(got) == 8
+
+
+def test_score_stream_rejects_batch_scoped_steps(spark, tmp_path):
+    """A pipeline carrying a batch-scoped step (AnnAnnotator) must be
+    rejected by score_stream with a pointer to foreachBatch, instead
+    of dying at sink start with Spark's opaque watermark-less
+    streaming-aggregation AnalysisException."""
+    import pytest as _pytest
+
+    from dataframe_pipeline_spark import DataframePipeline
+    from dataframe_pipeline_spark.similarity import AnnAnnotator
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pipe = DataframePipeline(steps=[AnnAnnotator(k=3, n_lists=4, n_probe=2)])
+    pipe.fit(emb)
+
+    src = str(tmp_path / "reject_src")
+    emb.limit(5).write.parquet(src)
+    sdf = spark.readStream.schema(emb.schema).parquet(src)
+    with _pytest.raises(ValueError, match="annotate_stream"):
+        st.score_stream(pipe, sdf)
+    # batch input stays untouched by the guard
+    assert st.score_stream(pipe, emb.limit(5)).count() == 5
