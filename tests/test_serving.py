@@ -291,3 +291,33 @@ def test_serving_ann_annotator_parity_and_job_free(spark):
     sc.setJobGroup(None, None)
     assert got == want
     assert sc.statusTracker().getJobIdsForGroup("ann-serve-gate") == []
+
+
+def test_serving_ann_annotator_after_reload(spark, tmp_path):
+    """The full deployment loop for an index-carrying pipeline (r10):
+    fit -> save -> load -> serving_transform.  The reloaded step's
+    replica cache was dropped at save (transient) and must rebuild
+    lazily from the written __list-partitioned cell layout; served
+    values must equal the pre-save batch transform."""
+    from pyspark.sql import functions as F
+
+    from dataframe_pipeline_spark.persistence import (load_pipeline,
+                                                      save_pipeline)
+    from dataframe_pipeline_spark.similarity import AnnAnnotator
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pipe = dfp.DataframePipeline(steps=[
+        AnnAnnotator(k=3, n_lists=4, n_probe=2)])
+    want = {r["vec_id"]: list(r["nn_ids"])
+            for r in pipe.fit_transform(emb)
+            .filter(F.col("vec_id") < 4).collect()}
+
+    path = str(tmp_path / "ann_serve_pipe")
+    save_pipeline(pipe, path)
+    p2 = load_pipeline(spark, path)
+
+    rows = emb.filter(F.col("vec_id") < 4).collect()
+    got = {r["vec_id"]: list(r["nn_ids"])
+           for r in p2.serving_transform(
+               local_rows_df(spark, rows, emb.schema)).collect()}
+    assert got == want
