@@ -127,6 +127,18 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: str | list[str],
     splitting oversized partitions at runtime; explicit salting remains
     the deterministic tool when the skew is known a priori or the join
     runs inside a single AQE stage it can't re-plan.
+
+    **Measured crossover** (r10, sf1 lineitem⋈orders where |dim| ≈
+    |fact|/4, UNSKEWED keys — the pure-overhead case): salted wall is
+    **4.5× plain at n_salts=8, 8.7× at n_salts=32** — the replicated
+    dim side (n_salts·|dim| rows) rivals the fact side through the
+    shuffle once n_salts ≳ |fact|/|dim|, so "replication on the small
+    side only" stops being small.  Rule of thumb: with W reducer slots
+    and overhead factor V(n_salts) from above, the unsalted plan's
+    hot reducer carries ``max(1/W, hot_share)`` of the work, so
+    salting wins only when the hottest key owns ≳ ``V/W`` of the fact
+    rows (~14% at W=32, n_salts=8) — keep ``n_salts`` at the smallest
+    value that caps the hot reducer, never "more is safer".
     """
     keys = [on] if isinstance(on, str) else list(on)
     if how not in ("inner", "left", "leftouter", "left_outer",
