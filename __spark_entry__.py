@@ -30,54 +30,31 @@ except ImportError:
 
 # Queries with the STALEST driver check enumerate FIRST, so the
 # driver's 50-query correctness sampler lands on them instead of on the
-# freshly-verified tail.  Coverage math as of round 10: the registry is
-# 180 queries (sim_ann_annotate is new); the union of
-# CORRECTNESS_r01..r09 covers the other 179 with a green latest check.
-# Order below: the seventeen rows whose CODE changed in r10 (gated
-# integer-cents revenue arithmetic across the revenue/TPC-H family,
-# the new AnnAnnotator entry, the ANN-append replica invalidation,
-# the connected-components failure-path checkpoint release), then the
-# stalest latest-check block — the four r5-checked rows r9's sample
-# did not reach, then the 39 r6-checked rows.  17+4+39 = 60, so r10's
-# 50-sample covers every changed row, the r5 leftovers, and the first
-# ~29 of the r6 block; the last ~10 r6 rows (strconcat ...
-# zorder_key_orders) roll to r11's front.  Everything is also locally
+# freshly-verified tail.  Coverage math as of round 11: the registry
+# was 180 queries in r10, and the union of CORRECTNESS_r01..r10 covers
+# all 180 with a green latest check.  r10's front-list held 59 rows
+# (17 r10-changed + 4 r5 leftovers + 38 r6-checked — note 38, not the
+# 39 a prior comment claimed; the sampler takes the first 50 either
+# way), so the last 9 r6 rows (shard_layout ... zorder_key_orders,
+# untouched by r10's check) roll to the FRONT here.  After them: every
+# row whose code or oracle changed in r11.  Everything is also locally
 # verified each round regardless (scripts/check_oracle.py at sf0.01 —
-# full-registry runs r7, r8, r9 and r10).
+# full-registry runs r7..r10, changed-subset r11).
 _NEVER_CHECKED_FIRST = [
-    # r10 changed these queries' code — re-verify first
-    "sim_ann_annotate",          # new in r10
-    "revenue_by_nation",
-    "revenue_rollup",
-    "top_revenue_orders",
-    "tpch_pricing_summary",
-    "join_salted",
-    "tpch_q7_volume",
-    "tpch_q8_share",
-    "tpch_q9_profit",
-    "tpch_q10_returns",
-    "tpch_q11_value",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q19_disjunct",
-    "sim_ann_ivf_append",
-    "dedup_clusters",
-    "dedup_keep_canonical",
-    # -- r5-checked leftovers r9's 50-sample did not reach -------------
-    "text_stopwords", "text_tfidf", "topk_per_segment", "woe_encode",
-    # -- the r6-checked block (stalest remaining latest-check) ---------
-    "agg_global_mean", "agg_group_mean", "agg_group_median",
-    "agg_group_nunique", "agg_group_std", "cms_user_counts",
-    "corpus_curation", "date_features", "date_from_seconds",
-    "dedup_semantic", "dedup_substring", "dedup_substring_trim",
-    "freq_count", "freq_norm", "imputer_const", "imputer_mean",
-    "imputer_median", "join_bloom_prune", "label_encode",
-    "map_default", "map_regex", "minority", "mix_temperature",
-    "onehot", "range_transform", "row_filter", "scaler_min",
-    "scaler_minmax", "scaler_standard", "shard_layout", "shard_stats",
-    "tpch_q20_excess", "tpch_q2_mincost",
+    # -- r6-checked rollovers r10's 50-sample did not reach ------------
+    "shard_layout", "shard_stats", "tpch_q20_excess", "tpch_q2_mincost",
     "strconcat", "strsplit_index", "strsplit_sep",
     "wrap_label_encode", "zorder_key_orders",
+    # -- r11 changed these queries' code/oracle — re-verify next -------
+    "sim_ann_annotate",          # ranked oracle now orders by ROUND(rawc,6)
+    # overflow gate rewritten to exact footer row counts (shared helper
+    # of the cents family; gate outcome unchanged at test scale but the
+    # code path is new)
+    "tpch_pricing_summary", "revenue_rollup", "revenue_by_nation",
+    "top_revenue_orders", "tpch_q7_volume", "tpch_q8_share",
+    "tpch_q9_profit", "tpch_q10_returns", "tpch_q11_value",
+    "tpch_q14_promo", "tpch_q15_top_supplier", "tpch_q19_disjunct",
+    "dedup_clusters", "dedup_keep_canonical",  # cc failure-path release
 ]
 
 _MERGED = {**CORE_QUERIES, **EXT_QUERIES, **TPCH_QUERIES}

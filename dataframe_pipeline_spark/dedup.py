@@ -394,15 +394,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 converged = True
                 break
             prev_total = new_total
+        # raise INSIDE the try (ADVICE r10): the except-path release
+        # then frees the final label generation too — non-convergence
+        # must not leave its checkpoint pinned in executor storage, the
+        # exact failure-path leak this block exists to close.
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                f"rounds — raise max_iter")
     except BaseException:
         release_checkpoint(spark, label_ids)
         raise
     finally:
         release_checkpoint(spark, edge_ids)
-    if not converged:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"— raise max_iter")
     return labels.select(F.col("node"), F.col("comp"))
 
 

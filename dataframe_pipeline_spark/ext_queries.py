@@ -1026,7 +1026,10 @@ h AS (
 SELECT qid, CAST(row_number() OVER w - 1 AS BIGINT) AS rank,
        vec_id AS nn_id, ROUND(rawc, 6) AS cosine
 FROM h
-WINDOW w AS (PARTITION BY qid ORDER BY rawc DESC, vec_id ASC)
+-- order by the 6-dp ROUNDED cosine (ADVICE r10): the Spark annotator
+-- ranks search_batch's rounded values, so two hits that round equal
+-- must tie-break on vec_id here too or rank rows diverge spuriously
+WINDOW w AS (PARTITION BY qid ORDER BY ROUND(rawc, 6) DESC, vec_id ASC)
 QUALIFY row_number() OVER w <= 5
 """
     return f"""
@@ -2463,15 +2466,62 @@ _REV4_ROW_MAX = 1 << 31
 
 
 def _long_sum_ok(bound_df, per_row_max: int = _REV4_ROW_MAX) -> bool:
-    """True when Catalyst scan statistics PROVE a long sum of
-    ``per_row_max``-bounded terms cannot overflow 2⁶² (2× headroom
-    under 2⁶³): rows are upper-bounded as scan bytes / 8 — below any
-    real parquet row width for these tables.  Planning metadata only;
-    launches no job."""
-    from .relational import stats_bytes
+    """True when metadata PROVES a long sum of ``per_row_max``-bounded
+    terms cannot overflow 2⁶² (2× headroom under 2⁶³).
 
-    rows_ub = stats_bytes(bound_df) // 8 + 1
-    return rows_ub <= (1 << 62) // per_row_max
+    Row bound (ADVICE r10): EXACT row counts from the parquet footers of
+    ``bound_df``'s input files — footer metadata only, read driver-side
+    via pyarrow with no Spark job and no data pages.  The earlier
+    ``sizeInBytes / 8`` heuristic rested a correctness gate on an
+    assumed 8 B/row compression floor that a heavily RLE/zstd-encoded
+    layout could undercut; footers carry the true count.  The footer
+    sweep short-circuits the moment the running count crosses the
+    threshold, so driver work is bounded even on a million-file table —
+    and any failure to prove the bound (non-file source, unreadable
+    footer) falls back to the always-correct exact-decimal path by
+    returning False, never to a guess."""
+    max_rows = (1 << 62) // per_row_max
+    try:
+        files = bound_df.inputFiles()
+    except Exception:
+        return False
+    if not files:
+        return False
+    try:
+        total = 0
+        for f in files:
+            total += _parquet_file_rows(f)
+            if total > max_rows:
+                return False
+        return True
+    except Exception:
+        return False
+
+
+_FOOTER_ROWS_CACHE: dict = {}
+
+
+def _parquet_file_rows(uri: str) -> int:
+    """Exact row count from one parquet footer (cached per file URI —
+    the overflow gate runs once per query and bench sweeps hit the same
+    table files repeatedly).  Raises on non-parquet / non-local URIs so
+    the caller degrades to the exact-decimal path."""
+    cached = _FOOTER_ROWS_CACHE.get(uri)
+    if cached is not None:
+        return cached
+    from urllib.parse import urlparse
+
+    import pyarrow.parquet as pq
+
+    parsed = urlparse(uri)
+    if parsed.scheme not in ("", "file"):
+        raise ValueError(f"non-local input: {uri}")
+    path = parsed.path or uri
+    if not path.endswith((".parquet", ".parq")):
+        raise ValueError(f"not a parquet file: {uri}")
+    n = pq.ParquetFile(path).metadata.num_rows
+    _FOOTER_ROWS_CACHE[uri] = n
+    return n
 
 
 def _cents(c: str):

@@ -110,10 +110,19 @@ def save_pipeline(pipe, path: str) -> None:
         # serialize — without this, fit -> serving_transform ->
         # save_pipeline crashes.  The cache is a pure derivation of the
         # fitted lookups; serving_transform rebuilds it after load.
+        # Likewise drop the step's own ``_dfp_transient`` attrs (not just
+        # nested sub-objects'): a top-level IVFIndex saved via
+        # save_operator must not pickle its driver-resident serving
+        # replica — a reloaded index whose parquet cells were later
+        # extended by append_write would otherwise serve the stale
+        # pre-append corpus from the pickled replica while search_batch
+        # sees the appended vectors.  Transients rebuild lazily on load.
+        transient = set(getattr(type(step), "_dfp_transient", ()))
+        transient.add(SERVING_CACHE_ATTR)
         state = {
             k: _extract(v, i, frames, part_cols=hints.get(k))
             for k, v in vars(step).items()
-            if k != SERVING_CACHE_ATTR
+            if k not in transient
         }
         for j, (df, part_cols) in enumerate(frames):
             w = df.write.mode("overwrite")
@@ -133,6 +142,8 @@ def _load_steps(spark: SparkSession, path: str) -> list:
     for cls, state in manifest:
         step = cls.__new__(cls)
         step.__dict__.update(_restore(state, spark, path))
+        for name in getattr(cls, "_dfp_transient", ()):
+            step.__dict__.setdefault(name, None)
         steps.append(step)
     return steps
 

@@ -117,6 +117,9 @@ def test_connected_components_deep_path(spark):
 
 
 def test_connected_components_unconverged_raises(spark):
+    """Non-convergence raises AND releases every checkpoint it pinned
+    (ADVICE r10: the final label generation used to leak on this exact
+    path — executor storage must return to its pre-call state)."""
     import pandas as pd
     import pytest as pt
     from dataframe_pipeline_spark.dedup import connected_components
@@ -125,8 +128,12 @@ def test_connected_components_unconverged_raises(spark):
     pairs = spark.createDataFrame(
         pd.DataFrame({"id_a": list(range(n - 1)),
                       "id_b": list(range(1, n))}))
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet())
     with pt.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=1)
+    leaked = set(sc._jsc.getPersistentRDDs().keySet()) - before
+    assert not leaked, f"failure path left checkpoints pinned: {leaked}"
 
 
 def _synthetic_embeddings(spark, n, dim=16):

@@ -338,6 +338,29 @@ def test_q9_shuffle_hash_under_gate(spark, qs):
     assert "decimal(18,2)" not in p            # cents fast path engaged
 
 
+def test_long_sum_gate_uses_exact_footer_rows(spark):
+    """ADVICE r10: the overflow gate must bound rows EXACTLY from
+    parquet footers (no compressed-bytes/8 heuristic), open the fast
+    path on the tiny table, close it when the per-row bound makes the
+    exact count overflow-unsafe, and refuse (False) for non-file
+    sources where no footer exists — degrading to the always-correct
+    decimal path, never to a guess."""
+    from dataframe_pipeline_spark.ext_queries import (_long_sum_ok,
+                                                      _parquet_file_rows)
+
+    li = spark.read.parquet(SF + "/lineitem.parquet")
+    n_exact = li.count()
+    footer_total = sum(_parquet_file_rows(f) for f in li.inputFiles())
+    assert footer_total == n_exact             # footers ARE the count
+    assert _long_sum_ok(li)                    # sf0.001 provably safe
+    # per-row bound so large that even this tiny table must refuse
+    assert not _long_sum_ok(li, per_row_max=1 << 62)
+    # bound sized to the exact count still passes
+    assert _long_sum_ok(li, per_row_max=(1 << 62) // n_exact)
+    # non-file source: no footer to prove the bound -> decimal path
+    assert not _long_sum_ok(spark.range(10))
+
+
 def test_funnel_single_shuffle(spark, qs):
     """Funnel must be one pass: scan → partial agg → ONE exchange on
     user_id → final reduce (the single-row global agg adds its own

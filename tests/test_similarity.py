@@ -244,6 +244,36 @@ def test_ivf_append_invalidates_batch_local_replica(spark):
     assert any(v % 5 == 0 for _, v, _ in got)  # appended ids visible
 
 
+def test_ivf_write_never_persists_replica(spark, tmp_path):
+    """ADVICE r10: write() on an index with a WARM serving replica must
+    not pickle it into the manifest — otherwise append_write extends the
+    parquet cells while a reloaded index serves the stale pre-append
+    corpus from the pickled replica, breaking search_batch parity."""
+    from dataframe_pipeline_spark.similarity import IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter("vec_id % 5 != 0")
+    batch = emb.filter("vec_id % 5 = 0")
+    idx = IVFIndex(k=5, n_lists=4, n_probe=4).fit(corpus)
+    queries = (emb.filter(F.col("vec_id") < 4)
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+    assert idx.search_batch_local(queries, q_id_col="qid")  # warm replica
+    assert idx._replica is not None
+
+    path = str(tmp_path / "ivf_warm")
+    idx.write(path)
+    loaded = IVFIndex.read(spark, path)
+    assert loaded._replica is None            # transient never persisted
+
+    loaded.append_write(batch, path)          # extend the written cells
+    fresh = IVFIndex.read(spark, path)
+    want = {(r["qid"], r["vec_id"], r["cosine"])
+            for r in fresh.search_batch(queries, q_id_col="qid").collect()}
+    got = set(fresh.search_batch_local(queries, q_id_col="qid"))
+    assert got == want                        # parity over old + new files
+    assert any(v % 5 == 0 for _, v, _ in got)  # appended ids visible
+
+
 def test_ivf_serving_replica_matches_distributed_probe(spark):
     """The in-process serving replica (r8) must return the exact rows
     the distributed probe returns — ids AND 6-dp cosines — for many
