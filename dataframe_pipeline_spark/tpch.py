@@ -39,7 +39,6 @@ package's operators rely on.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from .ext_queries import _REV, _cents, _dec, _fin4, _long_sum_ok, _rev4
 from .queries import _t
@@ -690,11 +689,26 @@ def q_tpch_q21_waiting(spark, sf_dir):
     multi-supplier finalized orders, top 20 by count.
 
     The classic double correlated EXISTS/NOT-EXISTS over the same fact
-    becomes one hash aggregate per (order, supplier) plus an order-keyed
-    window for the per-order supplier/late counts — `late ∧ n_supp > 1 ∧
-    n_late = 1` is exactly `self late ∧ ∃ other supplier ∧ ¬∃ other
-    late supplier`.  One fact scan, keyed shuffles only, no correlated
-    re-scan per row and no self-join lineage duplication."""
+    becomes two stacked hash aggregates — per (order, supplier), then
+    per order — since `late ∧ n_supp > 1 ∧ n_late = 1` is exactly
+    `self late ∧ ∃ other supplier ∧ ¬∃ other late supplier`.  One fact
+    scan, no correlated re-scan per row, no self-join lineage
+    duplication.
+
+    Shuffle-minimal shape (r11, A/B-measured at sf1 — 1.78s → 1.37s):
+    after the size-gated broadcast join against the filtered orders,
+    the fact is repartitioned ONCE on l_orderkey; hashpartitioning
+    (l_orderkey) satisfies the clustered distribution of BOTH the
+    (l_orderkey, l_suppkey) pair aggregate and the per-order aggregate,
+    so both run exchange-free on top of that single fact exchange.
+    Letting each groupBy plan its own exchange (pair grain, then order
+    grain) was measured 1.76s, and the r10 window formulation
+    (sort-based WindowExec for the per-order counts) 1.78s; a
+    shuffle-hash orders join whose output partitioning feeds the aggs
+    directly came in at 1.39s — the explicit single repartition wins.
+    The n_late==1 filter pins the unique late supplier, so
+    max(late_supp) recovers it without carrying suppliers through the
+    order-grain aggregate."""
     od_scan = _t(spark, sf_dir, "orders")
     od = (od_scan
           .filter(F.col("o_orderstatus") == "F")
@@ -702,39 +716,39 @@ def q_tpch_q21_waiting(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate")
     # Size-gated broadcast of the filtered orders side (bounded by the
-    # orders SCAN statistic): under the gate the lineitem side never
-    # shuffles at fact grain — the only full-width exchanges left are
-    # the pair partials and the window's per-order regroup.  Past the
-    # gate (100 TB) the hint disappears and AQE picks the strategy.
+    # orders SCAN statistic): under the gate the lineitem side reaches
+    # the repartition without any join shuffle.  Past the gate (100 TB)
+    # the hint disappears and AQE picks the join strategy — its shuffle
+    # on l_orderkey then co-locates the aggregates the same way.
     flagged = (
         li.join(maybe_broadcast(od, bound_df=od_scan),
                 li.l_orderkey == od.o_orderkey)
         .select("l_orderkey", "l_suppkey",
                 (F.col("l_shipdate")
                  > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-                .cast("int").alias("_late")))
+                .cast("int").alias("_late"))
+        .repartition(F.col("l_orderkey")))
     per_pair = (flagged.groupBy("l_orderkey", "l_suppkey")
                 .agg(F.sum("_late").alias("late_rows")))
-    # Per-order supplier/late-supplier counts as an unbounded window
-    # over the pair aggregate — NOT a groupBy + self-join, which would
-    # duplicate the per_pair lineage and re-scan lineitem⋈orders twice.
-    # Window state is bounded by suppliers-per-order (single digits).
-    w = Window.partitionBy("l_orderkey")
-    per_order = per_pair.select(
-        "l_orderkey", "l_suppkey", "late_rows",
-        F.count(F.lit(1)).over(w).alias("n_supp"),
-        F.sum((F.col("late_rows") > 0).cast("int")).over(w).alias("n_late"))
-    # A qualifying supplier contributes one count PER LATE LINEITEM ROW
-    # (the reference Q21 counts l1 rows, not orders) — hence
-    # sum(late_rows), not count(*).
+    per_order = (per_pair.groupBy("l_orderkey")
+                 .agg(F.count(F.lit(1)).alias("n_supp"),
+                      F.sum((F.col("late_rows") > 0).cast("int"))
+                      .alias("n_late"),
+                      F.max(F.when(F.col("late_rows") > 0,
+                                   F.col("l_suppkey"))).alias("late_supp"),
+                      # a qualifying supplier contributes one count PER
+                      # LATE LINEITEM ROW (the reference Q21 counts l1
+                      # rows, not orders) — hence the sum of late rows
+                      F.sum(F.when(F.col("late_rows") > 0,
+                                   F.col("late_rows")))
+                      .alias("late_rows_sum")))
     waiting = per_order.filter(
-        (F.col("late_rows") > 0) & (F.col("n_supp") > 1)
-        & (F.col("n_late") == 1))
+        (F.col("n_late") == 1) & (F.col("n_supp") > 1))
     su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        waiting.groupBy("l_suppkey")
-        .agg(F.sum("late_rows").alias("numwait"))
-        .join(maybe_broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        waiting.groupBy("late_supp")
+        .agg(F.sum("late_rows_sum").alias("numwait"))
+        .join(maybe_broadcast(su), F.col("late_supp") == su.s_suppkey)
         .select("s_name", "numwait")
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
@@ -926,17 +940,24 @@ def q_tpch_q11_value(spark, sf_dir):
     per_part = (li.groupBy("l_partkey")
                 .agg(F.sum(rv).alias("_val"))
                 .localCheckpoint(eager=True))
-    total = per_part.agg(F.sum("_val").alias("_tot"))
     # the threshold compare replays the oracle's DOUBLE comparison
     # exactly: finish both sides (one rounding each), then compare —
     # comparing raw sums would be a DIFFERENT predicate at the
-    # rounding boundary
+    # rounding boundary.  Finish each side ONCE (r11, A/B-measured
+    # 1.09s → 1.00s at sf1): the scalar total's decimal divide runs on
+    # its single row before the broadcast, and part_value is
+    # materialized once per row via withColumn — the earlier shape
+    # evaluated the decimal finisher three times per surviving row
+    # (filter both sides + projection), the same per-row decimal cost
+    # class the r10 finisher lesson documents in SCALE.md.
+    total = (per_part.agg(F.sum("_val").alias("_t"))
+             .select(fin(F.col("_t")).alias("_totd")))
     return (
-        per_part.crossJoin(F.broadcast(total))
-        .filter(fin(F.col("_val"))
-                > F.lit(_Q11_FRACTION) * fin(F.col("_tot")))
-        .select(F.col("l_partkey").alias("p_partkey"),
-                fin(F.col("_val")).alias("part_value"))
+        per_part
+        .withColumn("part_value", fin(F.col("_val")))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(_Q11_FRACTION) * F.col("_totd"))
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
         .orderBy(F.desc("part_value"), F.asc("p_partkey"))
     )
 

@@ -113,12 +113,258 @@ def floor_scan(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+# -- r11 twins: the 9 rows VERDICT r10 flagged as unprofiled ---------------
+
+def noarith_q7(spark, sf_dir):
+    from dataframe_pipeline_spark.tpch import _Q7_N1, _Q7_N2
+    na = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(_Q7_N1, _Q7_N2))
+    su = (_t(spark, sf_dir, "supplier")
+          .join(maybe_broadcast(na.select(
+              "n_nationkey", F.col("n_name").alias("supp_nation"))),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", "supp_nation"))
+    cu = (_t(spark, sf_dir, "customer")
+          .join(maybe_broadcast(na.select(
+              F.col("n_nationkey").alias("nk2"),
+              F.col("n_name").alias("cust_nation"))),
+              F.col("c_nationkey") == F.col("nk2"))
+          .select("c_custkey", "cust_nation"))
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    dim = (od.join(maybe_broadcast(cu), od.o_custkey == cu.c_custkey)
+           .select("o_orderkey", "cust_nation"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1998-01-01").cast("timestamp"))))
+    return (li.join(maybe_broadcast(su), li.l_suppkey == su.s_suppkey)
+            .join(dim, li.l_orderkey == dim.o_orderkey)
+            .filter(((F.col("supp_nation") == _Q7_N1)
+                     & (F.col("cust_nation") == _Q7_N2))
+                    | ((F.col("supp_nation") == _Q7_N2)
+                       & (F.col("cust_nation") == _Q7_N1)))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.sum(F.lit(1)).alias("_r")))
+
+
+def noarith_q8(spark, sf_dir):
+    from dataframe_pipeline_spark.tpch import (_Q8_NATION, _Q8_REGION,
+                                               _Q8_TYPE)
+    re_ = _t(spark, sf_dir, "region").filter(F.col("r_name") == _Q8_REGION)
+    na = _t(spark, sf_dir, "nation")
+    na_r = (na.join(maybe_broadcast(re_), na.n_regionkey == re_.r_regionkey)
+            .select(F.col("n_nationkey").alias("rnk")))
+    cu = (_t(spark, sf_dir, "customer")
+          .join(maybe_broadcast(na_r), F.col("c_nationkey") == F.col("rnk"),
+                "left_semi")
+          .select("c_custkey"))
+    od = (_t(spark, sf_dir, "orders")
+          .filter((F.col("o_orderdate")
+                   >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("o_orderdate")
+                     < F.lit("1998-01-01").cast("timestamp"))))
+    dim = (od.join(maybe_broadcast(cu), od.o_custkey == cu.c_custkey,
+                   "left_semi")
+           .select("o_orderkey", "o_orderdate"))
+    pt = (_t(spark, sf_dir, "part").filter(F.col("p_type") == _Q8_TYPE)
+          .select("p_partkey"))
+    su = (_t(spark, sf_dir, "supplier")
+          .join(maybe_broadcast(na.select(
+              "n_nationkey", F.col("n_name").alias("supp_nation"))),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", "supp_nation"))
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(maybe_broadcast(pt), li.l_partkey == pt.p_partkey,
+                    "left_semi")
+            .join(maybe_broadcast(su), li.l_suppkey == su.s_suppkey)
+            .join(dim, li.l_orderkey == dim.o_orderkey)
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum(F.when(F.col("supp_nation") == _Q8_NATION, 1)
+                       .otherwise(0)).alias("_num"),
+                 F.sum(F.lit(1)).alias("_den")))
+
+
+def noarith_q10(spark, sf_dir):
+    od = (_t(spark, sf_dir, "orders")
+          .filter((F.col("o_orderdate")
+                   >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("o_orderdate")
+                     < F.lit("1996-04-01").cast("timestamp")))
+          .select("o_orderkey", "o_custkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R"))
+    # plain-double sum over BOTH money columns: the twin must pay the
+    # same parquet scan width as the real query (reading
+    # l_extendedprice/l_discount is part of the floor — a sum(1) twin
+    # under-reads and mislabels I/O as arithmetic residual)
+    rev_per_cust = (li.join(od, li.l_orderkey == od.o_orderkey)
+                    .groupBy("o_custkey")
+                    .agg(F.sum(F.col("l_extendedprice")
+                               + F.col("l_discount")).alias("_r")))
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (rev_per_cust
+            .join(maybe_broadcast(cu), rev_per_cust.o_custkey == cu.c_custkey)
+            .join(maybe_broadcast(na), cu.c_nationkey == na.n_nationkey)
+            .orderBy(F.desc("_r"), F.asc("c_custkey"))
+            .limit(20)
+            .select("c_custkey", "c_name", "_r", "c_acctbal", "n_name",
+                    "c_mktsegment"))
+
+
+def noarith_q11(spark, sf_dir):
+    from dataframe_pipeline_spark.tpch import _Q11_FRACTION, _Q11_NATION
+    na = (_t(spark, sf_dir, "nation")
+          .filter(F.col("n_name") == _Q11_NATION).select("n_nationkey"))
+    su = (_t(spark, sf_dir, "supplier")
+          .join(F.broadcast(na), F.col("s_nationkey") == na.n_nationkey)
+          .select("s_suppkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+          .join(maybe_broadcast(su), F.col("l_suppkey") == su.s_suppkey,
+                "left_semi"))
+    # scan-width-preserving plain-double sum (see noarith_q10 note)
+    per_part = (li.groupBy("l_partkey")
+                .agg(F.sum(F.col("l_extendedprice")
+                           + F.col("l_discount")).alias("_val"))
+                .localCheckpoint(eager=True))
+    total = per_part.agg(F.sum("_val").alias("_tot"))
+    return (per_part.crossJoin(F.broadcast(total))
+            .filter(F.col("_val").cast("double")
+                    > F.lit(_Q11_FRACTION) * F.col("_tot").cast("double"))
+            .select("l_partkey", "_val")
+            .orderBy(F.desc("_val"), F.asc("l_partkey")))
+
+
+def noarith_q14(spark, sf_dir):
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1996-03-01").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1996-04-01").cast("timestamp"))))
+    return (li.join(maybe_broadcast(pt), li.l_partkey == pt.p_partkey)
+            .agg(F.sum(F.when(F.col("p_type") == "PROMO", 1)
+                       .otherwise(0)).alias("_num"),
+                 F.sum(F.lit(1)).alias("_den")))
+
+
+def noarith_q15(spark, sf_dir):
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1996-04-01").cast("timestamp"))))
+    per_supp = (li.groupBy("l_suppkey")
+                .agg(F.sum(F.lit(1)).alias("_total")))
+    mx = per_supp.agg(F.max("_total").alias("_mx"))
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (per_supp.join(F.broadcast(mx), per_supp._total == mx._mx)
+            .join(maybe_broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+            .select("s_suppkey", "s_name", "_total"))
+
+
+def nodistinct_q16(spark, sf_dir):
+    """q16 has NO money arithmetic — its only candidate residual is the
+    exact COUNT(DISTINCT) (two-exchange dedup-then-count).  The twin is
+    the same anti-join + part-join shape with a plain COUNT, so
+    full − twin isolates the semantic cost of exactness that cannot be
+    removed without changing the answer."""
+    from dataframe_pipeline_spark.tpch import _Q16_SIZES
+    pt = (_t(spark, sf_dir, "part")
+          .filter((F.col("p_brand") != "Brand#1")
+                  & F.col("p_size").isin(_Q16_SIZES))
+          .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (_t(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    li = (_t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+          .join(F.broadcast(bad), F.col("l_suppkey") == bad.s_suppkey,
+                "left_anti"))
+    return (li.join(maybe_broadcast(pt), F.col("l_partkey") == pt.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"),
+                     F.asc("p_type"), F.asc("p_size")))
+
+
+def noarith_q19(spark, sf_dir):
+    cond_part = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 25)))
+    pt = (_t(spark, sf_dir, "part")
+          .filter(cond_part).select("p_partkey", "p_brand", "p_size"))
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(maybe_broadcast(pt), li.l_partkey == pt.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(20, 30)))
+    return joined.filter(cond).agg(F.sum(F.lit(1)).alias("_r"))
+
+
+def noarith_q21(spark, sf_dir):
+    """q21's only per-row arithmetic is the date compare that defines
+    'late' — the twin keeps the joins/repartition/double-aggregate shape
+    but flags a constant, isolating the shape floor."""
+    od_scan = _t(spark, sf_dir, "orders")
+    od = (od_scan.filter(F.col("o_orderstatus") == "F")
+          .select("o_orderkey", "o_orderdate"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    flagged = (li.join(maybe_broadcast(od, bound_df=od_scan),
+                       li.l_orderkey == od.o_orderkey)
+               # constant-timestamp compare: still READS l_shipdate
+               # (same scan width as the real query) but drops the
+               # per-row orderdate + interval arithmetic
+               .select("l_orderkey", "l_suppkey",
+                       (F.col("l_shipdate")
+                        > F.lit("1998-01-01").cast("timestamp"))
+                       .cast("int").alias("_late"))
+               .repartition(F.col("l_orderkey")))
+    per_pair = (flagged.groupBy("l_orderkey", "l_suppkey")
+                .agg(F.sum("_late").alias("late_rows")))
+    per_order = (per_pair.groupBy("l_orderkey")
+                 .agg(F.count(F.lit(1)).alias("n_supp"),
+                      F.sum((F.col("late_rows") > 0).cast("int"))
+                      .alias("n_late"),
+                      F.max(F.when(F.col("late_rows") > 0,
+                                   F.col("l_suppkey"))).alias("late_supp"),
+                      F.sum(F.when(F.col("late_rows") > 0,
+                                   F.col("late_rows")))
+                      .alias("late_rows_sum")))
+    return (per_order.filter((F.col("n_late") == 1)
+                             & (F.col("n_supp") > 1))
+            .groupBy("late_supp")
+            .agg(F.sum("late_rows_sum").alias("numwait")))
+
+
+def _q(name):
+    from dataframe_pipeline_spark.tpch import TPCH_QUERIES
+    return TPCH_QUERIES[name][0]
+
+
 CASES = {
     "revenue_rollup": (q_revenue_rollup, noarith_rollup),
     "revenue_by_nation": (q_revenue_by_nation, noarith_by_nation),
     "tpch_q9_profit": (q_tpch_q9_profit, noarith_q9),
     "top_revenue_orders": (q_top_revenue_orders, noarith_top_orders),
     "tpch_pricing_summary": (q_tpch_pricing_summary, noarith_pricing),
+    # r11: the nine rows VERDICT r10 flagged as unprofiled-weak
+    "tpch_q7_volume": (_q("tpch_q7_volume"), noarith_q7),
+    "tpch_q8_share": (_q("tpch_q8_share"), noarith_q8),
+    "tpch_q10_returns": (_q("tpch_q10_returns"), noarith_q10),
+    "tpch_q11_value": (_q("tpch_q11_value"), noarith_q11),
+    "tpch_q14_promo": (_q("tpch_q14_promo"), noarith_q14),
+    "tpch_q15_top_supplier": (_q("tpch_q15_top_supplier"), noarith_q15),
+    "tpch_q16_variety": (_q("tpch_q16_variety"), nodistinct_q16),
+    "tpch_q19_disjunct": (_q("tpch_q19_disjunct"), noarith_q19),
+    "tpch_q21_waiting": (_q("tpch_q21_waiting"), noarith_q21),
 }
 
 CANARY_SQL = """

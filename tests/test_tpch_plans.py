@@ -65,6 +65,19 @@ def test_q21_is_two_aggregates_not_correlated_rescan(spark, qs):
     assert "NestedLoop" not in p
 
 
+def test_q21_single_fact_exchange_no_window(spark, qs):
+    """r11 shuffle-minimal shape, pinned: ONE fact-grain exchange (the
+    explicit repartition on l_orderkey) feeds BOTH the pair- and
+    order-grain aggregates exchange-free — the only other exchange is
+    the tiny per-supplier regroup — and the per-order counts are hash
+    aggregates, never a sort-based WindowExec."""
+    p = _plan(qs["tpch_q21_waiting"](spark, SF))
+    assert "Window" not in p
+    assert p.count("REPARTITION_BY_COL") == 1
+    # repartition + late_supp regroup; broadcasts don't hash-partition
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
 def test_q15_max_is_broadcast_scalar(spark, qs):
     """The revenue max joins back as a 1-row broadcast — never a
     shuffle of the per-supplier aggregate against itself."""
