@@ -2975,6 +2975,36 @@ GROUP BY o_orderpriority
 """
 
 
+def q_join_salted_auto(spark, sf_dir):
+    """Statistics-GATED salting (relational.maybe_salted_join, VERDICT
+    r10 #2): same lineitem ⋈ orders aggregate as join_salted, but the
+    helper measures the hot-key share first and — orderkey being
+    unskewed (≤7 lines per order) — falls through to the PLAIN join,
+    skipping the measured 4.5–8.7× replication overhead.  The oracle is
+    the same unsalted SQL: the gate can only choose a plan, never
+    change values.  test_relational.py pins that this input takes the
+    ungated plan (no __salt anywhere) and that a hot-key input flips
+    the gate."""
+    from .relational import maybe_salted_join
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    if _long_sum_ok(li):
+        rev, fin = _rev4(), _fin4
+    else:
+        rev = (_dec("l_extendedprice")
+               * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+        fin = (lambda c, scale=None: c.cast("double"))
+    j = maybe_salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), od,
+        on="o_orderkey", how="inner", n_salts=8,
+        salt_src=["o_orderkey", "l_linenumber"])
+    return (j.groupBy("o_orderpriority")
+            .agg(F.sum(rev).alias("_r"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .select("o_orderpriority", fin(F.col("_r")).alias("revenue"),
+                    "n_items"))
+
+
 def q_filter_blocklist(spark, sf_dir):
     """Blocklist anti-join (relational.filter_blocklist): drop every
     event from error-heavy users (>= 14 error events — a criterion that
@@ -4997,6 +5027,7 @@ EXT_QUERIES = {
     "text_bpe_merges": (q_text_bpe_merges, _sql_bpe_merges),
     "text_bpe_tokens": (q_text_bpe_tokens, _sql_bpe_tokens),
     "join_salted": (q_join_salted, SQL_JOIN_SALTED),
+    "join_salted_auto": (q_join_salted_auto, SQL_JOIN_SALTED),
     "filter_blocklist": (q_filter_blocklist, SQL_FILTER_BLOCKLIST),
     "topk_per_segment": (q_topk_per_segment, SQL_TOPK_PER_SEGMENT),
     "profile_customer": (q_profile_customer, SQL_PROFILE_CUSTOMER),

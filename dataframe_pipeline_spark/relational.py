@@ -165,6 +165,60 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: str | list[str],
     return out
 
 
+#: Measured salting overhead factor on UNSKEWED keys (r10 A/B, sf1
+#: lineitem⋈orders, n_salts=8): the salted wall is ~4.5× the plain
+#: join's.  The crossover rule documented at :func:`salted_join`: with
+#: W reducer slots, the unsalted plan's hot reducer carries
+#: ``max(1/W, hot_share)`` of the work, so salting pays only when the
+#: hottest key owns more than ``V/W`` of the fact rows.
+SALT_OVERHEAD_FACTOR = 4.5
+
+
+def maybe_salted_join(fact: DataFrame, dim: DataFrame,
+                      on: str | list[str], how: str = "inner",
+                      n_salts: int = 8,
+                      salt_src: str | list[str] | None = None,
+                      hot_share_threshold: float | None = None,
+                      sample_fraction: float | None = None) -> DataFrame:
+    """Statistics-gated :func:`salted_join` (VERDICT r10 #2): measure
+    the fact side's hot-key share with ONE partial-aggregated count and
+    salt only past the measured ``V/W`` crossover — otherwise fall
+    through to the plain equi-join, so a caller on unskewed keys never
+    pays the 4.5–8.7× replication overhead the r10 A/B documented.
+
+    Gate: salt iff ``hot_share > SALT_OVERHEAD_FACTOR / W`` with W =
+    ``defaultParallelism`` (the reducer slots the hot key would
+    serialize on) — ~14% at W=32.  Override with
+    ``hot_share_threshold`` when the cluster's slot count isn't the
+    right W (e.g. dynamic allocation).
+
+    Probe cost: one column-pruned scan of the join key(s) + a two-level
+    count (partial-aggregatable, heap-free — max/sum over the grouped
+    counts).  At 100 TB pass ``sample_fraction`` to probe a seeded
+    sample instead of the full fact; the gate needs ~percent-level
+    share accuracy, so even 1e-3 is ample at any real row count, and
+    the seed keeps the plan choice deterministic across retries.  The
+    RESULT is row-identical on either path (salting never changes join
+    semantics), so the gate can only mis-choose a plan, never an
+    answer."""
+    keys = [on] if isinstance(on, str) else list(on)
+    probe = fact.select(*keys)
+    if sample_fraction is not None:
+        probe = probe.sample(fraction=sample_fraction, seed=42)
+    row = (probe.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+           .agg(F.max("__n").alias("__hot"),
+                F.sum("__n").alias("__tot")).head())
+    hot, tot = row["__hot"] or 0, row["__tot"] or 0
+    hot_share = hot / tot if tot else 0.0
+    w = max(fact.sparkSession.sparkContext.defaultParallelism, 1)
+    threshold = (SALT_OVERHEAD_FACTOR / w if hot_share_threshold is None
+                 else hot_share_threshold)
+    if hot_share <= threshold:
+        return fact.join(dim, keys, how)
+    return salted_join(fact, dim, on, how=how, n_salts=n_salts,
+                       salt_src=salt_src)
+
+
 def filter_blocklist(df: DataFrame, blocked: DataFrame, col: str,
                      blocked_col: str | None = None) -> DataFrame:
     """Drop rows whose ``col`` appears in ``blocked`` — URL/domain/user

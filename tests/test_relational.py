@@ -82,6 +82,55 @@ def test_salted_join_plan_has_salt_key(spark, skewed):
     assert "__salt" not in out.columns
 
 
+def test_maybe_salted_join_gates_on_measured_skew(spark, skewed):
+    """VERDICT r10 #2: the gated entry point must take the PLAIN join
+    on unskewed keys (no __salt anywhere in the plan — a user never
+    pays the measured 4.5-8.7x replication overhead by default) and
+    flip to the salted plan when the hottest key's share crosses the
+    V/W rule.  Values identical on both paths."""
+    from dataframe_pipeline_spark.relational import maybe_salted_join
+
+    fact, dim = skewed                     # hot key 7 owns ~50% of rows
+    plain = fact.join(dim, "k", "inner")
+
+    # pin the production crossover (4.5/32 ≈ 0.14) explicitly: the
+    # default derives from defaultParallelism, which is 4 in the test
+    # session — there 4.5/W > 1 and the gate NEVER salts (correct: at
+    # tiny parallelism the replication overhead always exceeds the
+    # hot-reducer gain), which would make both assertions vacuous
+    thr = 4.5 / 32
+
+    # skewed input (hot_share ~0.5 > 0.14): gate flips to salting
+    hot = maybe_salted_join(fact, dim, "k", n_salts=8, salt_src="row_id",
+                            hot_share_threshold=thr)
+    assert "__salt" in hot._jdf.queryExecution().optimizedPlan().toString()
+    assert _rows(hot.select("row_id", "name")) == \
+        _rows(plain.select("row_id", "name"))
+
+    # unskewed input (hottest key ~0.02 < 0.14): plain join, no salt
+    flat = spark.createDataFrame(
+        [(i, i % 50, float(i)) for i in range(400)],
+        "row_id long, k long, v double")
+    ungated = maybe_salted_join(flat, dim, "k", n_salts=8,
+                                salt_src="row_id",
+                                hot_share_threshold=thr)
+    p = ungated._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt" not in p
+    assert _rows(ungated.select("row_id", "name")) == \
+        _rows(flat.join(dim, "k", "inner").select("row_id", "name"))
+
+    # the default threshold at this session's W=4 refuses to salt even
+    # the hot key — the documented never-salt-at-tiny-W behavior
+    dflt = maybe_salted_join(fact, dim, "k", n_salts=8, salt_src="row_id")
+    assert "__salt" not in \
+        dflt._jdf.queryExecution().optimizedPlan().toString()
+
+    # explicit threshold override is honored
+    forced = maybe_salted_join(flat, dim, "k", n_salts=4,
+                               salt_src="row_id", hot_share_threshold=0.0)
+    assert "__salt" in forced._jdf.queryExecution().optimizedPlan().toString()
+
+
 def test_filter_blocklist_semantics(spark):
     ev = spark.createDataFrame(
         [(1, 10, "x"), (2, 20, "y"), (3, None, "z"), (4, 30, "w")],
