@@ -136,6 +136,22 @@ R8_EXTRAS = [
     "sim_ann_ivfpq_persisted",
 ]
 
+#: Round-10/11 tier: the AnnAnnotator pipeline stage, its streaming
+#: batch twin, and the statistics-gated salting row — timed under
+#: "queries_r11", NOT summed.
+R11_EXTRAS = [
+    "sim_ann_annotate",
+    "events_ann_annotate",
+    "join_salted_auto",
+]
+
+#: r10's machine-canary readings at sf0.1 (BENCH_r10.json), the anchor
+#: for cross-round normalization (VERDICT r10 #4).  Valid ONLY for the
+#: sf0.1 run the driver executes — the DuckDB probe scans the round's
+#: lineitem, so its wall scales with sf.
+R10_CANARY_ANCHOR = {"duckdb_lineitem_agg_s": 0.0448,
+                     "numpy_sort20m_s": 0.4803}
+
 EXT_HEADLINE = [
     "dedup_exact",
     "dedup_minhash_pairs",
@@ -492,14 +508,37 @@ def main():
         spark, qs, R7_EXTRAS, sf_dir, "r7", gate_history, tier_canaries)
     r8, r8_median = _guarded_tier(
         spark, qs, R8_EXTRAS, sf_dir, "r8", gate_history, tier_canaries)
+    r11, r11_median = _guarded_tier(
+        spark, qs, R11_EXTRAS, sf_dir, "r11", gate_history, tier_canaries)
 
-    canary_after = tier_canaries["r8"][-1]
+    canary_after = tier_canaries["r11"][-1]
     try:
         online_ms = _online_p50_ms(spark)
     except Exception:
         online_ms = None
 
     total = round(sum(times.values()), 3)
+    # Canary-normalized cross-round comparison (VERDICT r10 #4): the
+    # normalization RULE from SCALE.md, applied in the artifact itself
+    # so the reader never has to fetch the anchor.  Only emitted for
+    # the sf0.1 run the anchor was taken at.
+    canary_norm = None
+    if sf.replace(".", "").isdigit() and abs(float(sf) - 0.1) < 1e-9:
+        d_ratio = round(machine_canary["duckdb_lineitem_agg_s"]
+                        / R10_CANARY_ANCHOR["duckdb_lineitem_agg_s"], 3)
+        n_ratio = round(machine_canary["numpy_sort20m_s"]
+                        / R10_CANARY_ANCHOR["numpy_sort20m_s"], 3)
+        canary_norm = {
+            "anchor_round": "r10",
+            "anchor": R10_CANARY_ANCHOR,
+            "duckdb_ratio": d_ratio,
+            "numpy_ratio": n_ratio,
+            # raw total divided by the DuckDB probe ratio = what this
+            # round's headline total WOULD read on r10's box; compare
+            # against r10's raw 11.235 s
+            "headline_total_normalized": round(total / d_ratio, 3),
+            "r10_headline_total_raw": 11.235,
+        }
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -525,6 +564,10 @@ def main():
         "queries_r8": r8,
         "queries_r8_median": r8_median,
         "r8_total": round(sum(r8.values()), 3),
+        "queries_r11": r11,
+        "queries_r11_median": r11_median,
+        "r11_total": round(sum(r11.values()), 3),
+        "canary_normalized": canary_norm,
         "canary_sec": [canary_before, canary_after],
         "canary_gate_history": gate_history,
         "machine_canary": machine_canary,
@@ -552,6 +595,8 @@ def main():
         "r6_total": detail["r6_total"],
         "r7_total": detail["r7_total"],
         "r8_total": detail["r8_total"],
+        "r11_total": detail["r11_total"],
+        "canary_normalized": canary_norm,
         "canary_sec": detail["canary_sec"],
         "machine_canary": machine_canary,
         "tier_canaries": tier_canaries,
