@@ -2569,10 +2569,30 @@ def _rev4():
     return _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
 
 
+#: |long| bound under which ``cast(long as double)`` is EXACT (every
+#: integer below 2⁵³ is representable), so the pure-double finisher
+#: below is bit-identical to the decimal one.
+_EXACT_DOUBLE_MAX = 1 << 53
+
+
 def _fin4(col, scale: int = 10000):
-    """Finish an integer-units sum: one exact decimal divide, then one
-    double rounding (matching the oracle's CAST(sum AS DOUBLE))."""
-    return (col.cast("decimal(38,0)") / F.lit(scale)).cast("double")
+    """Finish an integer-units sum with exactly ONE double rounding,
+    matching the oracle's ``CAST(sum AS DOUBLE)``.
+
+    Fast path (r11): when ``|sum| < 2⁵³`` the long→double cast is exact
+    and the IEEE divide by the exactly-representable ``scale`` is
+    correctly rounded — the SAME single rounding of the same exact
+    rational the decimal divide produces, at pure-codegen double cost.
+    Measured on q11's 180k-row per-part finisher (the only >10³-row
+    finisher site): the per-row decimal divide was ~0.2 s of its wall.
+    Above the bound (a group sum past 9e15 — possible for GLOBAL
+    totals at large sf) the row takes the exact decimal divide; the
+    ``when`` evaluates that branch only on such rows, so the value is
+    identical everywhere and the cost is double-path almost always."""
+    exact = col.cast("double") / F.lit(float(scale))
+    slow = (col.cast("decimal(38,0)") / F.lit(scale)).cast("double")
+    return F.when(F.abs(col) < F.lit(_EXACT_DOUBLE_MAX), exact) \
+        .otherwise(slow)
 
 
 def q_tpch_pricing_summary(spark, sf_dir):

@@ -361,6 +361,29 @@ def test_long_sum_gate_uses_exact_footer_rows(spark):
     assert not _long_sum_ok(spark.range(10))
 
 
+def test_fin4_double_fast_path_is_bit_identical(spark):
+    """r11: the gated pure-double finisher must produce the EXACT bits
+    of the decimal divide on both sides of the 2^53 boundary — below it
+    the long→double cast is exact and the IEEE divide by 10000.0 is the
+    same single rounding; above it the row must take the decimal
+    branch.  Values chosen to make a naive double path differ."""
+    from pyspark.sql import functions as F
+
+    from dataframe_pipeline_spark.ext_queries import _fin4
+
+    vals = [0, 1, 12345, 10**9 + 7, (1 << 53) - 1, (1 << 53) + 1,
+            10**16 + 1, 10**17 + 3, -(10**16 + 1)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = [r["f"] for r in
+           df.select(_fin4(F.col("v")).alias("f")).collect()]
+    want = [r["f"] for r in df.select(
+        (F.col("v").cast("decimal(38,0)") / F.lit(10000))
+        .cast("double").alias("f")).collect()]
+    import struct
+    assert [struct.pack("d", g) for g in got] == \
+        [struct.pack("d", w) for w in want]
+
+
 def test_funnel_single_shuffle(spark, qs):
     """Funnel must be one pass: scan → partial agg → ONE exchange on
     user_id → final reduce (the single-row global agg adds its own
