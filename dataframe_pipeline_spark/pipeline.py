@@ -126,6 +126,40 @@ class DataframePipeline:
 
         save_pipeline(self, path)
 
+    def export(self, ml_model_input_name: str, path: str, ml_models=(),
+               with_pre_process: bool = True,
+               name: str = "DataframePipeline") -> dict:
+        """Reference-compatible export
+        (/root/reference/dfpipeline/DataframePipeline.py:109-141): persist
+        the FITTED pipeline as a deployable artifact at ``path`` and
+        return ``{input_column: dtype}`` for the serving entry point —
+        the dict the reference builds for its ONNX graph inputs.
+
+        The artifact here is the parquet+JSON pipeline save (nested
+        fitted objects round-trip — which the ONNX path cannot do for 5
+        of the reference's own operators, SURVEY quirk 8), scored via
+        ``load(...)`` + :meth:`serving_transform`; Catalyst codegen
+        subsumes the ONNX graph compilation (SURVEY §3).  Grafting
+        pre-trained ONNX model graphs (``ml_models``) onto the exported
+        artifact is out of scope — pass trained models as pipeline steps
+        instead (see models.py).
+
+        ``ml_model_input_name``/``name`` are accepted for signature
+        parity; they label graph nodes in the ONNX emitter and have no
+        artifact-level meaning here."""
+        if ml_models:
+            raise NotImplementedError(
+                "export(ml_models=...) grafts ONNX model graphs; "
+                "attach trained models as pipeline steps (models.py) "
+                "and they persist with the pipeline")
+        if self.input_columns is None:
+            raise ValueError(
+                "export() needs a fitted pipeline with recorded input "
+                "schema - call fit_transform()/transform() first")
+        if with_pre_process:
+            self.save(path)
+        return {c: self.input_dtypes[c] for c in self.input_columns}
+
     @classmethod
     def load(cls, spark, path: str) -> "DataframePipeline":
         from .persistence import load_pipeline

@@ -131,6 +131,84 @@ def test_maybe_salted_join_gates_on_measured_skew(spark, skewed):
     assert "__salt" in forced._jdf.queryExecution().optimizedPlan().toString()
 
 
+def test_maybe_salted_probe_fraction_gate(spark, monkeypatch):
+    """VERDICT r11 #2: past the scan-size bound the gate probe samples
+    at the seeded default fraction instead of aggregating every key;
+    under the bound (and for in-memory frames) it stays exact; an
+    explicit caller value always wins (1.0 forces the exact probe)."""
+    from dataframe_pipeline_spark import relational as rel
+
+    fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    # sf0.001 lineitem is far under the 32 MB bound: exact probe
+    assert rel._probe_fraction(fact, None) is None
+    # explicit values pass through untouched
+    assert rel._probe_fraction(fact, 1.0) == 1.0
+    assert rel._probe_fraction(fact, 0.01) == 0.01
+    # shrink the bound below the scan estimate: sampled default kicks in
+    monkeypatch.setattr(rel, "PROBE_SAMPLE_BYTES", 1)
+    assert rel._probe_fraction(fact, None) == rel.PROBE_SAMPLE_FRACTION
+
+    # and the gate DECISION is unchanged when the probe samples: the
+    # parquet fact joined on l_orderkey (unskewed, <=7 rows/key) takes
+    # the plain join on both the exact and the forced-sampled probe
+    dim = (fact.groupBy("l_orderkey").count()
+           .select("l_orderkey", F.col("count").alias("n_lines")))
+    thr = 4.5 / 32
+    for frac in (None, 0.05):
+        out = rel.maybe_salted_join(fact, dim, "l_orderkey",
+                                    hot_share_threshold=thr,
+                                    sample_fraction=frac)
+        assert "__salt" not in \
+            out._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_maybe_salted_column_order_stable(spark, skewed):
+    """ADVICE r11: output column order must not depend on the measured
+    skew — both gate outcomes return (keys, fact non-key, dim
+    non-key)."""
+    from dataframe_pipeline_spark.relational import maybe_salted_join
+
+    fact, dim = skewed
+    want = ["k", "row_id", "v", "name"]
+    salted = maybe_salted_join(fact, dim, "k", n_salts=4,
+                               salt_src="row_id", hot_share_threshold=0.0)
+    plain = maybe_salted_join(fact, dim, "k", hot_share_threshold=1.1)
+    assert salted.columns == want
+    assert plain.columns == want
+    # semi/anti return the fact schema untouched on either path
+    for thr in (0.0, 1.1):
+        semi = maybe_salted_join(fact, dim, "k", how="left_semi",
+                                 salt_src="row_id", hot_share_threshold=thr)
+        assert semi.columns == fact.columns
+
+
+def test_maybe_salted_probe_ignores_nulls_for_inner(spark):
+    """ADVICE r11: an inner join prunes NULL keys, so a null-heavy fact
+    must not trigger salting — but a LEFT join keeps them as fact rows
+    (they shuffle), so there they still count."""
+    from dataframe_pipeline_spark.relational import maybe_salted_join
+
+    rows = [(i, None, float(i)) for i in range(200)] + \
+        [(200 + i, i % 50, float(i)) for i in range(200)]
+    fact = spark.createDataFrame(rows, "row_id long, k long, v double")
+    dim = spark.createDataFrame(
+        [(k, f"dim_{k}") for k in range(60)], "k long, name string")
+    thr = 4.5 / 32
+    inner = maybe_salted_join(fact, dim, "k", how="inner",
+                              salt_src="row_id", hot_share_threshold=thr)
+    assert "__salt" not in \
+        inner._jdf.queryExecution().optimizedPlan().toString()
+    left = maybe_salted_join(fact, dim, "k", how="left",
+                             salt_src="row_id", hot_share_threshold=thr)
+    assert "__salt" in \
+        left._jdf.queryExecution().optimizedPlan().toString()
+    # and values match the plain join on both paths
+    assert _rows(inner.select("row_id", "name")) == \
+        _rows(fact.join(dim, "k", "inner").select("row_id", "name"))
+    assert _rows(left.select("row_id", "name")) == \
+        _rows(fact.join(dim, "k", "left").select("row_id", "name"))
+
+
 def test_filter_blocklist_semantics(spark):
     ev = spark.createDataFrame(
         [(1, 10, "x"), (2, 20, "y"), (3, None, "z"), (4, 30, "w")],
