@@ -28,36 +28,31 @@ try:
 except ImportError:
     TPCH_QUERIES = {}
 
-# Queries with the STALEST driver check enumerate FIRST, so the
-# driver's 50-query correctness sampler lands on them instead of on the
-# freshly-verified tail.  Coverage math as of round 11: the registry
-# was 180 queries in r10, and the union of CORRECTNESS_r01..r10 covers
-# all 180 with a green latest check.  r10's front-list held 59 rows
-# (17 r10-changed + 4 r5 leftovers + 38 r6-checked — note 38, not the
-# 39 a prior comment claimed; the sampler takes the first 50 either
-# way), so the last 9 r6 rows (shard_layout ... zorder_key_orders,
-# untouched by r10's check) roll to the FRONT here.  After them: every
-# row whose code or oracle changed in r11.  Everything is also locally
-# verified each round regardless (scripts/check_oracle.py at sf0.01 —
-# full-registry runs r7..r10, changed-subset r11).
-_NEVER_CHECKED_FIRST = [
-    # -- r6-checked rollovers r10's 50-sample did not reach ------------
-    "shard_layout", "shard_stats", "tpch_q20_excess", "tpch_q2_mincost",
-    "strconcat", "strsplit_index", "strsplit_sep",
-    "wrap_label_encode", "zorder_key_orders",
-    # -- r11 changed these queries' code/oracle — re-verify next -------
-    "join_salted_auto",          # new in r11 (statistics-gated salting)
-    "events_ann_annotate",       # new in r11 (streaming-ANN batch twin)
-    "sim_ann_annotate",          # ranked oracle now orders by ROUND(rawc,6)
-    # overflow gate rewritten to exact footer row counts (shared helper
-    # of the cents family; gate outcome unchanged at test scale but the
-    # code path is new)
-    "tpch_pricing_summary", "revenue_rollup", "revenue_by_nation",
-    "top_revenue_orders", "tpch_q7_volume", "tpch_q8_share",
-    "tpch_q9_profit", "tpch_q10_returns", "tpch_q11_value",
-    "tpch_q14_promo", "tpch_q15_top_supplier", "tpch_q19_disjunct",
-    "dedup_clusters", "dedup_keep_canonical",  # cc failure-path release
+# Queries whose code or oracle changed this round enumerate FIRST, so
+# the driver's 50-query correctness sampler lands on the changed
+# surface instead of the freshly-verified tail.  The list is
+# SCRIPT-GENERATED from the round's git diff (VERDICT r11 #1: the
+# hand-maintained rotation missed the r11 q21 rewrite) — run
+# ``python scripts/gen_front_list.py`` after committing query changes;
+# it diffs against the last ``round N:`` boundary commit, computes the
+# changed top-level symbols, closes over references to a fixpoint, and
+# writes ``front_list_generated.py``.  _PINNED_FIRST stays manual for
+# rows a verdict names explicitly.  Coverage math: the r1–r11 union
+# has all 182 registry rows green on their latest check (stalest r7),
+# so rotation pressure is now only on changed rows.
+_PINNED_FIRST = [
+    # VERDICT r11 #1: plan rewritten in r11, last driver check r9 —
+    # verify FIRST regardless of this round's diff
+    "tpch_q21_waiting",
 ]
+
+try:
+    from front_list_generated import CHANGED_QUERIES as _CHANGED
+except ImportError:
+    _CHANGED = []
+
+_NEVER_CHECKED_FIRST = _PINNED_FIRST + \
+    [q for q in _CHANGED if q not in _PINNED_FIRST]
 
 _MERGED = {**CORE_QUERIES, **EXT_QUERIES, **TPCH_QUERIES}
 _ALL = {
