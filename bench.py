@@ -474,13 +474,30 @@ def main():
 
     # Warm the JVM/session (codegen, shuffle, broadcast, window paths) with
     # a full pipeline run at the smallest SF so the first measured query
-    # doesn't pay one-time startup cost.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # doesn't pay one-time startup cost.  r12 (VERDICT r11 #6): the round
+    # VM boots cold — page-cache EVERY table at the bench sf (not just
+    # lineitem) and run one untimed representative of each heavy plan
+    # family (decimal agg, window, fact join) at the bench sf so first-
+    # query JIT lands outside the timed section; the measured noise band
+    # between the two machine canaries shrinks accordingly.
+    import glob as _glob
+    for p in sorted(_glob.glob(f"{sf_dir}/*.parquet")):
+        try:
+            spark.read.parquet(p).count()
+        except Exception:
+            pass
     try:
         qs["pipeline_flagship"](spark, "/root/testdata/sf0.001").write \
             .format("noop").mode("overwrite").save()
     except Exception:
         pass
+    for warm_q in ("tpch_pricing_summary", "events_rolling_30m",
+                   "revenue_by_nation"):
+        try:
+            qs[warm_q](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+        except Exception:
+            pass
     # Warm the Arrow PYTHON workers (spawn + numpy/pandas import on
     # every core) so the first codec/stateful-twin query isn't charged
     # ~10s of one-time worker startup (see bench_vs_duckdb.py, r9).
@@ -528,15 +545,22 @@ def main():
                         / R10_CANARY_ANCHOR["duckdb_lineitem_agg_s"], 3)
         n_ratio = round(machine_canary["numpy_sort20m_s"]
                         / R10_CANARY_ANCHOR["numpy_sort20m_s"], 3)
+        # BOTH normalizations, reported as a range (VERDICT r11 #4/#6):
+        # the two canaries disagreed by 17% in r11, so a single
+        # normalized number over-states precision — the honest trend
+        # read is the [min, max] band.
+        norms = sorted([round(total / d_ratio, 3), round(total / n_ratio, 3)])
         canary_norm = {
             "anchor_round": "r10",
             "anchor": R10_CANARY_ANCHOR,
             "duckdb_ratio": d_ratio,
             "numpy_ratio": n_ratio,
-            # raw total divided by the DuckDB probe ratio = what this
-            # round's headline total WOULD read on r10's box; compare
-            # against r10's raw 11.235 s
+            # raw total divided by each probe ratio = what this round's
+            # headline total WOULD read on r10's box; compare against
+            # r10's raw 11.235 s.  Read the RANGE, not either endpoint.
             "headline_total_normalized": round(total / d_ratio, 3),
+            "headline_total_normalized_numpy": round(total / n_ratio, 3),
+            "headline_total_normalized_range": norms,
             "r10_headline_total_raw": 11.235,
         }
     detail = {

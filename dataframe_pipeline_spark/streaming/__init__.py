@@ -148,6 +148,28 @@ def dedup_stream(events: DataFrame, keys: list[str] | str = "event_id",
     return events.dropDuplicates(keys)
 
 
+def ingest_dedup_stream(docs: DataFrame, content_col: str = "text",
+                        watermark: str = "1 hour",
+                        ts_col: str = "ts") -> DataFrame:
+    """Streaming CONTENT dedup for a document ingest feed (VERDICT r11
+    #8): reduce each arriving document to its 256-bit digest and
+    ``dropDuplicatesWithinWatermark`` on it — the streaming twin of
+    :class:`dedup.IncrementalDeduplicator`'s within-batch half.  State
+    holds one 64 B digest per distinct document seen inside the
+    watermark horizon (O(docs per window), never O(corpus)), and the
+    dedup key is the digest, not the body, so the state store carries
+    64 B/doc exactly like the batch index.  On a batch frame it
+    degrades to ``dropDuplicates`` on the same digest (same survivor
+    row-set semantics up to which duplicate is kept — project to the
+    digest for deterministic comparison)."""
+    d = docs.withColumn(
+        "__digest", F.sha2(F.col(content_col).cast("binary"), 256))
+    if d.isStreaming:
+        return (d.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(["__digest"]))
+    return d.dropDuplicates(["__digest"])
+
+
 def click_attribution(purchases: DataFrame, clicks: DataFrame,
                       horizon_min: int = 30,
                       watermark: str | None = None) -> DataFrame:

@@ -75,6 +75,34 @@ def test_wrap_label_encode_high_cardinality_is_not_broadcast(
     assert "BroadcastHashJoin" not in p
 
 
+def test_events_latest_is_hash_aggregate(spark, qs):
+    """VERDICT r11 #3: latest-per-key must plan as a partial-aggregated
+    HASH aggregate (packed decimal ordering key) — no Window, no
+    SortAggregate (a struct-max buffer would silently fall back to
+    per-partition sorts)."""
+    p = _plan(qs["events_latest"](spark, SF))
+    assert "Window" not in p
+    assert "SortAggregate" not in p
+    assert "HashAggregate" in p
+
+
+def test_events_latest_pack_gate_falls_back(spark):
+    """When footer statistics cannot prove the event_id pack bound the
+    query must take the always-correct struct-max path (and both paths
+    agree on values)."""
+    from dataframe_pipeline_spark import ext_queries as xq
+
+    fast = xq.q_events_latest(spark, SF)
+    assert "SortAggregate" not in _plan(fast)
+    import unittest.mock as mock
+    with mock.patch.object(xq, "_col_within", return_value=False):
+        slow = xq.q_events_latest(spark, SF)
+    p = _plan(slow)
+    assert "Window" not in p          # still an aggregate, not a window
+    assert sorted(map(tuple, fast.collect())) == \
+        sorted(map(tuple, slow.collect()))
+
+
 def test_row_filter_pushed_to_scan(spark, qs):
     p = _plan(qs["row_filter"](spark, SF))
     assert "PushedFilters: [" in p

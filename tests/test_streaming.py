@@ -94,6 +94,34 @@ def test_dedup_stream(spark, events_batch, tmp_path):
     assert (got.n, got.d) == (4, 4)
 
 
+def test_ingest_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming content dedup (dropDuplicatesWithinWatermark on the
+    256-bit digest) keeps exactly one row per distinct text and its
+    final digest set equals the batch path's — the streaming twin of
+    the incremental ingest dedup."""
+    import pandas as pd
+
+    rows = pd.DataFrame({
+        "doc_id": list(range(8)),
+        "ts": pd.to_datetime([f"2024-01-01 00:0{i}:00" for i in range(8)]),
+        # 3 distinct texts, duplicated across arrivals
+        "text": ["alpha", "beta", "alpha", "gamma",
+                 "beta", "alpha", "gamma", "beta"],
+    })
+    batch = spark.createDataFrame(rows)
+    src = str(tmp_path / "docs_stream")
+    batch.write.parquet(src)
+    sdf = spark.readStream.schema(
+        "doc_id bigint, ts timestamp, text string").parquet(src)
+    st.run_to_memory(st.ingest_dedup_stream(sdf, watermark="10 minutes"),
+                     name="ingest_dedup_t", mode="append")
+    got = sorted(r["__digest"] for r in
+                 spark.sql("SELECT __digest FROM ingest_dedup_t").collect())
+    want = sorted(r["__digest"] for r in
+                  st.ingest_dedup_stream(batch).select("__digest").collect())
+    assert got == want and len(got) == 3
+
+
 def test_score_stream_matches_batch(spark, events_batch, tmp_path):
     """A fitted pipeline scores a stream identically to the batch path."""
     import dataframe_pipeline_spark as dfp
