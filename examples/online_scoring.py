@@ -31,10 +31,15 @@ def main():
                        groupby=["user_id"], func="mean"),
         dfp.Scaler(inputs=["value"], outputs=["value_mm"], strategy="minmax"),
     ])
-    pipe.fit(events)
+    pipe.fit_transform(events)    # fit + record the serving input schema
 
     with tempfile.TemporaryDirectory() as tmp:
-        pipe.save(f"{tmp}/model")
+        # reference-signature export (DataframePipeline.py:109-141): one
+        # call persists the fitted artifact and returns the serving
+        # input schema — the dict the reference feeds its ONNX graph
+        to_serve = pipe.export("events_row", f"{tmp}/model")
+        print(f"[online_scoring] export() -> {len(to_serve)} input "
+              f"columns: {sorted(to_serve)[:3]}...")
         fitted = dfp.DataframePipeline.load(spark, f"{tmp}/model")
 
         # 'deploy': replay the events as a micro-batched stream and score it
