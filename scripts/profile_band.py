@@ -24,6 +24,7 @@ full − twin is the named semantic cost:
   dedup_incremental   twin: both scans, length agg    names: sha2 digests + anti joins
   dedup_segments      twin: segment explode + agg     names: common-seg detect + reassembly
   graph_pagerank      twin: 1 iteration (of 3)        names: iteration count
+  events_click_attr.  twin: equi-join, no interval    names: time-range predicate
 
 plus per-table scan floors (floor_scan_only/{events,documents,
 embeddings,orders}) so duck-time-under-half-floor rows have committed
@@ -179,6 +180,21 @@ def twin_dedup_segments(spark, sf_dir):
                  F.sum(F.length("seg")).alias("_l")))
 
 
+def twin_click_attribution(spark, sf_dir):
+    """Same two filtered event scans + the same user_id equi-join +
+    grouped count, WITHOUT the 30-minute interval condition — the gap
+    is the time-range predicate evaluation on the joined pairs (the
+    interval join's semantic cost)."""
+    ev = _events(spark, sf_dir)
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"), "user_id", "ts"))
+    c = (ev.filter(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("cu"), F.col("ts").alias("cts")))
+    return (p.join(c, p.user_id == c.cu)
+            .groupBy("purchase_id", "user_id")
+            .agg(F.count(F.lit(1)).alias("n_clicks_30m")))
+
+
 def twin_pagerank(spark, sf_dir):
     from dataframe_pipeline_spark.ext_queries import q_graph_pagerank  # noqa
     from dataframe_pipeline_spark.graph import build_adjacency, pagerank
@@ -246,6 +262,8 @@ CASES = {
     "dedup_incremental": (_q("dedup_incremental"), twin_dedup_incremental),
     "dedup_segments": (_q("dedup_segments"), twin_dedup_segments),
     "graph_pagerank": (_q("graph_pagerank"), twin_pagerank),
+    "events_click_attribution": (_q("events_click_attribution"),
+                                 twin_click_attribution),
 }
 
 FLOORS = {
