@@ -87,20 +87,28 @@ def test_events_latest_is_hash_aggregate(spark, qs):
 
 
 def test_events_latest_pack_gate_falls_back(spark):
-    """When footer statistics cannot prove the event_id pack bound the
-    query must take the always-correct struct-max path (and both paths
-    agree on values)."""
+    """All three statistics-gated tiers (long pack / decimal pack /
+    struct-max) agree on values; disabling each gate takes the next
+    always-correct tier."""
+    import unittest.mock as mock
+
     from dataframe_pipeline_spark import ext_queries as xq
 
-    fast = xq.q_events_latest(spark, SF)
+    fast = xq.q_events_latest(spark, SF)          # long pack at test SF
     assert "SortAggregate" not in _plan(fast)
-    import unittest.mock as mock
-    with mock.patch.object(xq, "_col_within", return_value=False):
-        slow = xq.q_events_latest(spark, SF)
+    with mock.patch.object(xq, "_latest_long_pack_params",
+                           return_value=None):
+        mid = xq.q_events_latest(spark, SF)       # decimal pack
+    assert "SortAggregate" not in _plan(mid)
+    with mock.patch.object(xq, "_latest_long_pack_params",
+                           return_value=None), \
+            mock.patch.object(xq, "_col_within", return_value=False):
+        slow = xq.q_events_latest(spark, SF)      # struct fallback
     p = _plan(slow)
     assert "Window" not in p          # still an aggregate, not a window
-    assert sorted(map(tuple, fast.collect())) == \
-        sorted(map(tuple, slow.collect()))
+    want = sorted(map(tuple, fast.collect()))
+    assert want == sorted(map(tuple, mid.collect()))
+    assert want == sorted(map(tuple, slow.collect()))
 
 
 def test_row_filter_pushed_to_scan(spark, qs):
