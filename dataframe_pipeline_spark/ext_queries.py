@@ -2434,15 +2434,19 @@ def _latest_long_pack_params(ev, ts_col: str = "ts",
     """(base_micros, bucket) when footer statistics PROVE the
     (ts, id) ordering pair packs into ONE BIGINT:
     ``(unix_micros(ts) − base)·bucket + id`` with ``id ∈ [0, bucket)``
-    and the whole range under 2⁶² (2× headroom below 2⁶³) — pure long
+    and the maximum packed value inside the long range — pure long
     codegen, so the argmax aggregate's ``max``/``max_by`` buffers are
     primitive and HashAggregate applies with NO per-row decimal work.
     None when the bound can't be proven (caller falls to the decimal
     pack, then to struct-max — each tier exact, only slower).
 
-    The span×bucket product is data-bounded, not schema-bounded: a
-    30-day event table with ≤2²⁰ ids needs 42+20=62 bits (fits); a
-    multi-year corpus with 10⁹ ids needs ~77 (falls through).  Base
+    The packed key is only COMPARED, never summed, so the gate can use
+    the full 2⁶³ long range (no accumulation headroom needed) and the
+    bucket is the exact ``id_max+1``, not a power of two — at sf3 the
+    pow2-bucket/2⁶² variant of this gate fell back to decimal while
+    the exact form fits with 16% margin.  The span×bucket product is
+    data-bounded, not schema-bounded: a 30-day window × 3M ids ≈ 2⁶²·⁸
+    fits; a multi-year corpus with 10⁹ ids (~2⁷⁷) falls through.  Base
     shifts to the observed minimum so only the SPAN costs bits.  NULL
     ts coalesces to base−1 → packs below every real row and still
     tie-breaks by id (−bucket+id is monotonic in id)."""
@@ -2474,8 +2478,11 @@ def _latest_long_pack_params(ev, ts_col: str = "ts",
             hi = (ts_mx - epoch) // _dt.timedelta(microseconds=1) + 1
         else:
             return None
-        bucket = 1 << (int(id_mx) + 1).bit_length()
-        if (hi - lo + 2) * bucket + bucket >= (1 << 62):
+        bucket = int(id_mx) + 1
+        # pk_max < (hi-lo+1)·bucket with base=lo (padded bounds above);
+        # the key is compared, never summed, so the whole long range is
+        # usable — require strictly inside 2⁶³
+        if (hi - lo + 1) * bucket >= (1 << 63):
             return None
         return lo, bucket
     except Exception:
