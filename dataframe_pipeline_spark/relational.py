@@ -199,6 +199,55 @@ _STATS_UNKNOWN = (1 << 63) - 1
 PROBE_MIN_SAMPLED_ROWS = 1000
 
 
+#: Measured hot-key shares keyed by DATA IDENTITY — (file, mtime, size)
+#: of every input file plus the probe's key list/null handling/rate.
+#: "A production pipeline probes once per table, not once per join"
+#: was already this API's documented contract; the cache makes it so:
+#: repeated gated joins over the same (unchanged) fact skip the probe
+#: job entirely, and a rewritten file misses the cache because its
+#: stat identity changed (same invalidation rule as the footer-row
+#: cache in ext_queries).
+_HOT_SHARE_CACHE: dict = {}
+
+
+def _probe_cache_key(fact: DataFrame, keys: list, drop_nulls: bool,
+                     frac: float | None):
+    """Data-addressed cache key for the gate probe, or None when the
+    fact's lineage can't be reduced to a plain file listing (derived
+    plans — filters/joins change the key distribution, so only a
+    single-relation scan/projection is safely cacheable).  The key
+    carries the optimized plan string with Catalyst's per-analysis
+    expression ids stripped, so a projection that COMPUTES a join key
+    can never alias a differently-derived column of the same name,
+    while the same query re-planned in a fresh call still hits."""
+    import os as _os
+    import re as _re
+
+    try:
+        plan = fact._jdf.queryExecution().optimizedPlan().toString()
+        if plan.count("Relation") != 1 or any(
+                w in plan for w in ("Join", "Filter", "Aggregate",
+                                    "Union", "Sample", "Generate")):
+            return None
+        files = fact.inputFiles()
+        if not files:
+            return None
+        ident = []
+        for f in files:
+            p = f
+            if f.startswith("file://"):
+                p = f[7:]
+            elif f.startswith("file:"):
+                p = f[5:]
+            st = _os.stat(p)
+            ident.append((p, st.st_mtime_ns, st.st_size))
+        norm_plan = _re.sub(r"#\d+L?", "", plan)
+        return (tuple(sorted(ident)), norm_plan, tuple(keys),
+                drop_nulls, frac)
+    except Exception:
+        return None
+
+
 def _probe_fraction(fact: DataFrame,
                     sample_fraction: float | None) -> float | None:
     """Effective probe fraction for :func:`maybe_salted_join`'s gate:
@@ -249,7 +298,13 @@ def maybe_salted_join(fact: DataFrame, dim: DataFrame,
     from the probe for inner/semi joins (ADVICE r11) — an inner join
     prunes them, so a null-heavy fact must not trigger pointless
     salting; for left/anti they still shuffle as fact rows and are
-    counted.  The RESULT is row-identical on either path (salting
+    counted.  Measured shares are CACHED by data identity — the
+    (path, mtime, size) set of the fact's input files plus the
+    normalized plan/keys — for plain scan/projection facts, so
+    repeated gated joins over an unchanged table skip the probe job
+    ("probe once per table"); derived facts (filters/joins) are never
+    cached, and a rewritten file misses by stat identity.  The RESULT
+    is row-identical on either path (salting
     never changes join semantics) with a NORMALIZED column order
     (keys, fact non-key, dim non-key — ADVICE r11: the two paths'
     native orders differed, making output schema order depend on
@@ -258,25 +313,32 @@ def maybe_salted_join(fact: DataFrame, dim: DataFrame,
     keys = [on] if isinstance(on, str) else list(on)
     semi_anti = how.replace("_", "") in ("leftsemi", "leftanti")
     probe = fact.select(*keys)
-    if how in ("inner",) or how.replace("_", "") == "leftsemi":
+    drop_nulls = how in ("inner",) or how.replace("_", "") == "leftsemi"
+    if drop_nulls:
         probe = probe.dropna(subset=keys)
     frac = _probe_fraction(fact, sample_fraction)
     sampled = frac is not None and frac < 1.0
+    cache_key = _probe_cache_key(fact, keys, drop_nulls, frac)
+    cached = _HOT_SHARE_CACHE.get(cache_key) if cache_key else None
+    if cached is not None:
+        hot, tot = cached
+    else:
+        def _probe(p):
+            r = (p.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+                 .agg(F.max("__n").alias("__hot"),
+                      F.sum("__n").alias("__tot")).head())
+            return r["__hot"] or 0, r["__tot"] or 0
 
-    def _probe(p):
-        r = (p.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
-             .agg(F.max("__n").alias("__hot"),
-                  F.sum("__n").alias("__tot")).head())
-        return r["__hot"] or 0, r["__tot"] or 0
-
-    hot, tot = _probe(probe.sample(fraction=frac, seed=42)
-                      if sampled else probe)
-    if sampled and tot < PROBE_MIN_SAMPLED_ROWS and \
-            sample_fraction is None:
-        # the auto-sample under-shot (fact smaller than its stats
-        # suggested): a <1000-row sample can't resolve a ~14% share, so
-        # fall back to the exact probe — cheap at this actual size
-        hot, tot = _probe(probe)
+        hot, tot = _probe(probe.sample(fraction=frac, seed=42)
+                          if sampled else probe)
+        if sampled and tot < PROBE_MIN_SAMPLED_ROWS and \
+                sample_fraction is None:
+            # the auto-sample under-shot (fact smaller than its stats
+            # suggested): a <1000-row sample can't resolve a ~14%
+            # share, so fall back to the exact probe — cheap here
+            hot, tot = _probe(probe)
+        if cache_key:
+            _HOT_SHARE_CACHE[cache_key] = (hot, tot)
     hot_share = hot / tot if tot else 0.0
     w = max(fact.sparkSession.sparkContext.defaultParallelism, 1)
     threshold = (SALT_OVERHEAD_FACTOR / w if hot_share_threshold is None

@@ -162,6 +162,50 @@ def test_maybe_salted_probe_fraction_gate(spark, monkeypatch):
             out._jdf.queryExecution().optimizedPlan().toString()
 
 
+def test_maybe_salted_probe_cache(spark):
+    """The gate's measured hot share is cached by data identity for
+    plain-scan facts (probe once per table): a second call with the
+    same fact/keys reads the cache (proven by planting a fake skewed
+    share and observing the gate flip), derived facts are never
+    cached, and the key carries file stat identity."""
+    from dataframe_pipeline_spark import relational as rel
+
+    rel._HOT_SHARE_CACHE.clear()
+    fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    dim = (fact.groupBy("l_orderkey").count()
+           .select("l_orderkey", F.col("count").alias("n_lines")))
+    thr = 4.5 / 32
+    out = rel.maybe_salted_join(fact, dim, "l_orderkey",
+                                salt_src="l_linenumber",
+                                hot_share_threshold=thr)
+    assert "__salt" not in \
+        out._jdf.queryExecution().optimizedPlan().toString()
+    assert len(rel._HOT_SHARE_CACHE) == 1
+    key = next(iter(rel._HOT_SHARE_CACHE))
+    # plant a fake 100%-hot share under the cached key: if the second
+    # call really reads the cache, the gate must now salt
+    rel._HOT_SHARE_CACHE[key] = (1000, 1000)
+    out2 = rel.maybe_salted_join(fact, dim, "l_orderkey",
+                                 salt_src="l_linenumber",
+                                 hot_share_threshold=thr)
+    assert "__salt" in \
+        out2._jdf.queryExecution().optimizedPlan().toString()
+    rel._HOT_SHARE_CACHE.clear()
+
+    # a FILTERED fact (derived distribution) must never be cached
+    filtered = fact.filter(F.col("l_linenumber") == 1)
+    rel.maybe_salted_join(filtered, dim, "l_orderkey",
+                          salt_src="l_linenumber",
+                          hot_share_threshold=thr)
+    assert rel._HOT_SHARE_CACHE == {}
+
+    # values still correct on the cached path
+    rel._HOT_SHARE_CACHE.clear()
+    a = _rows(out.select("l_orderkey", "n_lines"))
+    b = _rows(fact.join(dim, "l_orderkey").select("l_orderkey", "n_lines"))
+    assert a == b
+
+
 def test_maybe_salted_column_order_stable(spark, skewed):
     """ADVICE r11: output column order must not depend on the measured
     skew — both gate outcomes return (keys, fact non-key, dim
