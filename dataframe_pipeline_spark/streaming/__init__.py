@@ -96,17 +96,38 @@ def user_totals(events: DataFrame, timeout_ms: int | None = None) -> DataFrame:
     out_schema = "user_id bigint, n_events bigint, total_value double"
     state_schema = "n bigint, total double"
 
-    if not events.isStreaming:
-        def fold_batch(pdf):
-            import pandas as pd  # local import: runs inside the worker
-            return pd.DataFrame({
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(pdf)],
-                "total_value": [float(pdf["value"].sum())],
-            })
+    # The fold reads only (user_id, value): project BEFORE the Arrow
+    # boundary so the worker never serializes the wide props blob
+    # (guide §4 — pass only the columns the function needs).
+    events = events.select("user_id", "value")
 
-        return events.groupBy("user_id").applyInPandas(
-            fold_batch, out_schema)
+    if not events.isStreaming:
+        # Batch twin of the stream fold, at partition granularity: one
+        # Python call PER TASK (mapInPandas over a user-hash shuffle),
+        # folding each Arrow chunk into a state dict exactly like the
+        # micro-batch loop above — not one pandas round-trip per group,
+        # whose fixed cost dominated (applyInPandas A/B at sf0.1:
+        # 100k rows/1500 users, 2.33 s -> 0.26 s; guide §4.4).
+        def fold_partition(batches):
+            import pandas as pd  # local import: runs inside the worker
+            state: dict = {}
+            for pdf in batches:
+                g = (pdf.groupby("user_id", dropna=False)["value"]
+                        .agg(n="size", total="sum"))
+                for uid, row in g.iterrows():
+                    key = uid if pd.notna(uid) else None
+                    n0, t0 = state.get(key, (0, 0.0))
+                    state[key] = (n0 + int(row["n"]),
+                                  t0 + float(row["total"]))
+            if state:
+                yield pd.DataFrame({
+                    "user_id": list(state.keys()),
+                    "n_events": [v[0] for v in state.values()],
+                    "total_value": [v[1] for v in state.values()],
+                })
+
+        return events.repartition("user_id").mapInPandas(
+            fold_partition, out_schema)
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
