@@ -2389,11 +2389,11 @@ GROUP BY 1, 2
 def q_events_user_totals(spark, sf_dir):
     """Batch twin of the custom stateful operator (``st.user_totals``,
     applyInPandasWithState in streaming): on a batch frame the same
-    fold runs once per group via applyInPandas — state starts empty and
-    sees all rows, exactly one micro-batch — so the DuckDB GROUP BY
-    oracle checks the fold kernel itself, not a separate reimplementation
-    (stream final snapshots == this batch result is asserted in
-    test_streaming.py)."""
+    state-across-chunks fold runs once per task via mapInPandas over a
+    user-hash shuffle — state starts empty and sees every chunk, like
+    one micro-batch sequence — so the DuckDB GROUP BY oracle checks the
+    fold kernel itself, not a separate reimplementation (stream final
+    snapshots == this batch result is asserted in test_streaming.py)."""
     ev = _events(spark, sf_dir)
     return (st.user_totals(ev)
             .withColumn("total_value", F.round("total_value", 6)))
