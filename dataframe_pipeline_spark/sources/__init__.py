@@ -334,8 +334,17 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
 def write_partitioned(df: DataFrame, path: str, partition_by: list[str],
                       mode: str = "overwrite") -> None:
     """Hive-partitioned parquet sink: readers filtering on the partition
-    columns scan only matching directories (partition pruning)."""
-    df.write.partitionBy(*partition_by).mode(mode).parquet(path)
+    columns scan only matching directories (partition pruning).
+
+    Hash-shuffles on the partition columns before the write so each
+    output directory is produced by as few tasks as possible — without
+    it every task holds rows of every partition value and a P-partition
+    × T-task write emits P×T small files (see ``write_clustered``,
+    which additionally sorts within files).  AQE coalescing sizes the
+    shuffle output, so file count tracks data volume, not the constant
+    task count."""
+    (df.repartition(*[F.col(c) for c in partition_by])
+       .write.partitionBy(*partition_by).mode(mode).parquet(path))
 
 
 def write_clustered(df: DataFrame, path: str, partition_by: list[str],

@@ -95,6 +95,13 @@ def test_write_partitioned_prunes(spark, tmp_path):
     assert rd.count() == 25
     scan = rd._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(p" in scan or "p#" in scan
+    # pre-write shuffle bounds file count: each partition directory is
+    # written by the task(s) owning that hash bucket, not by every task
+    # (P×T small files without it)
+    import glob
+    for d in glob.glob(str(tmp_path / "pt" / "p=*")):
+        files = glob.glob(d + "/*.parquet")
+        assert len(files) <= 2, (d, files)
 
 
 def test_json_roundtrip(spark, tmp_path):
