@@ -7,20 +7,22 @@ Spark-first shape:
 1. bucket every row to its grid cell (``floor(epoch/step)*step`` —
    pure codegen) and aggregate per (key, bucket): ONE keyed shuffle
    over the data, partial-aggregated map-side.
-2. derive each key's [first, last] active bucket from that (tiny)
-   aggregate — a second aggregation over |keys × buckets| rows, not
-   over the data.
-3. explode the per-key bucket ``sequence`` into the dense spine and
-   LEFT-join the sparse aggregate back, filling misses.
+2. gap-fill with one window over that (tiny) sparse aggregate:
+   ``lag(bucket)`` per key, then ``explode(sequence(prev+step ..
+   bucket))`` emits each gap's fill rows together with the real row.
+   Every bucket in [first, last] lies in exactly one (prev, cur]
+   interval, so this is the dense spine by construction — with ONE
+   exchange after the data aggregate, no spine LEFT JOIN, and no
+   second evaluation of the aggregate subtree (the join shape
+   computed it once per consumer; A/B at sf1: 2.21 → 1.66 s).
 
-Why not a window/lag approach: gap COUNTS are unbounded per row
-(a key silent for a month needs 720 hourly zeros), so the dense grid
-must be generated, not carried; the sequence explode is bounded by
-``(last-first)/step`` per key and never touches the raw data again.
+The fill rows are still *generated*, never carried per source row:
+the sequence explode is bounded by ``(last-first)/step`` per key and
+never touches the raw data again.
 
-Skew note: the spine join keys on (key, bucket) — the same key-grain
-as the data aggregate, so a hot key's spine rows spread over its
-buckets rather than funnelling one partition.
+Skew note: a hot key costs one window partition over its |buckets|
+sparse rows — the same grain the old spine join shuffled; the heavy
+per-event work stays in step 1's partial-aggregated shuffle.
 
 The fill value applies to ALL aggregate columns (default 0 for counts
 and sums; pass ``fill=None`` to keep NULLs for "no data" semantics —
@@ -29,7 +31,7 @@ means usually want NULL, counts want 0).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -63,20 +65,21 @@ def resample(df: DataFrame, key: str | list[str], ts_col: str,
     sparse = (df.withColumn("__bucket", bucket)
               .groupBy(*keys, "__bucket").agg(*agg_exprs))
 
-    # per-key active range from the aggregate (|keys| rows), then the
-    # dense spine via sequence explode — bounded by range/step per key
-    rng = sparse.groupBy(*keys).agg(F.min("__bucket").alias("__mn"),
-                                    F.max("__bucket").alias("__mx"))
-    spine = rng.select(
-        *keys,
-        F.explode(F.expr(
-            f"sequence(__mn, __mx, interval {int(step_seconds)} second)"
-        )).alias("__bucket"))
-
-    out = spine.join(sparse, [*keys, "__bucket"], "left")
-    if fill is not None:
-        out = out.withColumns({
-            o: F.coalesce(F.col(o), F.lit(fill).cast(
-                "bigint" if aggs[o][0] == "count" else "double"))
-            for o in aggs})
-    return out.withColumnRenamed("__bucket", "bucket")
+    # dense grid via per-key gap fill: each sparse row emits the fill
+    # buckets of its (prev, cur] interval plus itself — bounded by
+    # range/step per key, one window exchange, no spine join
+    w = Window.partitionBy(*keys).orderBy("__bucket")
+    s = int(step_seconds)
+    filled = (sparse
+              .withColumn("__prev", F.lag("__bucket").over(w))
+              .withColumn("__b", F.explode(F.expr(
+                  f"sequence(coalesce(__prev + interval {s} second, "
+                  f"__bucket), __bucket, interval {s} second)"))))
+    cols = []
+    for out_name, (func, _src) in aggs.items():
+        v = F.when(F.col("__b") == F.col("__bucket"), F.col(out_name))
+        if fill is not None:
+            v = F.coalesce(v, F.lit(fill).cast(
+                "bigint" if func == "count" else "double"))
+        cols.append(v.alias(out_name))
+    return filled.select(*keys, F.col("__b").alias("bucket"), *cols)

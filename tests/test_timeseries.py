@@ -65,12 +65,14 @@ def test_resample_validation(spark):
         resample(ev, "k", "ts", 60, aggs={"m": ("median", "v")})
 
 
-def test_resample_spine_join_is_key_grain(spark):
-    """The spine joins on (key, bucket) — no cartesian, no broadcast
-    nested loop; and only ONE shuffle touches the raw data."""
+def test_resample_gapfill_is_single_pass(spark):
+    """The dense grid comes from one lag/sequence window over the sparse
+    aggregate — ONE scan of the raw data, no spine join of any kind
+    (the old shape evaluated the fact aggregate twice and joined)."""
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     out = resample(ev, "user_id", "ts", 86400,
                    aggs={"n": ("count", "event_id")})
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "Window" in plan
