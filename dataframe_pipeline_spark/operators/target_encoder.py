@@ -49,16 +49,31 @@ class TargetEncoder(SparkDFPBase):
 
     def fit(self, df: DataFrame, **params):
         t = F.col(self.target).cast("double")
-        self.global_mean_ = df.agg(F.avg(t)).collect()[0][0]
         m = F.lit(self.smoothing)
-        g = F.lit(self.global_mean_)
         self.lookups_, self.cards_ = [], []
-        for c in self.inputs:
-            lk = (df.filter(F.col(c).isNotNull())
-                  .groupBy(F.col(c).alias("__cat"))
-                  .agg(F.count(t).alias("__n"), F.avg(t).alias("__mean"))
+        if not self.inputs:
+            self.global_mean_ = df.agg(F.avg(t)).collect()[0][0]
+            return self
+        for i, c in enumerate(self.inputs):
+            # ONE scan per column: NULL categories are kept in the
+            # grouped aggregate so the global mean falls out of the
+            # same pass (sum of sums / sum of counts == avg), and the
+            # tiny per-category frame is materialized so the broadcast
+            # gate's count() and every transform read fitted state
+            # instead of re-scanning the training data.
+            stats = (df.groupBy(F.col(c).alias("__cat"))
+                     .agg(F.count(t).alias("__n"), F.sum(t).alias("__s"))
+                     .localCheckpoint())
+            if i == 0:
+                tot = stats.agg(F.sum("__n").alias("n"),
+                                F.sum("__s").alias("s")).collect()[0]
+                self.global_mean_ = (float(tot["s"]) / float(tot["n"])
+                                     if tot["n"] else None)
+            g = F.lit(self.global_mean_)
+            mean = F.col("__s") / F.col("__n")
+            lk = (stats.filter(F.col("__cat").isNotNull())
                   .select("__cat",
-                          ((F.col("__n") * F.col("__mean") + m * g)
+                          ((F.col("__n") * mean + m * g)
                            / (F.col("__n") + m)).alias("__code")))
             self.lookups_.append(lk)
             # cardinality resolved AT FIT (fit runs jobs; transform must
@@ -138,15 +153,28 @@ class CVTargetEncoder(SparkDFPBase):
 
     def fit(self, df: DataFrame, **params):
         t = F.col(self.target).cast("double")
-        self.global_mean_ = df.agg(F.avg(t)).collect()[0][0]
         m = F.lit(self.smoothing)
-        g = F.lit(self.global_mean_)
         self.lookups_, self.cards_ = [], []
-        for c in self.inputs:
-            pf = (df.filter(F.col(c).isNotNull())
-                  .groupBy(F.col(c).alias("__cat"),
-                           self._fold_col().alias("__fold"))
-                  .agg(F.count(t).alias("__nf"), F.sum(t).alias("__sf")))
+        if not self.inputs:
+            self.global_mean_ = df.agg(F.avg(t)).collect()[0][0]
+            return self
+        for i, c in enumerate(self.inputs):
+            # ONE scan per column (same device as TargetEncoder.fit):
+            # NULL categories ride the (cat, fold) aggregate so the
+            # global mean is a re-sum of the materialized tiny frame,
+            # and the complement arithmetic + transform join all read
+            # the checkpoint instead of re-scanning the training data.
+            pf_all = (df.groupBy(F.col(c).alias("__cat"),
+                                 self._fold_col().alias("__fold"))
+                      .agg(F.count(t).alias("__nf"), F.sum(t).alias("__sf"))
+                      .localCheckpoint())
+            if i == 0:
+                trow = pf_all.agg(F.sum("__nf").alias("n"),
+                                  F.sum("__sf").alias("s")).collect()[0]
+                self.global_mean_ = (float(trow["s"]) / float(trow["n"])
+                                     if trow["n"] else None)
+            g = F.lit(self.global_mean_)
+            pf = pf_all.filter(F.col("__cat").isNotNull())
             tot = (pf.groupBy("__cat")
                    .agg(F.sum("__nf").alias("__n"), F.sum("__sf").alias("__s")))
             oof_n = F.col("__n") - F.col("__nf")

@@ -52,16 +52,30 @@ class WOEEncoder(SparkDFPBase):
 
     def fit(self, df: DataFrame, **params):
         y = F.col(self.target).cast("double")
-        row = df.agg(F.sum(y).alias("p"), F.count(y).alias("n")).collect()[0]
-        pos_t = float(row["p"] or 0.0)
-        neg_t = float(row["n"]) - pos_t
-        self.totals_ = (pos_t, neg_t)
         a = F.lit(self.alpha)
         self.lookups_, self.cards_ = [], []
-        for c in self.inputs:
-            lk = (df.filter(nan_to_null(df, c).isNotNull())
-                  .groupBy(nan_to_null(df, c).alias("__cat"))
-                  .agg(F.sum(y).alias("__pos"), F.count(y).alias("__n"))
+        if not self.inputs:
+            row = df.agg(F.sum(y).alias("p"),
+                         F.count(y).alias("n")).collect()[0]
+            pos_t = float(row["p"] or 0.0)
+            self.totals_ = (pos_t, float(row["n"]) - pos_t)
+            return self
+        for i, c in enumerate(self.inputs):
+            # ONE scan per column (same device as TargetEncoder.fit):
+            # NULL/NaN categories stay in the grouped aggregate so the
+            # global totals re-sum from the materialized tiny frame,
+            # and the count()/transform joins read the checkpoint
+            # instead of re-scanning the training data.
+            stats = (df.groupBy(nan_to_null(df, c).alias("__cat"))
+                     .agg(F.sum(y).alias("__pos"), F.count(y).alias("__n"))
+                     .localCheckpoint())
+            if i == 0:
+                row = stats.agg(F.sum("__pos").alias("p"),
+                                F.sum("__n").alias("n")).collect()[0]
+                pos_t = float(row["p"] or 0.0)
+                self.totals_ = (pos_t, float(row["n"] or 0) - pos_t)
+            pos_t, neg_t = self.totals_
+            lk = (stats.filter(F.col("__cat").isNotNull())
                   .select(
                       "__cat",
                       F.log(((F.col("__pos") + a)
