@@ -42,7 +42,8 @@ from pyspark.sql import functions as F
 
 from .ext_queries import _REV, _cents, _dec, _fin4, _long_sum_ok, _rev4
 from .queries import _t
-from .relational import maybe_broadcast, maybe_shuffle_hash
+from .relational import (DIM_BROADCAST_MAX_BYTES, maybe_broadcast,
+                         maybe_shuffle_hash, stats_bytes)
 
 # Exact-decimal revenue expression (Spark side).  The SQL twin is
 # ext_queries._REV.
@@ -74,19 +75,36 @@ def _dbl(c):
 def q_tpch_q4_priority(spark, sf_dir):
     """TPC-H Q4 shape: quarter-filtered orders, EXISTS(lineitem late).
 
-    The EXISTS compiles to a left-semi hash join on l_orderkey with the
-    date inequality as a join-side filter; the quarter filter on orders
-    is pushed to the parquet scan, so the semi join's build side is the
-    pruned quarter, not the full fact table."""
+    Spark can only broadcast the BUILD side of a semi join — lineitem,
+    the unbounded fact — so the natural LEFT SEMI always shuffles every
+    (l_orderkey, l_shipdate) row.  When the quarter-pruned orders side
+    passes the size gate (r12), it broadcasts into an INNER join
+    instead (map-side, no fact shuffle) and a (o_orderkey) hash
+    aggregate collapses the late lineitems back to one row per order —
+    partial aggregation bounds each task's exchange output by the
+    surviving key count.  EXISTS-equivalence: the aggregate keeps
+    exactly the orders with >=1 match, once each; o_orderpriority is
+    functionally dependent on the unique o_orderkey, so including it in
+    the distinct key changes nothing (and keeps the collapse a pure
+    hash aggregate).  Past the gate (100 TB) the semi join is the
+    strictly-smaller-shuffle shape and remains the fallback; the
+    quarter filter is pushed to the parquet scan either way."""
     od = (_t(spark, sf_dir, "orders")
           .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
                   & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))))
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    late = od.join(
-        li,
-        (od.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > od.o_orderdate + F.expr("INTERVAL 30 DAYS")),
-        "left_semi")
+    late_cond = (F.col("l_shipdate")
+                 > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    if stats_bytes(od) <= DIM_BROADCAST_MAX_BYTES:
+        late = (li.join(F.broadcast(od.select("o_orderkey", "o_orderdate",
+                                              "o_orderpriority")),
+                        (F.col("o_orderkey") == F.col("l_orderkey"))
+                        & late_cond)
+                .select("o_orderkey", "o_orderpriority")
+                .dropDuplicates())
+    else:
+        late = od.join(
+            li, (od.o_orderkey == li.l_orderkey) & late_cond, "left_semi")
     return (late.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("order_count")))
 
@@ -437,16 +455,25 @@ def q_tpch_q13_custdist(spark, sf_dir):
     by a non-key predicate so the LEFT join must preserve zero-order
     customers.
 
-    count(o_orderkey) over the left join counts matches only (NULLs
-    excluded) — the zero bucket falls out of the outer join, no
-    special-casing.  Both aggregates partial-aggregate map-side."""
+    The per-customer count aggregates the ORDER side BEFORE the outer
+    join (r12: partial aggregation shrinks the only fact exchange to
+    one row per (task, custkey) instead of every order row) —
+    count(o_orderkey) over the outer join counts matches only, which is
+    exactly coalesce(pre-agg count, 0): o_orderkey is never NULL in
+    orders, so both count surviving join rows and both give the zero
+    bucket to customers that matched nothing.  The pre-aggregate is
+    bounded by |customer| (FK), so it takes the size-gated broadcast
+    and the customer side never shuffles; past the gate AQE falls back
+    to a sort-merge of two already-aggregate-narrow sides."""
     cu = _t(spark, sf_dir, "customer").select("c_custkey")
     od = (_t(spark, sf_dir, "orders")
           .filter(F.col("o_orderpriority") != "5-LOW")
-          .select("o_orderkey", "o_custkey"))
-    per_cust = (cu.join(od, cu.c_custkey == od.o_custkey, "left")
-                .groupBy("c_custkey")
-                .agg(F.count("o_orderkey").alias("c_count")))
+          .select("o_custkey"))
+    per_key = od.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_n"))
+    per_cust = (cu.join(maybe_broadcast(per_key, bound_df=cu),
+                        cu.c_custkey == per_key.o_custkey, "left")
+                .select(F.coalesce(F.col("_n"), F.lit(0).cast("long"))
+                        .alias("c_count")))
     return (per_cust.groupBy("c_count")
             .agg(F.count(F.lit(1)).alias("custdist")))
 

@@ -28,10 +28,47 @@ def test_q6_filters_reach_scan_and_columns_pruned(spark, qs):
     assert "l_extendedprice" in rs and "l_returnflag" not in rs
 
 
-def test_q4_exists_is_semi_join(spark, qs):
+def test_q4_under_gate_broadcasts_orders_no_fact_shuffle(spark, qs):
+    """r12 shape: when the quarter-pruned orders side fits the gate it
+    broadcasts into an inner join — the lineitem scan feeds the join
+    with NO exchange below it — and the per-order collapse is a hash
+    aggregate keyed on o_orderkey (EXISTS-equivalent), never a sort."""
+    p = _plan(qs["tpch_q4_priority"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p
+    assert "Sort" not in p
+    # the only hash exchanges are the two aggregate regroupings —
+    # neither side of the join itself is shuffled
+    assert p.count("Exchange hashpartitioning") <= 2
+    agg_keys = [ln for ln in p.splitlines()
+                if "HashAggregate" in ln and "o_orderkey" in ln]
+    assert agg_keys  # per-order collapse is an aggregate, pre-regroup
+
+
+def test_q4_past_gate_falls_back_to_semi_join(spark, qs, monkeypatch):
+    """Past the broadcast gate (100 TB orders) the EXISTS must keep the
+    strictly-smaller-shuffle left-semi shape."""
+    from dataframe_pipeline_spark import tpch
+
+    monkeypatch.setattr(tpch, "DIM_BROADCAST_MAX_BYTES", 0)
     p = _plan(qs["tpch_q4_priority"](spark, SF))
     assert "LeftSemi" in p
     assert "NestedLoop" not in p
+
+
+def test_q13_aggregates_orders_below_outer_join(spark, qs):
+    """r12 shape: the per-customer count is a (o_custkey) aggregate on
+    the ORDER side, below the outer join — the join's build input is
+    the pre-aggregate, not the order rows, and the customer side is
+    never exchanged."""
+    p = _plan(qs["tpch_q13_custdist"](spark, SF))
+    assert "BroadcastHashJoin" in p and "LeftOuter" in p
+    # order rows aggregate BEFORE the join: the broadcast subtree
+    # contains a HashAggregate keyed on o_custkey
+    bcast = p.split("BroadcastExchange", 1)[1]
+    assert "HashAggregate" in bcast and "o_custkey" in bcast
+    # fact exchange carries pre-aggregated rows; join adds none
+    assert p.count("Exchange hashpartitioning") <= 2
 
 
 def test_q19_disjunction_stays_hash_join(spark, qs):
