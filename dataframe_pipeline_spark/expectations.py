@@ -13,16 +13,23 @@ Design for the 100 TB case:
   with an ``inline(array(struct(...)))`` over that single row —
   O(checks), not a data pass.
 * Uniqueness uses ``approx_count_distinct`` (HLL++, fixed memory,
-  partial-aggregatable) by default; ``exact=True`` opts into exact
-  distinct counts for audit scale and oracle parity.
+  partial-aggregatable — rides the wide aggregate for free) by
+  default; ``exact=True`` opts into exact distinct counts for audit
+  scale and oracle parity.  An exact distinct embedded in the wide
+  aggregate would re-key the WHOLE aggregate by the checked column
+  (one row per key through the exchange, every other check's sum as
+  per-key partial state — measured 2.3x at sf1), so exact unique
+  checks run as their own column-pruned 1-row sub-aggregates
+  cross-joined (broadcast) back onto the wide row: still one job,
+  and the subtree shuffles only the deduplicated key.
 * Referential checks (``fk_in``) are the one shape that genuinely
-  needs a second relation — but they still stay inside the single
-  pass: each dimension's (deduplicated) key set is LEFT-joined onto
-  the frame with a hit marker BEFORE the aggregate, and the miss
-  count is just another conditional sum in the same aggregation.
-  The join is size-gate broadcast (map-side probe when the dim fits;
-  keyed shuffle when it doesn't), so N fk checks cost N broadcast
-  probes on the one fact scan — never N extra fact passes.
+  needs a second relation.  Each dimension's (deduplicated) key set
+  is LEFT-joined with a hit marker onto a projection of JUST the
+  checked column, and the miss count aggregates in that same narrow
+  subtree, cross-joined onto the report like exact unique.  The join
+  is size-gate broadcast (map-side probe when the dim fits; keyed
+  shuffle when it doesn't), the probe reads one column, and the
+  subtree overlaps the wide aggregate inside the one job.
 * ``quarantine(df)`` evaluates only the ROW-LEVEL checks (not_null /
   in_range / in_set / matches) as a map-only projection: returns
   (good, bad) where ``bad`` carries a ``_failed`` array naming the
@@ -202,19 +209,44 @@ class ExpectationSuite:
         Column-by-Column is hundreds of py4j round-trips (profiled at
         ~2s of pure driver time per call on a 9-check suite, dwarfing
         the 0.09s execution at sf1); the string form reaches the same
-        plan in a handful of calls."""
+        plan in a handful of calls.
+
+        Two check kinds leave the wide aggregate and run as NARROW
+        1-row sub-aggregates cross-joined (broadcast) onto it — still
+        ONE job, but each subtree scans only its own column:
+
+        * exact ``unique``: a ``count(DISTINCT k)`` embedded in the
+          wide aggregate re-keys the WHOLE aggregate by ``k`` (every
+          conditional sum becomes per-key partial state through the
+          exchange) — measured 2.3x the decomposed plan at sf1.
+        * ``fk_in``: the hit-marker join above the fact scan blocked
+          scan→aggregate fusion and serialized after the wide pass;
+          as its own column-pruned subtree it overlaps the wide
+          aggregate inside the same job.
+
+        Approx (HLL++) unique checks stay inline: the sketch is
+        partial-aggregatable, so it costs nothing extra there."""
         if not self.checks:
             raise ValueError("ExpectationSuite has no checks")
-        # pre-join fk dimension key sets with hit markers (broadcast)
+        base = df
+        extras: list[DataFrame] = []  # 1-row narrow sub-aggregates
+
         for i, c in enumerate(self.checks):
-            if c.kind != "fk_in":
-                continue
-            dim, dim_col = c.ref
-            keys = (dim.select(F.col(dim_col).alias(f"_fk{i}"))
-                    .dropDuplicates()
-                    .withColumn(f"_hit{i}", F.lit(1)))
-            df = df.join(maybe_broadcast(keys),
-                         df[c.column] == F.col(f"_fk{i}"), "left")
+            if c.kind == "fk_in":
+                dim, dim_col = c.ref
+                keys = (dim.select(F.col(dim_col).alias(f"_fk{i}"))
+                        .dropDuplicates()
+                        .withColumn(f"_hit{i}", F.lit(1)))
+                sub = (base.select(base[c.column].alias(f"_v{i}"))
+                       .join(maybe_broadcast(keys),
+                             F.col(f"_v{i}") == F.col(f"_fk{i}"), "left")
+                       .agg(F.expr(f"sum(CAST((_v{i} IS NOT NULL AND "
+                                   f"_hit{i} IS NULL) AS BIGINT)) AS _m{i}")))
+                extras.append(sub)
+            elif c.kind == "unique" and self.exact:
+                extras.append(
+                    base.select(base[c.column].alias(f"_u{i}"))
+                    .agg(F.count_distinct(F.col(f"_u{i}")).alias(f"_m{i}")))
 
         aggs = ["count(1) AS _n"]
         for i, c in enumerate(self.checks):
@@ -223,13 +255,11 @@ class ExpectationSuite:
                 aggs.append(f"sum(CAST(NOT ({self._row_pred_sql(c)}) "
                             f"AS BIGINT)) AS {a}")
             elif c.kind == "fk_in":
-                aggs.append(f"sum(CAST(({_bq(c.column)} IS NOT NULL AND "
-                            f"_hit{i} IS NULL) AS BIGINT)) AS {a}")
+                pass  # miss count computed in its narrow subtree
             elif c.kind == "unique":
-                cnt = (f"count(DISTINCT {_bq(c.column)})" if self.exact
-                       else f"approx_count_distinct({_bq(c.column)}, "
-                            f"{self.rsd!r})")
-                aggs.append(f"{cnt} AS {a}")
+                if not self.exact:
+                    aggs.append(f"approx_count_distinct({_bq(c.column)}, "
+                                f"{self.rsd!r}) AS {a}")
                 aggs.append(f"count({_bq(c.column)}) AS {a}nn")
             elif c.kind == "mean_between":
                 # exact decimal sum (6-dp quantized), divided in double:
@@ -245,7 +275,9 @@ class ExpectationSuite:
                 pass  # reads _n
             else:
                 raise ValueError(f"unknown check kind: {c.kind}")
-        wide = df.agg(*[F.expr(s) for s in aggs])
+        wide = base.agg(*[F.expr(s) for s in aggs])
+        for sub in extras:
+            wide = wide.crossJoin(F.broadcast(sub))
 
         rows = []
         for i, c in enumerate(self.checks):

@@ -41,7 +41,14 @@ BNLJ_WHITELIST = {
     "hist_order_price": "cross-joins a 1-row min/max aggregate (bin edges)",
     "events_value_zscore": "1-row global stats frame joined to facts",
     "text_tfidf": "1-row corpus doc-count joined under the idf",
-    "profile_customer": "1-row wide aggregate unpivoted via stack",
+    "profile_customer": "1-row wide aggregate + one broadcast 1-row "
+                        "exact-distinct subtree per audited column "
+                        "(profiling.py decomposed exact tier)",
+    "expect_orders": "wide report aggregate cross-joins broadcast 1-row "
+                     "subtrees: exact-unique distinct + fk miss count "
+                     "(expectations.py decomposed report)",
+    "expect_orders_hll": "same report shape, fk subtree only (approx "
+                         "unique stays inline in the wide aggregate)",
     "quality_by_source": "1-row quantile frame cross-joined to groups",
     "split_train": "1-row count frame for the 3:1 split boundary",
     "freq_norm": "crossJoin(broadcast(1-row total)) for count/total "

@@ -61,16 +61,31 @@ def test_fk_check_counts_orphans(spark, df):
     assert r["row_count"]["observed"] == 4.0
 
 
-def test_fk_check_rides_the_single_aggregate(spark, df):
-    """fk checks must NOT add a second fact pass: the dim joins in as a
-    broadcast hit marker below ONE aggregate — no union of jobs."""
+def test_fk_check_rides_one_job(spark, df):
+    """fk checks must NOT union in extra jobs: the dim probe runs as a
+    narrow (checked-column-only) 1-row sub-aggregate cross-joined
+    (broadcast) onto the wide report — one plan, one action."""
     dim = spark.createDataFrame([Row(k=1), Row(k=2)])
     suite = ex.ExpectationSuite(checks=[
         ex.not_null("price"), ex.fk_in("id", dim, "k")])
     plan = suite.report(df)._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan
-    assert plan.count("HashAggregate") <= 4  # one partial+final pair
-    # per side (dim dedup + report)
+    # wide agg pair + dim dedup pair + fk subtree pair
+    assert plan.count("HashAggregate") <= 6
+    # the fk subtree attaches as a broadcast 1-row cross join
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
+
+
+def test_exact_unique_decomposes_without_expand(spark, df):
+    """exact unique must not re-key the wide aggregate: no Expand, and
+    the distinct runs in its own broadcast-crossjoined subtree."""
+    suite = ex.ExpectationSuite(checks=[
+        ex.not_null("price"), ex.unique("id"), ex.unique("status")],
+        exact=True)
+    plan = suite.report(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert "Union" not in plan
+    assert plan.count("BroadcastNestedLoopJoin BuildRight, Cross") == 2
 
 
 def test_single_aggregate_pass(spark, df):
