@@ -63,6 +63,15 @@ def _resolve_func(func):
     raise ValueError(f"Unsupported aggregate function: {func!r}")
 
 
+#: funcs safe for the fused fit_transform window path: distributive /
+#: algebraic aggregates whose window form computes the identical value
+#: per group.  percentile/median (group-collecting), distinct counts,
+#: first/last (order-dependent) and the sketch tier keep the lookup
+#: join.
+_WINDOWABLE = {"mean", "avg", "average", "std", "stddev", "var", "sum",
+               "min", "max", "count"}
+
+
 class Aggregator(SparkDFPBase):
     def __init__(self, inputs=None, outputs=None, groupby=None, func=None):
         self.inputs = list(inputs or [])
@@ -79,6 +88,9 @@ class Aggregator(SparkDFPBase):
     def fit(self, df: DataFrame, **params):
         self.vals = []
         self._lookups = {}
+        # remembered for the fused fit_transform fast path (transform
+        # over the very frame fit saw) — never persisted state
+        self._fit_frame = df
         if not self.groupby:
             row = df.agg(
                 *[self._agg_col(df, c).alias(f"_a{i}") for i, c in enumerate(self.inputs)]
@@ -110,6 +122,33 @@ class Aggregator(SparkDFPBase):
             return df.withColumns(
                 {output: F.lit(v) for output, v in zip(self.outputs, self.vals)}
             )
+        # Fused fit_transform fast path: transform() over the SAME frame
+        # fit() just saw (the fit_transform contract — pipeline threading
+        # passes the identical object).  The lookup join would re-scan the
+        # frame for the aggregate and exchange the whole fact for the
+        # join-back (Catalyst's static size estimate of the aggregate
+        # inflates ~65x through upstream lineage, so the join plans
+        # sort-merge); a window aggregate over the group key computes the
+        # identical per-group value with ONE exchange and no second scan.
+        # Unseen keys cannot exist (same rows); NULL/NaN keys are masked
+        # to NULL exactly like the fitted lookup's dropped-null-key miss.
+        func_name = (self.func if isinstance(self.func, str)
+                     else getattr(self.func, "__name__", None))
+        if df is getattr(self, "_fit_frame", None) and func_name in _WINDOWABLE:
+            from pyspark.sql.window import Window
+
+            by_key: dict[str, list[tuple[str, str]]] = {}
+            for input, output, g in zip(self.inputs, self.outputs, self.groupby):
+                by_key.setdefault(g, []).append((input, output))
+            for g, pairs in by_key.items():
+                key = nan_to_null(df, g)
+                w = Window.partitionBy(key)
+                df = df.withColumns({
+                    output: F.when(key.isNull(), F.lit(None))
+                    .otherwise(self._agg_col(df, input).over(w))
+                    for input, output in pairs
+                })
+            return df
         for g, (lookup, outmap) in self._lookups.items():
             # Join-back strategy (r11, VERDICT r10 #8 — broadcast hint
             # tried and REVERTED when measured worse): hinting the
