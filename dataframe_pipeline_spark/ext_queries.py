@@ -3601,19 +3601,23 @@ FROM (SELECT user_id,
 
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention: users bucketed by first-seen week,
-    counted per (cohort_week, active_week).  The per-user cohort dim is
-    a grouped aggregate of the fact itself, joined back size-gated
-    (bounded by distinct users — it broadcasts at bench scale, falls
-    back to a keyed shuffle at 100x); the final distinct-count is one
-    hash aggregate."""
+    counted per (cohort_week, active_week).  ONE grouped aggregate per
+    user computes the cohort week AND the distinct active-week set
+    together (collect_set is partial-aggregatable and bounded by the
+    number of distinct weeks), then the exploded per-user weeks re-count
+    in a tiny hash aggregate — one fact scan, one fact exchange, no
+    join, no count-distinct re-expansion of the fact.  (The former
+    cohort-dim self-join + count_distinct shape paid a second scan and
+    a second fact-wide aggregate: A/B sf0.1 0.508 → 0.346 s, identical
+    rows.)"""
     ev = _events(spark, sf_dir)
-    cohort = (ev.groupBy("user_id")
-              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
-    enriched = ev.join(maybe_broadcast(cohort, bound_df=ev), "user_id")
-    return (enriched
-            .groupBy("cohort_week",
-                     F.date_trunc("week", F.col("ts")).alias("active_week"))
-            .agg(F.count_distinct("user_id").alias("n_users")))
+    per_user = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"),
+        F.collect_set(F.date_trunc("week", F.col("ts"))).alias("__weeks"))
+    return (per_user
+            .select("cohort_week", F.explode("__weeks").alias("active_week"))
+            .groupBy("cohort_week", "active_week")
+            .agg(F.count(F.lit(1)).alias("n_users")))
 
 
 SQL_COHORT_RETENTION = """
