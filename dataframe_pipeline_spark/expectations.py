@@ -13,15 +13,17 @@ Design for the 100 TB case:
   with an ``inline(array(struct(...)))`` over that single row —
   O(checks), not a data pass.
 * Uniqueness uses ``approx_count_distinct`` (HLL++, fixed memory,
-  partial-aggregatable — rides the wide aggregate for free) by
-  default; ``exact=True`` opts into exact distinct counts for audit
-  scale and oracle parity.  An exact distinct embedded in the wide
-  aggregate would re-key the WHOLE aggregate by the checked column
-  (one row per key through the exchange, every other check's sum as
-  per-key partial state — measured 2.3x at sf1), so exact unique
-  checks run as their own column-pruned 1-row sub-aggregates
-  cross-joined (broadcast) back onto the wide row: still one job,
-  and the subtree shuffles only the deduplicated key.
+  partial-aggregatable) by default; ``exact=True`` opts into exact
+  distinct counts for audit scale and oracle parity.  BOTH forms run
+  as their own column-pruned 1-row sub-aggregates cross-joined
+  (broadcast) back onto the wide row — still one job.  An exact
+  distinct embedded in the wide aggregate would re-key the WHOLE
+  aggregate by the checked column (one row per key through the
+  exchange, every other check's sum as per-key partial state —
+  measured 2.3x at sf1); an inline HLL sketch is an imperative
+  aggregate that drags the whole wide stage off whole-stage codegen
+  (measured +0.67 s at sf1).  Decomposed, the subtree shuffles only
+  the deduplicated key / the sketch and the wide pass stays codegen.
 * Referential checks (``fk_in``) are the one shape that genuinely
   needs a second relation.  Each dimension's (deduplicated) key set
   is LEFT-joined with a hit marker onto a projection of JUST the
@@ -215,17 +217,17 @@ class ExpectationSuite:
         1-row sub-aggregates cross-joined (broadcast) onto it — still
         ONE job, but each subtree scans only its own column:
 
-        * exact ``unique``: a ``count(DISTINCT k)`` embedded in the
-          wide aggregate re-keys the WHOLE aggregate by ``k`` (every
+        * ``unique``: a ``count(DISTINCT k)`` embedded in the wide
+          aggregate re-keys the WHOLE aggregate by ``k`` (every
           conditional sum becomes per-key partial state through the
-          exchange) — measured 2.3x the decomposed plan at sf1.
+          exchange — measured 2.3x the decomposed plan at sf1), and
+          an inline HLL sketch is an imperative aggregate that drags
+          the whole wide stage off whole-stage codegen (measured
+          +0.67 s at sf1).
         * ``fk_in``: the hit-marker join above the fact scan blocked
           scan→aggregate fusion and serialized after the wide pass;
           as its own column-pruned subtree it overlaps the wide
-          aggregate inside the same job.
-
-        Approx (HLL++) unique checks stay inline: the sketch is
-        partial-aggregatable, so it costs nothing extra there."""
+          aggregate inside the same job."""
         if not self.checks:
             raise ValueError("ExpectationSuite has no checks")
         base = df
@@ -243,10 +245,13 @@ class ExpectationSuite:
                        .agg(F.expr(f"sum(CAST((_v{i} IS NOT NULL AND "
                                    f"_hit{i} IS NULL) AS BIGINT)) AS _m{i}")))
                 extras.append(sub)
-            elif c.kind == "unique" and self.exact:
+            elif c.kind == "unique":
+                dcnt = (F.count_distinct(F.col(f"_u{i}")) if self.exact
+                        else F.expr(f"approx_count_distinct(_u{i}, "
+                                    f"{self.rsd!r})"))
                 extras.append(
                     base.select(base[c.column].alias(f"_u{i}"))
-                    .agg(F.count_distinct(F.col(f"_u{i}")).alias(f"_m{i}")))
+                    .agg(dcnt.alias(f"_m{i}")))
 
         aggs = ["count(1) AS _n"]
         for i, c in enumerate(self.checks):
@@ -257,9 +262,6 @@ class ExpectationSuite:
             elif c.kind == "fk_in":
                 pass  # miss count computed in its narrow subtree
             elif c.kind == "unique":
-                if not self.exact:
-                    aggs.append(f"approx_count_distinct({_bq(c.column)}, "
-                                f"{self.rsd!r}) AS {a}")
                 aggs.append(f"count({_bq(c.column)}) AS {a}nn")
             elif c.kind == "mean_between":
                 # exact decimal sum (6-dp quantized), divided in double:
