@@ -210,20 +210,13 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     idx = dd.IncrementalMinHashIndex(k=16, bands=2)
     # production shape: the index is a PERSISTED parquet table (built
-    # once per snapshot), the batch probes it — also what keeps the
-    # in-session query honest about cost (an unpersisted build()
+    # once per snapshot), the batch probes it — the write also keeps
+    # the in-session query honest about cost (an unpersisted build()
     # result re-evaluates its kernel once per join reference).  The
-    # build+write memoizes per (session, sf_dir): "built once per
-    # snapshot" IS the declared deployment shape (quantile_bin memo
-    # rationale), the band index is a deterministic pure function of
-    # the corpus, and the batch probe stays the timed work.
-    key = ("mh_band_index", os.path.abspath(sf_dir))
-    path = _SKETCH_FIT_CACHE.get(key)
-    if path is None:
-        path = os.path.join(_layout_scratch_dir(),
-                            f"mh_bands_{abs(hash(key)) % 10**8}")
-        idx.write(idx.build(corpus), path)
-        _SKETCH_FIT_CACHE[key] = path
+    # build runs on EVERY call (VERDICT r12 #1: a per-(session, sf_dir)
+    # memo here made min-of-N bench reads skip the fit after run 1).
+    path = os.path.join(_layout_scratch_dir(), "mh_bands_live")
+    idx.write(idx.build(corpus), path)
     return idx.candidates(batch, dd.IncrementalMinHashIndex.read(spark, path))
 
 
@@ -409,15 +402,9 @@ def q_dedup_semantic(spark, sf_dir):
     cluster-keyed self-join; n_clusters ∝ n keeps per-cluster work
     constant at corpus scale."""
     emb = _t(spark, sf_dir, "embeddings")
-    # the deterministic driver-kmeans fit memoizes per (session,
-    # sf_dir) — centroids are a pure function of the corpus (the
-    # oracle replays the same trainer); the cluster-bucketed cosine
-    # self-join stays the timed work (quantile_bin memo rationale)
-    key = ("semdedup_fit", os.path.abspath(sf_dir))
-    d = _SKETCH_FIT_CACHE.get(key)
-    if d is None:
-        d = dd.SemanticDeduplicator(threshold=0.35, n_clusters="auto").fit(emb)
-        _SKETCH_FIT_CACHE[key] = d
+    # fit runs on EVERY call (VERDICT r12 #1: the per-(session, sf_dir)
+    # memo made min-of-N bench reads skip the k-means fit after run 1)
+    d = dd.SemanticDeduplicator(threshold=0.35, n_clusters="auto").fit(emb)
     return d.flag_duplicates(emb)
 
 
@@ -500,16 +487,9 @@ def q_decontaminate_semantic(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     bench = emb.filter(F.col("vec_id") % 10 == 0)
     corpus = emb.filter(F.col("vec_id") % 10 != 0)
-    # benchmark-side kmeans fit memoized per (session, sf_dir): the
-    # eval set is fixed in deployment while training corpora stream
-    # through the screen; centroids are deterministic (same rationale
-    # as dedup_semantic above).  The corpus screen stays the timed work.
-    key = ("decontaminate_fit", os.path.abspath(sf_dir))
-    chk = _SKETCH_FIT_CACHE.get(key)
-    if chk is None:
-        chk = dd.SemanticContaminationChecker(
-            threshold=0.2, n_clusters=8).fit(bench)
-        _SKETCH_FIT_CACHE[key] = chk
+    # fit runs on EVERY call (VERDICT r12 #1: no cross-run fit memo)
+    chk = dd.SemanticContaminationChecker(
+        threshold=0.2, n_clusters=8).fit(bench)
     return chk.flag(corpus)
 
 
@@ -3189,24 +3169,13 @@ WHERE NOT ((('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT)
 def q_quantile_bin(spark, sf_dir):
     """Equal-frequency quartile binning of order value — learned
     boundaries (exact interpolated percentiles), codegen assignment.
-
-    The FIT (two aggregate jobs: GK bracket + exact-rank refine,
-    base.exact_percentiles) is memoized per (session, sf_dir) — fit
-    once / transform many is the operator's deployment shape, the same
-    rationale as the ANN-index and textclf memos (VERDICT r7 #4), and
-    the r12 band profile showed the fit was 1.6 s of the 1.8 s wall at
-    sf1 while the transform itself is a single codegen scan.  The
-    boundaries are partition-invariant (exact order statistics), so the
-    cached fit IS the fit for this data."""
+    Fit (two aggregate jobs: GK bracket + exact-rank refine) runs on
+    EVERY call (VERDICT r12 #1: no cross-run fit memo)."""
     from .operators import QuantileBinner
 
     od = _t(spark, sf_dir, "orders")
-    key = ("quantile_bin", os.path.abspath(sf_dir))
-    qb = _SKETCH_FIT_CACHE.get(key)
-    if qb is None:
-        qb = QuantileBinner(inputs=["o_totalprice"], outputs=["price_bin"],
-                            n_bins=4).fit(od)
-        _SKETCH_FIT_CACHE[key] = qb
+    qb = QuantileBinner(inputs=["o_totalprice"], outputs=["price_bin"],
+                        n_bins=4).fit(od)
     return qb.transform(od).select("o_orderkey", "price_bin")
 
 
@@ -3421,17 +3390,11 @@ def q_clip_outliers(spark, sf_dir):
     Fit is one agg job; transform is pure least/greatest codegen."""
     from .operators.outlier_clipper import OutlierClipper
     li = _t(spark, sf_dir, "lineitem")
-    # exact-percentile fit memoized per (session, sf_dir) — identical
-    # rationale and fit machinery as quantile_bin (deterministic order
-    # statistics, fit-once/clip-many); the clamp scan stays timed
-    key = ("clip_outliers", os.path.abspath(sf_dir))
-    op = _SKETCH_FIT_CACHE.get(key)
-    if op is None:
-        op = OutlierClipper(inputs=["l_extendedprice"],
-                            outputs=["price_clipped"],
-                            strategy="quantile", lo_q=0.05, hi_q=0.95,
-                            exact=True).fit(li)
-        _SKETCH_FIT_CACHE[key] = op
+    # fit runs on EVERY call (VERDICT r12 #1: no cross-run fit memo)
+    op = OutlierClipper(inputs=["l_extendedprice"],
+                        outputs=["price_clipped"],
+                        strategy="quantile", lo_q=0.05, hi_q=0.95,
+                        exact=True).fit(li)
     return op.transform(li).select("l_orderkey", "l_linenumber",
                                    "price_clipped")
 
@@ -3645,7 +3608,10 @@ def q_cohort_retention(spark, sf_dir):
     a second fact-wide aggregate: A/B sf0.1 0.508 → 0.346 s, identical
     rows.)"""
     ev = _events(spark, sf_dir)
-    per_user = ev.groupBy("user_id").agg(
+    # NULL users never form a cohort: the oracle's inner join on
+    # user_id + count(DISTINCT user_id) excludes them, and so did the
+    # pre-r12 join shape — keep that semantic here (ADVICE r12).
+    per_user = ev.filter(F.col("user_id").isNotNull()).groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week"),
         F.collect_set(F.date_trunc("week", F.col("ts"))).alias("__weeks"))
     return (per_user
@@ -4032,14 +3998,9 @@ def q_scaler_robust(spark, sf_dir):
     path, same trade as agg_group_median)."""
     from .operators import Scaler
     li = _t(spark, sf_dir, "lineitem")
-    # exact-quartile fit memoized per (session, sf_dir) — quantile_bin
-    # rationale; the scale/shift scan stays timed
-    key = ("scaler_robust", os.path.abspath(sf_dir))
-    sc = _SKETCH_FIT_CACHE.get(key)
-    if sc is None:
-        sc = Scaler(inputs=["l_extendedprice"], outputs=["price_r"],
-                    strategy="robust").fit(li)
-        _SKETCH_FIT_CACHE[key] = sc
+    # fit runs on EVERY call (VERDICT r12 #1: no cross-run fit memo)
+    sc = Scaler(inputs=["l_extendedprice"], outputs=["price_r"],
+                strategy="robust").fit(li)
     return sc.transform(li).select("l_orderkey", "l_linenumber",
                                    F.round("price_r", 6).alias("price_r"))
 
@@ -4619,25 +4580,11 @@ def q_text_lm_score(spark, sf_dir):
     """Bigram LM quality scoring (text.NgramScorer): per-doc mean
     log-probability under the add-1-smoothed corpus bigram model — the
     perplexity-proxy filter.  Fit = two keyed shuffles; score = bigram
-    explode + broadcast count joins + one doc-keyed re-agg.
-
-    The LM fit memoizes per (session, sf_dir) — fit-once/score-many is
-    the quality-filter deployment shape (quantile_bin / tokenizer memo
-    rationale) and the fitted count tables are deterministic pure
-    functions of the corpus; scoring the corpus stays the timed work."""
+    explode + broadcast count joins + one doc-keyed re-agg.  The fit
+    runs on EVERY call (VERDICT r12 #1: no cross-run fit memo)."""
     docs = _t(spark, sf_dir, "documents")
-    scorer = _lm_scorer_fit(docs, sf_dir)
+    scorer = tx.NgramScorer(k=1.0).fit(docs, "text")
     return scorer.score(docs, "doc_id", "text")
-
-
-def _lm_scorer_fit(docs, sf_dir):
-    """Memoized NgramScorer(k=1.0) corpus fit (see q_text_lm_score)."""
-    key = ("lm_scorer", os.path.abspath(sf_dir))
-    scorer = _SKETCH_FIT_CACHE.get(key)
-    if scorer is None:
-        scorer = tx.NgramScorer(k=1.0).fit(docs, "text")
-        _SKETCH_FIT_CACHE[key] = scorer
-    return scorer
 
 
 SQL_TEXT_LM_SCORE = r"""
@@ -4690,19 +4637,12 @@ def q_curriculum_buckets(spark, sf_dir):
     from .operators.quantile_binner import QuantileBinner
 
     docs = _t(spark, sf_dir, "documents")
-    # both fits memoize per (session, sf_dir) — LM count tables and the
-    # exact-percentile boundaries are deterministic pure functions of
-    # the corpus (quantile_bin rationale); scoring every document and
-    # the bin assignment stay the timed work
-    scored = _lm_scorer_fit(docs, sf_dir) \
+    # both fits run on EVERY call (VERDICT r12 #1: no cross-run memo)
+    scored = tx.NgramScorer(k=1.0).fit(docs, "text") \
         .score(docs, "doc_id", "text") \
         .localCheckpoint(eager=True)
-    qkey = ("curriculum_qb", os.path.abspath(sf_dir))
-    qb = _SKETCH_FIT_CACHE.get(qkey)
-    if qb is None:
-        qb = QuantileBinner(inputs=["avg_logprob"], outputs=["lm_bucket"],
-                            n_bins=4).fit(scored)
-        _SKETCH_FIT_CACHE[qkey] = qb
+    qb = QuantileBinner(inputs=["avg_logprob"], outputs=["lm_bucket"],
+                        n_bins=4).fit(scored)
     return (qb.transform(scored)
             .select("doc_id", "avg_logprob", "lm_bucket"))
 
@@ -4764,24 +4704,13 @@ def q_text_bpe_tokens(spark, sf_dir):
     """BPE tokenization at corpus scale (bpe.BpeTokenizer.token_counts):
     top-20 subword tokens by frequency.  Merges apply to DISTINCT words
     only (the scale path — one word shuffle, no per-occurrence work);
-    the oracle replays the reference tokenizer.
-
-    The TRAINER fit (12 sequential merge rounds of bounded-vocab jobs)
-    is memoized per (session, sf_dir) — fit once / tokenize many is THE
-    tokenizer deployment shape, the same rationale as the quantile_bin
-    / ANN-index / textclf memos (VERDICT r7 #4), and the merge table is
-    a deterministic pure function of the corpus (the oracle replays it
-    rule-for-rule), so the cached fit IS the fit for this data.  The
-    training-as-result rows (text_bpe_merges / text_unigram_vocab) stay
-    unmemoized: there the fit is the declared computation."""
+    the oracle replays the reference tokenizer.  The trainer fit (12
+    sequential merge rounds of bounded-vocab jobs) runs on EVERY call
+    (VERDICT r12 #1: no cross-run fit memo)."""
     from .bpe import BpeTokenizer, BpeTrainer
 
     docs = _t(spark, sf_dir, "documents")
-    key = ("bpe_fit", os.path.abspath(sf_dir))
-    trainer = _SKETCH_FIT_CACHE.get(key)
-    if trainer is None:
-        trainer = BpeTrainer(n_merges=_BPE_MERGES).fit(docs, "text")
-        _SKETCH_FIT_CACHE[key] = trainer
+    trainer = BpeTrainer(n_merges=_BPE_MERGES).fit(docs, "text")
     counts = BpeTokenizer(trainer.merges_).token_counts(docs, "text")
     return counts.orderBy(F.desc("n"), F.asc("token")).limit(20)
 
@@ -5282,14 +5211,8 @@ def q_text_unigram_tokens(spark, sf_dir):
     from .unigram import UnigramTokenizer, UnigramTrainer
 
     docs = _t(spark, sf_dir, "documents")
-    # fit memoized per (session, sf_dir) — same fit-once/tokenize-many
-    # rationale and determinism argument as q_text_bpe_tokens above;
-    # text_unigram_vocab (fit-as-result) stays unmemoized.
-    key = ("unigram_fit", os.path.abspath(sf_dir))
-    tr = _SKETCH_FIT_CACHE.get(key)
-    if tr is None:
-        tr = UnigramTrainer(**_UNIGRAM_PARAMS).fit(docs, "text")
-        _SKETCH_FIT_CACHE[key] = tr
+    # fit runs on EVERY call (VERDICT r12 #1: no cross-run fit memo)
+    tr = UnigramTrainer(**_UNIGRAM_PARAMS).fit(docs, "text")
     counts = UnigramTokenizer(
         tr.scores_, _UNIGRAM_PARAMS["max_piece_len"]).token_counts(
         docs, "text")

@@ -83,6 +83,14 @@ _WINDOWABLE = {"mean", "avg", "average", "std", "stddev", "var", "sum",
 
 
 class Aggregator(SparkDFPBase):
+    #: the remembered fit input (fused fit_transform fast path) must
+    #: never be persisted: save_pipeline/_extract writes every DataFrame
+    #: attribute to parquet, so without this a fitted Aggregator would
+    #: write its ENTIRE training frame into the checkpoint (ADVICE r12).
+    #: load_steps restores transients as None; transform then takes the
+    #: fitted-lookup join path.
+    _dfp_transient = ("_fit_frame",)
+
     def __init__(self, inputs=None, outputs=None, groupby=None, func=None):
         self.inputs = list(inputs or [])
         self.outputs = list(outputs or [])
@@ -99,7 +107,8 @@ class Aggregator(SparkDFPBase):
         self.vals = []
         self._lookups = {}
         # remembered for the fused fit_transform fast path (transform
-        # over the very frame fit saw) — never persisted state
+        # over the very frame fit saw) — declared _dfp_transient so
+        # persistence never writes it
         self._fit_frame = df
         if not self.groupby:
             row = df.agg(

@@ -47,8 +47,9 @@ BNLJ_WHITELIST = {
     "expect_orders": "wide report aggregate cross-joins broadcast 1-row "
                      "subtrees: exact-unique distinct + fk miss count "
                      "(expectations.py decomposed report)",
-    "expect_orders_hll": "same report shape, fk subtree only (approx "
-                         "unique stays inline in the wide aggregate)",
+    "expect_orders_hll": "same report shape: both the approx (HLL) "
+                         "unique and the fk probe run as decomposed "
+                         "broadcast 1-row subtrees (Fix 15 r12)",
     "quality_by_source": "1-row quantile frame cross-joined to groups",
     "split_train": "1-row count frame for the 3:1 split boundary",
     "freq_norm": "crossJoin(broadcast(1-row total)) for count/total "

@@ -227,3 +227,34 @@ def test_ann_annotator_pipeline_roundtrip(spark, tmp_path):
     plan = p2.steps[0].index._assigned._jdf.queryExecution() \
         .executedPlan().toString()
     assert "FileScan parquet" in plan
+
+
+def test_fitted_aggregator_roundtrip_drops_fit_frame(spark, tmp_path):
+    """A fitted GROUPED Aggregator persists its lookup table only —
+    never the remembered fit input (ADVICE r12: without _dfp_transient
+    the checkpoint wrote the ENTIRE training frame, fact-table-sized at
+    scale).  Exactly one frame dir (the lookup); the reloaded step
+    transforms a NEW frame identically via the lookup-join path."""
+    import os
+
+    from dataframe_pipeline_spark.persistence import (load_operator,
+                                                      save_operator)
+
+    agg = Aggregator(inputs=["x"], outputs=["x_mean_grp"],
+                     groupby=["grp"], func="mean")
+    train = _train(spark)
+    agg.fit_transform(train)          # sets _fit_frame (window fast path)
+    path = str(tmp_path / "agg_only")
+    save_operator(agg, path)
+
+    frames = sorted(os.listdir(os.path.join(path, "frames")))
+    assert frames == ["s0_f0"], frames   # the lookup, NOT the fit frame
+
+    agg2 = load_operator(spark, path)
+    assert agg2._fit_frame is None       # transient restored as None
+    test = _test_frame(spark)
+    exp = {r["grp"]: r["x_mean_grp"]
+           for r in agg.transform(test).collect()}
+    got = {r["grp"]: r["x_mean_grp"]
+           for r in agg2.transform(test).collect()}
+    assert got == exp and got[3] is None   # unseen group key -> null
