@@ -64,11 +64,22 @@ class TargetEncoder(SparkDFPBase):
             stats = (df.groupBy(F.col(c).alias("__cat"))
                      .agg(F.count(t).alias("__n"), F.sum(t).alias("__s"))
                      .localCheckpoint())
+            # ONE collect per column returns the broadcast-gate
+            # cardinality AND (first column) the global-mean sums —
+            # merging the former lk.count() job into the stats agg
+            # (r13, guide §1.2: sf1 fit_transform 0.54 -> 0.35 s).  The
+            # sum expressions are unchanged, so the global mean stays
+            # bit-identical to the previous two-job fit.
+            card = F.count(F.when(F.col("__cat").isNotNull(), 1))
             if i == 0:
                 tot = stats.agg(F.sum("__n").alias("n"),
-                                F.sum("__s").alias("s")).collect()[0]
+                                F.sum("__s").alias("s"),
+                                card.alias("c")).collect()[0]
                 self.global_mean_ = (float(tot["s"]) / float(tot["n"])
                                      if tot["n"] else None)
+                n_cats = tot["c"]
+            else:
+                n_cats = stats.agg(card.alias("c")).collect()[0]["c"]
             g = F.lit(self.global_mean_)
             mean = F.col("__s") / F.col("__n")
             lk = (stats.filter(F.col("__cat").isNotNull())
@@ -79,7 +90,7 @@ class TargetEncoder(SparkDFPBase):
             # cardinality resolved AT FIT (fit runs jobs; transform must
             # stay job-free — a count() per transform call would add one
             # Spark job per column per application at serving time)
-            self.cards_.append(lk.count())
+            self.cards_.append(n_cats)
         return self
 
     def transform(self, df: DataFrame) -> DataFrame:
@@ -168,11 +179,22 @@ class CVTargetEncoder(SparkDFPBase):
                                  self._fold_col().alias("__fold"))
                       .agg(F.count(t).alias("__nf"), F.sum(t).alias("__sf"))
                       .localCheckpoint())
+            # ONE collect per column: the broadcast-gate cardinality is
+            # |pf| (the tot join is N:1 — tot is grouped FROM pf, so
+            # every non-null (cat, fold) row survives exactly once), so
+            # it rides the global-mean agg instead of a lk.count() job
+            # (r13, guide §1.2; sum expressions unchanged -> global
+            # mean bit-identical).
+            card = F.count(F.when(F.col("__cat").isNotNull(), 1))
             if i == 0:
                 trow = pf_all.agg(F.sum("__nf").alias("n"),
-                                  F.sum("__sf").alias("s")).collect()[0]
+                                  F.sum("__sf").alias("s"),
+                                  card.alias("c")).collect()[0]
                 self.global_mean_ = (float(trow["s"]) / float(trow["n"])
                                      if trow["n"] else None)
+                n_codes = trow["c"]
+            else:
+                n_codes = pf_all.agg(card.alias("c")).collect()[0]["c"]
             g = F.lit(self.global_mean_)
             pf = pf_all.filter(F.col("__cat").isNotNull())
             tot = (pf.groupBy("__cat")
@@ -185,7 +207,7 @@ class CVTargetEncoder(SparkDFPBase):
             lk = (pf.join(tot, "__cat")
                   .select("__cat", "__fold", code.alias("__code")))
             self.lookups_.append(lk)
-            self.cards_.append(lk.count())
+            self.cards_.append(n_codes)
         return self
 
     def transform(self, df: DataFrame) -> DataFrame:
