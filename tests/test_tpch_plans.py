@@ -128,12 +128,14 @@ def test_q22_anti_join_and_scalar_broadcast(spark, qs):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
 
 
-def test_q17_inner_average_is_single_aggregate(spark, qs):
-    """The correlated per-part average must be ONE grouped aggregate
-    joined back, not a per-row re-scan: exactly one scan of lineitem
-    per side of the join (2 total), one of part."""
+def test_q17_inner_average_is_single_scan_window(spark, qs):
+    """r13 shape: the correlated per-part average is a window aggregate
+    on a SINGLE scan of the brand-pruned lineitem — no aggregate-side
+    rescan, no join-back, no nested loop.  Exactly one lineitem scan and
+    one part scan (2 total)."""
     p = _plan(qs["tpch_q17_small_qty"](spark, SF))
-    assert p.count("Scan parquet") <= 4
+    assert p.count("Scan parquet") <= 2
+    assert "Window" in p
     assert "NestedLoop" not in p
 
 
