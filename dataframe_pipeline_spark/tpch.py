@@ -636,16 +636,28 @@ def q_tpch_q18_large_orders(spark, sf_dir):
 
     The HAVING aggregate runs on (orderkey) BEFORE any dim join — the
     filter collapses the fact to a small key set, and the orders/
-    customer joins happen on that survivor set only."""
+    customer joins happen on that survivor set only.
+
+    The orders join takes a size-gated SHUFFLE-HASH hint on the
+    pre-aggregate side (r13, guide §3.1): AQE sees the pre-HAVING
+    exchange bytes (every orderkey partial), not the post-filter
+    survivor count, so it kept a sort-merge join that sorted BOTH the
+    full orders exchange and the aggregate — two sorts for nothing.
+    The build side is bounded by the orders scan statistic (one row
+    per orderkey), so past the 2 GB gate at 100 TB the hint disappears
+    and the plan degrades to SMJ.  sf1 interleaved A/B min-of-6:
+    1.49 → 1.14 s."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od_scan = _t(spark, sf_dir, "orders")
     big = (li.groupBy("l_orderkey")
            .agg(F.sum("l_quantity").alias("sum_qty"))
            .filter(F.col("sum_qty") > _Q18_QTY))
-    od = _t(spark, sf_dir, "orders").select(
+    od = od_scan.select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        big.join(od, big.l_orderkey == od.o_orderkey)
+        maybe_shuffle_hash(big, bound_df=od_scan)
+        .join(od, big.l_orderkey == od.o_orderkey)
         .join(maybe_broadcast(cu), od.o_custkey == cu.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                 "o_totalprice", "sum_qty")
@@ -1026,15 +1038,25 @@ def q_tpch_q12_priority_class(spark, sf_dir):
     One fact scan with the date filter pushed to parquet, one equi-join
     to the orders priority column, one grouped aggregate of two
     conditional counts — the CASE pair collapses into a single
-    map-side-combined shuffle."""
+    map-side-combined shuffle.
+
+    The fact-fact join takes a size-gated SHUFFLE-HASH hint on the
+    two-column orders projection (r13, guide §3.1): neither side fits
+    a broadcast, and sort-merge paid two ~1M-row sorts that a
+    per-partition hash build replaces.  Build bounded by the orders
+    scan statistic; past the 2 GB gate the hint disappears (SMJ).
+    sf1 interleaved A/B min-of-6: wall flat (0.74 → 0.72 s); the win is
+    structural — join-side Sort nodes 2 → 0 (no sort spill at scale)."""
     li = (_t(spark, sf_dir, "lineitem")
           .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
                   & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
           .select("l_orderkey", "l_linestatus"))
-    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    od_scan = _t(spark, sf_dir, "orders")
+    od = od_scan.select("o_orderkey", "o_orderpriority")
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
+        li.join(maybe_shuffle_hash(od, bound_df=od_scan),
+                li.l_orderkey == od.o_orderkey)
         .groupBy("l_linestatus")
         .agg(F.sum(hi.cast("long")).alias("high_line_count"),
              F.sum((~hi).cast("long")).alias("low_line_count"))
@@ -1150,8 +1172,18 @@ def q_tpch_q20_excess(spark, sf_dir):
               .filter(F.col("qty_97") > F.lit(_Q20_SHARE) * F.col("qty_all"))
               .select("l_suppkey"))
     su = _t(spark, sf_dir, "supplier")
+    # The qualifying-keys semi join runs as an INNER join with the
+    # supplier dim size-gate broadcast (r13, guide §3.1): ``excess`` is
+    # key-unique (groupBy output), so inner ≡ semi row-for-row — but
+    # inner lets the PLANNER build on the scan-statistic side.  The
+    # semi shape sort-merge-joined both sides (supplier exchanged +
+    # sorted against the aggregate).  Past the gate the unhinted inner
+    # join degrades to the same shuffle the semi paid.  sf1 interleaved
+    # A/B min-of-6: wall flat (0.63 → 0.66 s, within noise); the win is
+    # structural — the supplier exchange and both join-side sorts are
+    # gone (plan: SMJ LeftSemi + 2 Sort + 1 Exchange → BHJ).
     return (
-        su.join(excess, su.s_suppkey == excess.l_suppkey, "left_semi")
+        excess.join(maybe_broadcast(su), su.s_suppkey == excess.l_suppkey)
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )

@@ -139,6 +139,32 @@ def test_q17_inner_average_is_single_scan_window(spark, qs):
     assert "NestedLoop" not in p
 
 
+def test_q12_fact_join_is_hash_not_sort_merge(spark, qs):
+    """r13 shape: the lineitem-orders fact join is a shuffled-hash (or
+    broadcast) join under the gate — never sort-merge, whose two ~|fact|
+    sorts are pure overhead next to per-partition hash builds."""
+    p = _plan(qs["tpch_q12_priority_class"](spark, SF))
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_q18_survivor_join_is_hash_not_sort_merge(spark, qs):
+    """r13 shape: the HAVING-filtered pre-aggregate joins orders via a
+    shuffled-hash build (AQE can't see post-filter selectivity in the
+    pre-HAVING exchange bytes, so it kept SMJ); no join-side sorts."""
+    p = _plan(qs["tpch_q18_large_orders"](spark, SF))
+    assert "SortMergeJoin" not in p
+
+
+def test_q20_supplier_join_is_broadcast_inner(spark, qs):
+    """r13 shape: the qualifying-keys semi join runs as an inner join
+    (excess is key-unique) with the supplier dim broadcast — no
+    supplier exchange, no sort-merge."""
+    p = _plan(qs["tpch_q20_excess"](spark, SF))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
 def test_q2_min_cost_no_correlated_rescan(spark, qs):
     """Q2's correlated min subquery must be one grouped aggregate joined
     back — no nested loop, and the semi-join pruning keeps the pair
