@@ -64,6 +64,21 @@ def test_session_stats_stream(spark, events_batch, tmp_path):
                      name="sess_t", mode="complete")
     got = spark.sql("SELECT * FROM sess_t").collect()
     assert sum(r.n_events for r in got) == 4
+    # batch/stream unified: the stream's session_window result equals
+    # the batch path's lag+cumsum result row-for-row (r13 split)
+    exp = st.session_stats(events_batch).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+
+
+def test_session_stats_batch_plan_is_window_hash_agg(events_batch):
+    """r13: the batch path must run lag+cumsum over ONE user sort and a
+    hash aggregate — not session_window's sort-based session merge
+    (sf1 A/B: 2.11 -> 0.77 s)."""
+    p = (st.session_stats(events_batch)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "session_window" not in p
+    assert "Window" in p
+    assert "HashAggregate" in p
 
 
 def test_user_totals_stateful_stream(spark, events_batch, tmp_path):
