@@ -46,14 +46,28 @@ def hourly_agg(events: DataFrame, watermark: str | None = None) -> DataFrame:
     # exact sum; the division then operates on identical doubles in
     # every engine.
     vdec = F.sum(F.col("value").cast("decimal(18,6)"))
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.round(vdec.cast("double") / F.count(F.lit(1)), 6)
+            .alias("avg_value"),
+            F.round(vdec.cast("double"), 6).alias("sum_value")]
+    if events.isStreaming:
+        return (
+            events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(*aggs)
+            .select(F.col("w.start").alias("hour_ts"), "event_type",
+                    "n", "avg_value", "sum_value")
+        )
+    # Batch (r13, guide §1.2): a 1-hour tumbling window start IS
+    # date_trunc('hour') — grouping on the plain timestamp instead of
+    # the two-field window struct hashes narrower keys and skips the
+    # per-row struct build (sf1 interleaved A/B: 1.19 → 0.97 s, 3600
+    # output rows identical).  Streaming keeps F.window: watermarks
+    # only bind to event-time window aggregates.
     return (
-        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.round(vdec.cast("double") / F.count(F.lit(1)), 6)
-             .alias("avg_value"),
-             F.round(vdec.cast("double"), 6).alias("sum_value"))
-        .select(F.col("w.start").alias("hour_ts"), "event_type",
-                "n", "avg_value", "sum_value")
+        events.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"),
+                       "event_type")
+        .agg(*aggs)
+        .select("hour_ts", "event_type", "n", "avg_value", "sum_value")
     )
 
 
